@@ -1,0 +1,18 @@
+"""geograypher-tpu: TPU-native multiview geospatial photogrammetry.
+
+A from-scratch JAX/XLA/Pallas rebuild of the capabilities of
+open-forest-observatory/geograypher: project per-pixel ML predictions from
+drone surveys onto terrain meshes (and back), at TPU speed.
+
+Layer map (bottom-up):
+  ops/        device kernels: rasterization, projection/aggregation,
+              ray casting, warping, triangulation
+  parallel/   multi-chip sharding (pjit/shard_map over camera views)
+  cameras/    camera math + Metashape/COLMAP parsing + distortion engine
+  meshes/     textured mesh engine (geometry, textures, CRS, geospatial ops)
+  predictors/ segmentor input adapters + orthomosaic pipelines
+  utils/      host-side CRS/vector/raster/numeric support
+  entrypoints/ user-facing workflows (aggregate_images, render_labels, ...)
+"""
+
+__version__ = "0.1.0"

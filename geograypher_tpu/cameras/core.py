@@ -1,0 +1,524 @@
+"""Camera model core: pytree camera batches + batched projection math.
+
+TPU-first redesign of the reference's ``PhotogrammetryCamera`` /
+``PhotogrammetryCameraSet`` (/root/reference/geograypher/cameras/cameras.py:55,661).
+Instead of a list of Python objects, a :class:`CameraBatch` is a pytree of
+stacked arrays so every geometric operation is a single vmapped/jitted
+computation.  This also supplies the batched "project points -> pixels +
+validity" path that exists only as dead torch-referencing code in the
+reference (cameras.py:328-444).
+
+Conventions (matching the reference):
+
+* ``cam_to_world`` is a 4x4 homogeneous transform in the photogrammetry
+  local frame.  The camera looks along +Z; image up is -Y
+  (cameras.py:446-478), i.e. standard CV axes: x -> right (columns),
+  y -> down (rows), z -> forward.
+* Intrinsics are ``f`` (pixels) and principal-point offsets ``cx, cy``
+  measured FROM THE IMAGE CENTER (cameras.py:66-77).
+* Pixel (i, j) = (row, col); the continuous pixel coordinate of a 3D point
+  is ``col = f*X/Z + W/2 + cx``, ``row = f*Y/Z + H/2 + cy``
+  (cameras.py:588-596).  The *ideal* projection used for rasterization
+  ignores (cx, cy), matching the reference's VTK camera which only sets the
+  vertical FOV (cameras.py:446-463); the principal point and lens distortion
+  are applied by the distortion warp stage instead
+  (derived_cameras.py:188-196).
+* A batch's ``local_to_epsg_4978`` 4x4 maps the local frame to ECEF
+  (cameras.py:674,911).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from geograypher_tpu.constants import PATH_TYPE
+from geograypher_tpu.utils import crs as crs_utils
+
+# Distortion parameter vector layout (Brown-Conrady, Metashape order).
+# COLMAP SIMPLE_RADIAL's single k maps onto slot "k1" after rescaling, see
+# cameras/colmap.py.
+DISTORTION_KEYS = ("k1", "k2", "k3", "k4", "p1", "p2", "b1", "b2")
+
+
+def distortion_dict_to_vector(params: Optional[Dict[str, float]]) -> np.ndarray:
+    vec = np.zeros((len(DISTORTION_KEYS),), dtype=np.float64)
+    if params:
+        unknown = set(params) - set(DISTORTION_KEYS)
+        if unknown:
+            raise ValueError(f"Unexpected distortion params found: {sorted(unknown)}")
+        for i, k in enumerate(DISTORTION_KEYS):
+            vec[i] = float(params.get(k, 0.0))
+    return vec
+
+
+def distortion_vector_to_dict(vec: np.ndarray) -> Dict[str, float]:
+    return {
+        k: float(v) for k, v in zip(DISTORTION_KEYS, np.asarray(vec)) if v != 0.0
+    }
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class CameraBatch:
+    """A batch of N cameras sharing one image size, as stacked arrays.
+
+    Array fields are pytree leaves (shardable / vmappable); image size is
+    static metadata.  All cameras in a batch must share (width, height) —
+    :class:`CameraSet` groups heterogeneous sensors into multiple batches.
+    """
+
+    cam_to_world: jax.Array  # (N, 4, 4) float32
+    world_to_cam: jax.Array  # (N, 4, 4) float32
+    f: jax.Array  # (N,) float32, focal length in pixels
+    cx: jax.Array  # (N,) float32, principal point offset from center
+    cy: jax.Array  # (N,) float32
+    distortion: jax.Array  # (N, 8) float32, DISTORTION_KEYS order
+    image_width: int = dataclasses.field(metadata=dict(static=True))
+    image_height: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def n_cameras(self) -> int:
+        return self.cam_to_world.shape[0]
+
+    @property
+    def positions(self) -> jax.Array:
+        """(N, 3) camera centers in the local frame."""
+        return self.cam_to_world[:, :3, 3]
+
+    def scaled(self, image_scale: float) -> "CameraBatch":
+        """Batch at a downscaled image resolution.
+
+        Matches the reference's image-scale semantics
+        (cameras.py:179-198): width/height are rounded with int(), and
+        intrinsics scale linearly.
+        """
+        if image_scale == 1.0:
+            return self
+        s = float(image_scale)
+        return dataclasses.replace(
+            self,
+            f=self.f * s,
+            cx=self.cx * s,
+            cy=self.cy * s,
+            image_width=int(self.image_width * s),
+            image_height=int(self.image_height * s),
+        )
+
+
+def make_camera_batch(
+    cam_to_world: np.ndarray,
+    f,
+    cx,
+    cy,
+    image_width: int,
+    image_height: int,
+    distortion: Optional[np.ndarray] = None,
+    dtype=jnp.float32,
+) -> CameraBatch:
+    """Build a CameraBatch from host arrays; computes world_to_cam in f64."""
+    c2w = np.asarray(cam_to_world, dtype=np.float64)
+    if c2w.ndim == 2:
+        c2w = c2w[None]
+    n = c2w.shape[0]
+    w2c = np.linalg.inv(c2w)
+    f = np.broadcast_to(np.asarray(f, dtype=np.float64), (n,))
+    cx = np.broadcast_to(np.asarray(cx, dtype=np.float64), (n,))
+    cy = np.broadcast_to(np.asarray(cy, dtype=np.float64), (n,))
+    if distortion is None:
+        distortion = np.zeros((n, len(DISTORTION_KEYS)))
+    distortion = np.broadcast_to(
+        np.asarray(distortion, dtype=np.float64), (n, len(DISTORTION_KEYS))
+    )
+    return CameraBatch(
+        cam_to_world=jnp.asarray(c2w, dtype=dtype),
+        world_to_cam=jnp.asarray(w2c, dtype=dtype),
+        f=jnp.asarray(f, dtype=dtype),
+        cx=jnp.asarray(cx, dtype=dtype),
+        cy=jnp.asarray(cy, dtype=dtype),
+        distortion=jnp.asarray(distortion, dtype=dtype),
+        image_width=int(image_width),
+        image_height=int(image_height),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Batched projection math (pure JAX, jit/vmap/shard_map friendly)
+# ---------------------------------------------------------------------------
+
+
+def world_to_camera_frame(points: jax.Array, world_to_cam: jax.Array) -> jax.Array:
+    """Transform (V, 3) local-frame points into one camera's frame.
+
+    Args:
+        points: (V, 3) points in the photogrammetry local frame.
+        world_to_cam: (4, 4) transform.
+
+    Returns:
+        (V, 3) points in the camera frame (+Z forward).
+    """
+    rot = world_to_cam[:3, :3]
+    t = world_to_cam[:3, 3]
+    return points @ rot.T + t
+
+
+def camera_frame_to_pixels(
+    pts_cam: jax.Array,
+    f: jax.Array,
+    cx: jax.Array,
+    cy: jax.Array,
+    image_width: int,
+    image_height: int,
+    use_principal_point: bool = True,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Pinhole projection of camera-frame points to pixel coordinates.
+
+    Returns (xy, depth, valid) where ``xy`` is (V, 2) continuous
+    ``(col, row)`` coordinates, ``depth`` is the +Z camera depth, and
+    ``valid`` marks points in front of the camera and inside the image.
+    Fixes the reference's dead torch path (cameras.py:328-444).
+    """
+    z = pts_cam[:, 2]
+    eps = jnp.asarray(1e-12, pts_cam.dtype)
+    safe_z = jnp.where(jnp.abs(z) < eps, eps, z)
+    px = f * pts_cam[:, 0] / safe_z + image_width / 2.0
+    py = f * pts_cam[:, 1] / safe_z + image_height / 2.0
+    if use_principal_point:
+        px = px + cx
+        py = py + cy
+    xy = jnp.stack([px, py], axis=-1)
+    in_front = z > 0
+    in_image = (
+        (px >= 0) & (px < image_width) & (py >= 0) & (py < image_height)
+    )
+    return xy, z, in_front & in_image
+
+
+def project_points(
+    batch: CameraBatch,
+    points: jax.Array,
+    use_principal_point: bool = True,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Project (V, 3) points through all cameras in the batch.
+
+    Returns:
+        xy: (N, V, 2) pixel (col, row) coordinates
+        depth: (N, V) camera-frame depth
+        valid: (N, V) in-front & in-image mask
+    """
+
+    def one(w2c, f, cx, cy):
+        pts_cam = world_to_camera_frame(points, w2c)
+        return camera_frame_to_pixels(
+            pts_cam,
+            f,
+            cx,
+            cy,
+            batch.image_width,
+            batch.image_height,
+            use_principal_point=use_principal_point,
+        )
+
+    return jax.vmap(one)(batch.world_to_cam, batch.f, batch.cx, batch.cy)
+
+
+def pixel_rays(
+    batch: CameraBatch,
+    pixel_coords_ij: jax.Array,
+    line_length: float = 10.0,
+) -> Tuple[jax.Array, jax.Array]:
+    """Rays from each camera center through given (i, j) pixels.
+
+    Vectorized equivalent of the reference's ``PhotogrammetryCamera.cast_rays``
+    (cameras.py:574-631): direction through pixel (i, j) is the normalized
+    ``((x - ppx)/f, (y - ppy)/f, 1)`` with the FULL principal point
+    ``pp = (W/2 + cx, H/2 + cy)``, scaled to ``line_length`` and expressed in
+    the local frame.
+
+    Args:
+        batch: cameras.
+        pixel_coords_ij: (N, P, 2) per-camera (row, col) pixel coords.
+        line_length: world-frame length of each returned segment.
+
+    Returns:
+        starts: (N, P, 3) camera centers (broadcast)
+        ends: (N, P, 3) segment endpoints in the local frame
+    """
+
+    def one(c2w, f, cx, cy, pix_ij):
+        xy = jnp.flip(pix_ij, axis=-1)  # (P, 2) -> (x, y)
+        ppx = batch.image_width / 2.0 + cx
+        ppy = batch.image_height / 2.0 + cy
+        dirs = jnp.stack(
+            [
+                (xy[:, 0] - ppx) / f,
+                (xy[:, 1] - ppy) / f,
+                jnp.ones_like(xy[:, 0]),
+            ],
+            axis=-1,
+        )
+        dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+        rot = c2w[:3, :3]
+        origin = c2w[:3, 3]
+        world_dirs = dirs @ rot.T
+        starts = jnp.broadcast_to(origin, world_dirs.shape)
+        ends = starts + world_dirs * line_length
+        return starts, ends
+
+    return jax.vmap(one)(
+        batch.cam_to_world, batch.f, batch.cx, batch.cy, pixel_coords_ij
+    )
+
+
+# ---------------------------------------------------------------------------
+# Host-side camera set (grouping, parsing glue, geospatial metadata)
+# ---------------------------------------------------------------------------
+
+
+class CameraSet:
+    """Ordered collection of cameras in one local frame.
+
+    Host-side counterpart of the reference's ``PhotogrammetryCameraSet``
+    (cameras.py:661).  Stores per-camera metadata (filenames, sensor ids,
+    lon/lat) in numpy/python and exposes the device-side
+    :class:`CameraBatch` per sensor group.
+    """
+
+    def __init__(
+        self,
+        cam_to_world_transforms: Sequence[np.ndarray],
+        intrinsic_params_per_sensor_type: Dict[int, Optional[dict]] = None,
+        image_filenames: Optional[Sequence[Optional[PATH_TYPE]]] = None,
+        lon_lats: Optional[Sequence[Optional[Tuple[float, float]]]] = None,
+        image_folder: Optional[PATH_TYPE] = None,
+        sensor_IDs: Optional[Sequence[int]] = None,
+        validate_images: bool = False,
+        local_to_epsg_4978_transform: Optional[np.ndarray] = None,
+    ):
+        n = len(cam_to_world_transforms)
+        if intrinsic_params_per_sensor_type is None:
+            from geograypher_tpu.constants import EXAMPLE_INTRINSICS
+
+            intrinsic_params_per_sensor_type = {0: dict(EXAMPLE_INTRINSICS)}
+        if sensor_IDs is None:
+            sensor_IDs = [sorted(intrinsic_params_per_sensor_type)[0]] * n
+        if image_filenames is None:
+            image_filenames = [None] * n
+        if lon_lats is None:
+            lon_lats = [None] * n
+
+        # Drop cameras whose sensor has no calibration (reference
+        # cameras.py:770-772) or whose image file is missing when
+        # validate_images is set (cameras.py:746-760).
+        keep = []
+        for i in range(n):
+            sensor = intrinsic_params_per_sensor_type.get(sensor_IDs[i])
+            if sensor is None:
+                continue
+            if validate_images:
+                fname = image_filenames[i]
+                if fname is None or not Path(fname).exists():
+                    continue
+            keep.append(i)
+
+        self.cam_to_world_transforms = [
+            np.asarray(cam_to_world_transforms[i], dtype=np.float64) for i in keep
+        ]
+        self.image_filenames = [
+            Path(image_filenames[i]) if image_filenames[i] is not None else None
+            for i in keep
+        ]
+        self.lon_lats = [lon_lats[i] for i in keep]
+        self.sensor_IDs = [sensor_IDs[i] for i in keep]
+        self.sensors = dict(intrinsic_params_per_sensor_type)
+        self.image_folder = Path(image_folder) if image_folder is not None else None
+        self.local_to_epsg_4978_transform = (
+            np.asarray(local_to_epsg_4978_transform, dtype=np.float64)
+            if local_to_epsg_4978_transform is not None
+            else None
+        )
+        self._batch_cache: Dict[Tuple, CameraBatch] = {}
+
+    # -- basics -----------------------------------------------------------
+
+    def __len__(self) -> int:
+        return len(self.cam_to_world_transforms)
+
+    def __getitem__(self, idx):
+        if isinstance(idx, slice):
+            return self.get_subset_cameras(range(*idx.indices(len(self))))
+        return self.get_subset_cameras([idx])
+
+    def get_local_to_epsg_4978_transform(self):
+        return self.local_to_epsg_4978_transform
+
+    def get_subset_cameras(self, indices) -> "CameraSet":
+        indices = [int(i) for i in indices]
+        sub = CameraSet.__new__(CameraSet)
+        sub.cam_to_world_transforms = [self.cam_to_world_transforms[i] for i in indices]
+        sub.image_filenames = [self.image_filenames[i] for i in indices]
+        sub.lon_lats = [self.lon_lats[i] for i in indices]
+        sub.sensor_IDs = [self.sensor_IDs[i] for i in indices]
+        sub.sensors = self.sensors
+        sub.image_folder = self.image_folder
+        sub.local_to_epsg_4978_transform = self.local_to_epsg_4978_transform
+        sub._batch_cache = {}
+        return sub
+
+    def get_subset_by_folder(self, folder_names) -> "CameraSet":
+        """Cameras whose image path contains one of the folders
+        (reference cameras.py:819)."""
+        folders = [str(f) for f in np.atleast_1d(folder_names)]
+        idx = [
+            i
+            for i, f in enumerate(self.image_filenames)
+            if f is not None and any(fol in str(f.parent) for fol in folders)
+        ]
+        return self.get_subset_cameras(idx)
+
+    def get_subset_by_regex(self, pattern: str) -> "CameraSet":
+        """Cameras whose filename matches the regex (reference cameras.py:838)."""
+        import re
+
+        prog = re.compile(pattern)
+        idx = [
+            i
+            for i, f in enumerate(self.image_filenames)
+            if f is not None and prog.search(str(f))
+        ]
+        return self.get_subset_cameras(idx)
+
+    def get_image_filename(self, index: int, absolute: bool = True):
+        f = self.image_filenames[index]
+        if f is None:
+            return None
+        return Path(f).absolute() if absolute else Path(f)
+
+    def find_missing_images(self) -> List[Path]:
+        return [
+            f
+            for f in self.image_filenames
+            if f is not None and not Path(f).exists()
+        ]
+
+    # -- geometry ---------------------------------------------------------
+
+    def get_camera_locations(self) -> np.ndarray:
+        """(N, 3) camera centers in the local frame."""
+        if len(self) == 0:
+            return np.zeros((0, 3))
+        return np.stack(
+            [t[:3, 3] / t[3, 3] for t in self.cam_to_world_transforms], axis=0
+        )
+
+    def get_lon_lat_coords(self) -> List[Optional[Tuple[float, float]]]:
+        """Per-camera (lon, lat); derived from transforms if unset
+        (reference derived_cameras.py:112-137)."""
+        if all(ll is not None for ll in self.lon_lats):
+            return list(self.lon_lats)
+        if self.local_to_epsg_4978_transform is None:
+            return list(self.lon_lats)
+        locs = self.get_camera_locations()
+        hom = np.concatenate([locs, np.ones((len(locs), 1))], axis=1)
+        ecef = (self.local_to_epsg_4978_transform @ hom.T).T[:, :3]
+        lat, lon, _ = crs_utils.ecef_to_lla(ecef[:, 0], ecef[:, 1], ecef[:, 2])
+        self.lon_lats = list(zip(lon, lat))
+        return list(self.lon_lats)
+
+    def get_camera_hash(self, include_image_hash: bool = False) -> str:
+        """Content hash of the set's geometry (reference cameras.py:104)."""
+        hasher = hashlib.sha256()
+        for i, t in enumerate(self.cam_to_world_transforms):
+            hasher.update(np.ascontiguousarray(t).tobytes())
+            sensor = self.sensors[self.sensor_IDs[i]]
+            hasher.update(
+                repr(sorted((k, v) for k, v in sensor.items() if k != "distortion_params")).encode()
+            )
+            if include_image_hash and self.image_filenames[i] is not None:
+                hasher.update(str(self.image_filenames[i]).encode())
+        return hasher.hexdigest()
+
+    # -- batching ---------------------------------------------------------
+
+    def sensor_groups(self) -> Dict[Tuple[int, int], List[int]]:
+        """Camera indices grouped by (width, height) so each group forms a
+        uniformly-shaped CameraBatch."""
+        groups: Dict[Tuple[int, int], List[int]] = {}
+        for i, sid in enumerate(self.sensor_IDs):
+            s = self.sensors[sid]
+            key = (int(s["image_width"]), int(s["image_height"]))
+            groups.setdefault(key, []).append(i)
+        return groups
+
+    def get_camera_batch(
+        self, indices: Optional[Sequence[int]] = None, image_scale: float = 1.0
+    ) -> CameraBatch:
+        """Stacked CameraBatch for the given indices (default: all).
+
+        All selected cameras must share an image size.
+        """
+        if indices is None:
+            indices = list(range(len(self)))
+        indices = tuple(int(i) for i in indices)
+        key = (indices, float(image_scale))
+        if key in self._batch_cache:
+            return self._batch_cache[key]
+
+        sizes = {
+            (
+                int(self.sensors[self.sensor_IDs[i]]["image_width"]),
+                int(self.sensors[self.sensor_IDs[i]]["image_height"]),
+            )
+            for i in indices
+        }
+        if len(sizes) != 1:
+            raise ValueError(
+                f"Cameras with mixed image sizes {sizes} cannot share a batch; "
+                "use sensor_groups() to split them"
+            )
+        (w, h), = sizes
+        c2w = np.stack([self.cam_to_world_transforms[i] for i in indices], axis=0)
+        f = np.array([self.sensors[self.sensor_IDs[i]]["f"] for i in indices])
+        cx = np.array([self.sensors[self.sensor_IDs[i]].get("cx", 0.0) for i in indices])
+        cy = np.array([self.sensors[self.sensor_IDs[i]].get("cy", 0.0) for i in indices])
+        dist = np.stack(
+            [
+                distortion_dict_to_vector(
+                    self.sensors[self.sensor_IDs[i]].get("distortion_params")
+                )
+                for i in indices
+            ],
+            axis=0,
+        )
+        batch = make_camera_batch(c2w, f, cx, cy, w, h, dist)
+        if image_scale != 1.0:
+            batch = batch.scaled(image_scale)
+        self._batch_cache[key] = batch
+        return batch
+
+    # -- images -----------------------------------------------------------
+
+    def get_image_by_index(self, index: int, image_scale: float = 1.0) -> np.ndarray:
+        """Load the image for camera ``index`` (reference cameras.py:154-198)."""
+        from geograypher_tpu.utils.io import read_image_or_numpy
+
+        fname = self.get_image_filename(index)
+        if fname is None:
+            raise FileNotFoundError(f"Camera {index} has no image filename")
+        img = read_image_or_numpy(fname)
+        if image_scale != 1.0:
+            import cv2
+
+            new_w = int(img.shape[1] * image_scale)
+            new_h = int(img.shape[0] * image_scale)
+            img = cv2.resize(img, (new_w, new_h), interpolation=cv2.INTER_AREA)
+        return img
+
+    def n_image_channels(self) -> int:
+        return 3

@@ -1,0 +1,162 @@
+"""Host-side numeric helpers.
+
+Counterpart of /root/reference/geograypher/utils/numeric.py.  The heavy
+O(N^2) ray-intersection math lives on-device in
+:mod:`geograypher_tpu.ops.triangulate`; this module keeps the small
+host-side pieces (ramped weighting, quaternions, chunk iteration, graph
+formatting) in numpy.
+"""
+
+from __future__ import annotations
+
+import typing
+from itertools import product
+
+import numpy as np
+
+
+def create_ramped_weighting(
+    rectangle_shape: typing.Tuple[int, int], ramp_dist_frac: float
+) -> np.ndarray:
+    """Weight mask that ramps 0->1 within ``ramp_dist_frac`` of each edge
+    (reference numeric.py:14-36); used to downweight tile borders when
+    assembling orthomosaic predictions."""
+    i_ramp = np.clip(np.linspace(0, 1 / ramp_dist_frac, num=rectangle_shape[0]), 0, 1)
+    j_ramp = np.clip(np.linspace(0, 1 / ramp_dist_frac, num=rectangle_shape[1]), 0, 1)
+    i_ramp = np.minimum(i_ramp, np.flip(i_ramp))
+    j_ramp = np.minimum(j_ramp, np.flip(j_ramp))
+    return np.minimum(i_ramp[:, None], j_ramp[None, :])
+
+
+def quaternion_wxyz_to_matrix(q) -> np.ndarray:
+    """Rotation matrix from a (w, x, y, z) quaternion (replaces
+    scipy.spatial.transform.Rotation in the COLMAP parser,
+    reference derived_cameras.py:290-295)."""
+    w, x, y, z = (float(v) for v in q)
+    n = np.sqrt(w * w + x * x + y * y + z * z)
+    w, x, y, z = w / n, x / n, y / n, z / n
+    return np.array(
+        [
+            [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+            [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+            [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+        ]
+    )
+
+
+def rotation_rpy_to_matrix(roll: float, pitch: float, yaw: float) -> np.ndarray:
+    """Intrinsic x-y-z (roll, pitch, yaw) Euler rotation, degrees.
+
+    Equivalent to scipy's ``Rotation.from_euler("xyz", [r, p, y],
+    degrees=True)`` used by the rig-camera synthesis
+    (reference utils/image.py:29-70).
+    """
+    r, p, y = np.deg2rad([roll, pitch, yaw])
+    cr, sr = np.cos(r), np.sin(r)
+    cp, sp = np.cos(p), np.sin(p)
+    cy, sy = np.cos(y), np.sin(y)
+    rx = np.array([[1, 0, 0], [0, cr, -sr], [0, sr, cr]])
+    ry = np.array([[cp, 0, sp], [0, 1, 0], [-sp, 0, cp]])
+    rz = np.array([[cy, -sy, 0], [sy, cy, 0], [0, 0, 1]])
+    # intrinsic xyz == extrinsic zyx composition
+    return rz @ ry @ rx
+
+
+def chunk_slices(
+    N: int, step: int
+) -> typing.Iterator[typing.Tuple[slice, slice, bool]]:
+    """Upper-triangular (step, step) block iteration over an (N, N) matrix
+    (reference numeric.py:350-377); memory guard for pairwise math."""
+    ranges = range(0, N, step)
+    for i, j in product(ranges, repeat=2):
+        if j >= i:
+            yield (
+                slice(i, min(i + step, N)),
+                slice(j, min(j + step, N)),
+                i == j,
+            )
+
+
+def format_graph_edges(
+    islice: slice,
+    jslice: slice,
+    dist: np.ndarray,
+    ray_IDs: np.ndarray,
+) -> typing.List[typing.Tuple[int, int, typing.Dict[str, float]]]:
+    """Graph edges (i, j, {"weight": 1/dist}) from a finite-distance block,
+    keeping i<j and dropping same-image ray pairs (reference
+    numeric.py:379-426)."""
+    i_inds, j_inds = np.where(np.isfinite(dist))
+    weights = 1.0 / dist
+    return [
+        (
+            int(i) + islice.start,
+            int(j) + jslice.start,
+            {"weight": float(weights[i, j])},
+        )
+        for i, j in zip(i_inds, j_inds)
+        if (i + islice.start < j + jslice.start)
+        and (ray_IDs[i + islice.start] != ray_IDs[j + jslice.start])
+    ]
+
+
+def compute_3D_triangle_area_vectorized(
+    corners: np.ndarray, return_z_proj_area: bool = True
+):
+    """Triangle areas (and z-projected areas) from (3, F, 3) corners
+    (reference numeric.py:271-303)."""
+    A, B, C = corners
+    u = B - A
+    v = C - A
+    u0v1_min_u1v0 = u[..., 0] * v[..., 1] - u[..., 1] * v[..., 0]
+    area = 0.5 * np.sqrt(
+        (u[..., 1] * v[..., 2] - u[..., 2] * v[..., 1]) ** 2
+        + (u[..., 2] * v[..., 0] - u[..., 0] * v[..., 2]) ** 2
+        + u0v1_min_u1v0**2
+    )
+    if return_z_proj_area:
+        return area, np.abs(u0v1_min_u1v0) / 2
+    return area
+
+
+compute_3D_triangle_area = compute_3D_triangle_area_vectorized
+
+
+def fair_mode_non_nan(
+    values: np.ndarray, seed: typing.Optional[int] = 0
+) -> np.ndarray:
+    """Per-row mode of integer/nan values with RANDOM (but seeded,
+    reproducible) tie-breaking.
+
+    Matches the reference's vote kernel (numeric.py:622-659) except the
+    tie-break randomness is seeded for determinism (SURVEY.md §5 flags the
+    reference's unseeded np.random as a reproducibility gap).  Pass
+    ``seed=None`` for reference-style unseeded behavior.
+    """
+    values = np.asarray(values, dtype=float)
+    if values.size == 0 or np.all(np.isnan(values)):
+        return np.full((values.shape[0],), fill_value=np.nan)
+    max_val = int(np.nanmax(values))
+    counts = np.stack(
+        [np.sum(values == i, axis=1) for i in range(max_val + 1)], axis=1
+    ).astype(float)
+    zeros_mask = np.all(counts == 0, axis=1)
+    rng = np.random.default_rng(seed) if seed is not None else np.random
+    counts = counts + rng.random(counts.shape) * 0.5
+    mode = np.argmax(counts, axis=1).astype(float)
+    mode[zeros_mask] = np.nan
+    return mode
+
+
+def intersection_average(starts: np.ndarray, ends: np.ndarray) -> np.ndarray:
+    """Mean of closest points between all pairs of segments
+    (reference numeric.py:330-347); delegates the pairwise math to the
+    jitted kernel in ops.triangulate."""
+    from geograypher_tpu.ops.triangulate import pairwise_segment_closest_points
+
+    pA, pB, _ = pairwise_segment_closest_points(
+        starts, ends, starts, ends, clamp=True
+    )
+    pA, pB = np.asarray(pA), np.asarray(pB)
+    mask = ~np.eye(starts.shape[0], dtype=bool)
+    return np.mean(np.vstack([pA[mask], pB[mask]]), axis=0)

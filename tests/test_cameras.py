@@ -1,0 +1,197 @@
+"""Camera core tests: projection geometry, batching, Metashape parsing."""
+
+import textwrap
+
+import numpy as np
+import pytest
+
+from geograypher_tpu.cameras import (
+    CameraSet,
+    MetashapeCameraSet,
+    make_camera_batch,
+    pixel_rays,
+    project_points,
+)
+
+
+def nadir_camera_transform(height: float) -> np.ndarray:
+    """Camera at (0, 0, height) looking straight down (+Z cam = -Z world),
+    image up = -Y cam = +Y world (geometry of reference test_utils.py:42-67,
+    re-derived)."""
+    return np.array(
+        [
+            [1.0, 0.0, 0.0, 0.0],
+            [0.0, -1.0, 0.0, 0.0],
+            [0.0, 0.0, -1.0, height],
+            [0.0, 0.0, 0.0, 1.0],
+        ]
+    )
+
+
+def test_project_points_nadir():
+    f, w, h = 100.0, 200, 200
+    batch = make_camera_batch(nadir_camera_transform(2.0), f, 0.0, 0.0, w, h)
+    # World origin is on the optical axis -> image center
+    pts = np.array([[0.0, 0.0, 0.0]])
+    xy, depth, valid = project_points(batch, pts)
+    assert np.allclose(np.asarray(xy)[0, 0], [100.0, 100.0])
+    assert np.allclose(np.asarray(depth)[0, 0], 2.0)
+    assert np.asarray(valid)[0, 0]
+
+    # World +X maps to +col; world +Y maps to -row (image up is +Y world)
+    pts = np.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]])
+    xy, _, valid = project_points(batch, pts)
+    xy = np.asarray(xy)[0]
+    assert np.allclose(xy[0], [150.0, 100.0])  # x=1 at depth 2, f=100 -> +50 col
+    assert np.allclose(xy[1], [100.0, 50.0])  # y=1 -> -50 rows
+    assert np.asarray(valid)[0].all()
+
+    # Behind the camera -> invalid
+    pts = np.array([[0.0, 0.0, 5.0]])
+    _, _, valid = project_points(batch, pts)
+    assert not np.asarray(valid)[0, 0]
+
+
+def test_principal_point_offset():
+    f, w, h = 100.0, 200, 200
+    batch = make_camera_batch(nadir_camera_transform(2.0), f, 5.0, -3.0, w, h)
+    xy, _, _ = project_points(batch, np.array([[0.0, 0.0, 0.0]]))
+    assert np.allclose(np.asarray(xy)[0, 0], [105.0, 97.0])
+    # ideal projection ignores the principal point (rasterizer convention)
+    xy, _, _ = project_points(
+        batch, np.array([[0.0, 0.0, 0.0]]), use_principal_point=False
+    )
+    assert np.allclose(np.asarray(xy)[0, 0], [100.0, 100.0])
+
+
+def test_pixel_rays_roundtrip():
+    """cast a ray through a pixel, project the endpoint back -> same pixel"""
+    f, w, h = 120.0, 320, 240
+    c2w = nadir_camera_transform(3.0)
+    batch = make_camera_batch(c2w, f, 2.0, -1.0, w, h)
+    pix_ij = np.array([[[30.0, 50.0], [120.0, 300.0], [200.0, 10.0]]])
+    starts, ends = pixel_rays(batch, pix_ij, line_length=5.0)
+    starts, ends = np.asarray(starts), np.asarray(ends)
+    assert np.allclose(starts[0], [0.0, 0.0, 3.0], atol=1e-5)
+    assert np.allclose(
+        np.linalg.norm(ends[0] - starts[0], axis=-1), 5.0, atol=1e-4
+    )
+    xy, _, _ = project_points(batch, ends[0])
+    xy = np.asarray(xy)[0]
+    # (row, col) -> (col, row)
+    assert np.allclose(xy, pix_ij[0][:, ::-1], atol=1e-3)
+
+
+def test_batch_scaling():
+    batch = make_camera_batch(nadir_camera_transform(2.0), 100.0, 4.0, 2.0, 200, 100)
+    half = batch.scaled(0.5)
+    assert half.image_width == 100 and half.image_height == 50
+    assert np.isclose(float(half.f[0]), 50.0)
+    assert np.isclose(float(half.cx[0]), 2.0)
+
+
+def make_metashape_xml(tmp_path, n_cameras=3, with_component=True):
+    """Synthesize a minimal Metashape camera XML in the reference's schema
+    (derived from the format description, reference derived_cameras.py:44+)."""
+    transforms = []
+    for i in range(n_cameras):
+        t = np.eye(4)
+        t[:3, 3] = [i * 2.0, 1.0, 30.0]
+        transforms.append(" ".join(str(v) for v in t.flatten()))
+    cams = "\n".join(
+        f'<camera id="{i}" sensor_id="0" label="images/img_{i:04d}.JPG">'
+        f"<transform>{tr}</transform></camera>"
+        for i, tr in enumerate(transforms)
+    )
+    # one unaligned camera (no transform) that must be skipped
+    cams += f'\n<camera id="{n_cameras}" sensor_id="0" label="images/bad.JPG"></camera>'
+    component = (
+        """
+        <components next_id="1" active_id="0">
+          <component id="0" label="Component 1">
+            <transform>
+              <rotation locked="true">1 0 0 0 1 0 0 0 1</rotation>
+              <translation locked="true">-2449000 -4774000 3580000</translation>
+              <scale locked="true">1.2</scale>
+            </transform>
+          </component>
+        </components>"""
+        if with_component
+        else ""
+    )
+    xml = textwrap.dedent(
+        f"""\
+        <document version="2.0.0">
+          <chunk label="Chunk 1" enabled="true">
+            <sensors next_id="1">
+              <sensor id="0" label="FC330" type="frame">
+                <resolution width="400" height="300"/>
+                <calibration type="frame" class="adjusted">
+                  <resolution width="400" height="300"/>
+                  <f>350.5</f>
+                  <cx>1.25</cx>
+                  <cy>-0.75</cy>
+                  <k1>-0.01</k1>
+                  <k2>0.002</k2>
+                  <p1>0.0001</p1>
+                </calibration>
+              </sensor>
+            </sensors>
+            <cameras next_id="{n_cameras + 1}" next_group_id="0">
+              {cams}
+            </cameras>
+            {component}
+          </chunk>
+        </document>"""
+    )
+    path = tmp_path / "cameras.xml"
+    path.write_text(xml)
+    return path
+
+
+def test_metashape_parse(tmp_path):
+    path = make_metashape_xml(tmp_path)
+    cams = MetashapeCameraSet(path, image_folder=tmp_path / "imgs")
+    # unaligned camera dropped
+    assert len(cams) == 3
+    sensor = cams.sensors[0]
+    assert sensor["f"] == 350.5
+    assert sensor["cx"] == 1.25
+    assert sensor["distortion_params"]["k1"] == -0.01
+    assert "p1" in sensor["distortion_params"]
+    # chunk->ECEF transform parsed with scale folded into rotation block
+    t = cams.get_local_to_epsg_4978_transform()
+    assert t is not None
+    assert np.allclose(t[:3, :3], np.eye(3) * 1.2)
+    # lon/lats derived from optimized poses: all cameras near each other
+    lls = cams.get_lon_lat_coords()
+    assert len(lls) == 3
+    lons = [ll[0] for ll in lls]
+    lats = [ll[1] for ll in lls]
+    assert np.ptp(lons) < 0.1 and np.ptp(lats) < 0.1
+
+    batch = cams.get_camera_batch()
+    assert batch.n_cameras == 3
+    assert batch.image_width == 400
+
+    # subsetting
+    sub = cams.get_subset_by_regex(r"img_000[01]")
+    assert len(sub) == 2
+
+
+def test_metashape_no_component(tmp_path):
+    path = make_metashape_xml(tmp_path, with_component=False)
+    cams = MetashapeCameraSet(path, image_folder=tmp_path / "imgs")
+    assert cams.get_local_to_epsg_4978_transform() is None
+    assert len(cams) == 3
+
+
+def test_camera_set_subset_and_hash(tmp_path):
+    path = make_metashape_xml(tmp_path)
+    cams = MetashapeCameraSet(path, image_folder=tmp_path / "imgs")
+    sub = cams[0:2]
+    assert len(sub) == 2
+    h1 = cams.get_camera_hash()
+    h2 = sub.get_camera_hash()
+    assert h1 != h2
+    assert cams.get_camera_hash() == h1  # stable
