@@ -1,0 +1,450 @@
+"""TPU-native triangle rasterizer producing pix-to-face maps.
+
+This single component replaces BOTH rasterization backends of the reference:
+the VTK base-256 color-encoding renderer (meshes/meshes.py:1749-1803) and the
+optional PyTorch3D CUDA ``MeshRasterizer`` (meshes/derived_meshes.py:642-737).
+It produces, for each camera, an ``(H, W) int32`` map of the mesh face id
+visible at each pixel (-1 = background), occlusion-correct by construction
+and deterministic (ties broken toward the lowest face id).
+
+Architecture (chosen from on-chip microbenchmarks; see repo docs):
+
+1. **Setup**: triangles are pre-gathered to ``(F, 3, 3)`` vertex triplets
+   once per mesh, so the per-view path is pure matmul + elementwise math
+   (no per-view gathers).  Vertices are transformed to the camera frame and
+   projected with the *ideal* pinhole model (no principal point — matching
+   the reference's VTK camera which only sets a vertical FOV,
+   cameras.py:446-463; principal point + lens distortion are applied by the
+   distortion warp stage).
+2. **Binning**: each triangle is assigned to the finest level of a 3-level
+   tile hierarchy whose 2x2 tile window covers its screen bbox, emitting at
+   most 4 (tile-key, face-id) pairs.  One stable sort of the 4F pairs
+   yields contiguous per-tile candidate lists (sort measured at ~2ms/M
+   pairs on v5e — far cheaper than XLA scatter).  Oversize triangles land
+   in a global list; nothing is dropped silently (overflow counts are
+   returned).
+3. **Raster**: per (8 x 128) pixel tile — the native VPU register shape —
+   edge functions and the 1/z depth plane for all candidates are evaluated
+   as one ``(pixels, 3) @ (3, 4C)`` matmul (MXU), followed by a masked
+   depth-argmax.  The XLA path scans candidate chunks under a vmap over
+   tiles; the Pallas path (ops/pallas_raster.py) keeps the tile state in
+   VMEM and loops only over the actual candidate count.
+
+Depth is interpolated perspective-correctly: 1/z is affine in screen space,
+so each triangle carries an affine "w-plane"; the visible face maximizes w.
+Coverage uses inclusive edge tests on both windings (no backface culling,
+matching VTK's default) with deterministic lowest-face-id tie-breaking,
+fixing the reference's acknowledged nondeterminism (meshes.py:1965-1967).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+INT32_MAX = 2**31 - 1
+
+
+@dataclasses.dataclass(frozen=True)
+class RasterConfig:
+    """Static rasterizer configuration (hashable; used as a jit static arg)."""
+
+    tile_h: int = 8
+    tile_w: int = 128
+    # tile-size multipliers for levels 0..2; level 3 is the whole image
+    level_scales: Tuple[int, int, int] = (1, 4, 16)
+    # per-tile candidate capacity for levels 0..3
+    caps: Tuple[int, int, int, int] = (256, 96, 48, 32)
+    # candidate chunk size for the XLA scan kernel
+    chunk: int = 16
+    znear: float = 1e-6
+    backend: str = "xla"  # "xla" | "pallas"
+
+    def grids(self, image_h: int, image_w: int):
+        """Tile-grid shapes (nty, ntx) for levels 0..2."""
+        out = []
+        for s in self.level_scales:
+            th, tw = self.tile_h * s, self.tile_w * s
+            out.append((-(-image_h // th), -(-image_w // tw)))
+        return out
+
+
+class TriangleSetup(NamedTuple):
+    """Per-view screen-space triangle data."""
+
+    planes: jax.Array  # (F, 12): 3 edge planes + w-plane, see setup_triangles
+    bbox: jax.Array  # (F, 4) int32: first/last covered pixel row & col
+    valid: jax.Array  # (F,) bool
+
+
+class BinnedTriangles(NamedTuple):
+    cand: jax.Array  # (n_tiles0, Ctot) int32 face ids (-1 = empty slot)
+    counts: jax.Array  # (4,) int32 pairs per level (diagnostics)
+    overflow: jax.Array  # () int32 candidates dropped by capacity limits
+
+
+def setup_triangles(
+    tri_verts_cam: jax.Array,
+    f: jax.Array,
+    image_w: int,
+    image_h: int,
+    znear: float = 1e-6,
+) -> TriangleSetup:
+    """Project camera-frame triangles to screen and build raster planes.
+
+    Args:
+        tri_verts_cam: (F, 3, 3) triangle vertices in the camera frame
+            (x right, y down, z forward).
+        f: scalar focal length in pixels.
+        image_w, image_h: target image size in pixels.
+
+    Returns a :class:`TriangleSetup`.  ``planes[:, 0:9]`` are edge
+    coefficients (A, B, C) x 3 normalized to positive orientation;
+    ``planes[:, 9:12]`` is the affine 1/z plane (WA, WB, WC).  Coverage of
+    pixel (i, j) means ``E_k(j+0.5, i+0.5) >= 0`` for all k.
+    """
+    ftype = tri_verts_cam.dtype
+    z = tri_verts_cam[..., 2]
+    in_front = jnp.all(z > znear, axis=1)
+    safe_z = jnp.where(z > znear, z, jnp.asarray(1.0, ftype))
+    sx = f * tri_verts_cam[..., 0] / safe_z + image_w / 2.0
+    sy = f * tri_verts_cam[..., 1] / safe_z + image_h / 2.0
+    w = 1.0 / safe_z  # (F, 3)
+
+    x0, x1, x2 = sx[:, 0], sx[:, 1], sx[:, 2]
+    y0, y1, y2 = sy[:, 0], sy[:, 1], sy[:, 2]
+
+    def edge(xa, ya, xb, yb):
+        # E(x, y) = (xb-xa)(y-ya) - (yb-ya)(x-xa)
+        a = -(yb - ya)
+        b = xb - xa
+        c = (yb - ya) * xa - (xb - xa) * ya
+        return a, b, c
+
+    # Edge k is opposite vertex k; E_k(v_k) = 2 * signed area
+    a0, b0, c0 = edge(x1, y1, x2, y2)
+    a1, b1, c1 = edge(x2, y2, x0, y0)
+    a2, b2, c2 = edge(x0, y0, x1, y1)
+    area2 = a0 * x0 + b0 * y0 + c0
+    sign = jnp.where(area2 < 0, jnp.asarray(-1.0, ftype), jnp.asarray(1.0, ftype))
+    nondegenerate = jnp.abs(area2) > 1e-12
+    inv_area2 = sign / jnp.where(nondegenerate, jnp.abs(area2), 1.0)
+
+    wa = (a0 * w[:, 0] + a1 * w[:, 1] + a2 * w[:, 2]) * inv_area2
+    wb = (b0 * w[:, 0] + b1 * w[:, 1] + b2 * w[:, 2]) * inv_area2
+    wc = (c0 * w[:, 0] + c1 * w[:, 1] + c2 * w[:, 2]) * inv_area2
+
+    planes = jnp.stack(
+        [
+            a0 * sign, b0 * sign, c0 * sign,
+            a1 * sign, b1 * sign, c1 * sign,
+            a2 * sign, b2 * sign, c2 * sign,
+            wa, wb, wc,
+        ],
+        axis=1,
+    )
+
+    # Pixel-center bbox: pixel j is covered only if j + 0.5 in [xmin, xmax]
+    xmin = jnp.min(sx, axis=1)
+    xmax = jnp.max(sx, axis=1)
+    ymin = jnp.min(sy, axis=1)
+    ymax = jnp.max(sy, axis=1)
+    px0 = jnp.ceil(xmin - 0.5).astype(jnp.int32)
+    px1 = jnp.floor(xmax - 0.5).astype(jnp.int32)
+    py0 = jnp.ceil(ymin - 0.5).astype(jnp.int32)
+    py1 = jnp.floor(ymax - 0.5).astype(jnp.int32)
+    nonempty = (px1 >= px0) & (py1 >= py0)
+    on_screen = (px1 >= 0) & (px0 < image_w) & (py1 >= 0) & (py0 < image_h)
+    px0 = jnp.clip(px0, 0, image_w - 1)
+    px1 = jnp.clip(px1, 0, image_w - 1)
+    py0 = jnp.clip(py0, 0, image_h - 1)
+    py1 = jnp.clip(py1, 0, image_h - 1)
+
+    valid = in_front & nondegenerate & nonempty & on_screen
+    bbox = jnp.stack([py0, px0, py1, px1], axis=1)
+    return TriangleSetup(planes=planes, bbox=bbox, valid=valid)
+
+
+def bin_triangles(
+    setup: TriangleSetup,
+    config: RasterConfig,
+    image_h: int,
+    image_w: int,
+) -> BinnedTriangles:
+    """Assign triangles to tile candidate lists via one stable sort.
+
+    Each triangle goes to the finest hierarchy level where a 2x2 tile
+    window covers its bbox (level 3 = single global list), emitting <= 4
+    (key, face) pairs.  Sorting the 4F pairs groups them per tile; stable
+    sort keeps face ids ascending within a tile, which the raster kernel
+    relies on for deterministic tie-breaking.
+    """
+    f_count = setup.valid.shape[0]
+    grids = config.grids(image_h, image_w)
+    py0, px0, py1, px1 = (setup.bbox[:, k] for k in range(4))
+
+    level_base = []
+    base = 0
+    for (nty, ntx) in grids:
+        level_base.append(base)
+        base += nty * ntx
+    base3 = base
+    total_tiles = base + 1
+
+    # Tile coordinates and fit test per level, then assign each face to the
+    # finest level whose 2x2 window covers it (level 3 = global fallback).
+    per_level = []  # (ty0, ty1, tx0, tx1, fits) per level
+    for scale, (nty, ntx) in zip(config.level_scales, grids):
+        th, tw = config.tile_h * scale, config.tile_w * scale
+        ty0, ty1 = py0 // th, py1 // th
+        tx0, tx1 = px0 // tw, px1 // tw
+        fits = (ty1 - ty0 < 2) & (tx1 - tx0 < 2)
+        per_level.append((ty0, ty1, tx0, tx1, fits))
+
+    fits0, fits1, fits2 = (pl[4] for pl in per_level)
+    level = jnp.where(fits0, 0, jnp.where(fits1, 1, jnp.where(fits2, 2, 3)))
+
+    def pick(field_idx):
+        stacked = jnp.stack([pl[field_idx] for pl in per_level], axis=1)  # (F, 3)
+        return jnp.take_along_axis(
+            stacked, jnp.minimum(level, 2)[:, None], axis=1
+        )[:, 0]
+
+    ty0_s, ty1_s, tx0_s, tx1_s = (pick(i) for i in range(4))
+    base_s = jnp.asarray(level_base, jnp.int32)[jnp.minimum(level, 2)]
+    ntx_s = jnp.asarray([g[1] for g in grids], jnp.int32)[jnp.minimum(level, 2)]
+    at_l3 = level == 3
+
+    # <= 4 (key, face) pairs per face: the 2x2 tile window at its level,
+    # or a single global-list entry for level 3
+    keys = []
+    for dy in (0, 1):
+        for dx in (0, 1):
+            ty = ty0_s + dy
+            tx = tx0_s + dx
+            in_window = (ty <= ty1_s) & (tx <= tx1_s)
+            key = base_s + ty * ntx_s + tx
+            if dy == 0 and dx == 0:
+                key = jnp.where(at_l3, base3, key)
+                ok = setup.valid & (in_window | at_l3)
+            else:
+                ok = setup.valid & in_window & ~at_l3
+            keys.append(jnp.where(ok, key, INT32_MAX))
+
+    face_ids = jnp.arange(f_count, dtype=jnp.int32)
+    key_mat = jnp.stack(keys, axis=1).astype(jnp.int32)  # (F, 4)
+    pair_faces = jnp.broadcast_to(face_ids[:, None], key_mat.shape)
+
+    sorted_keys, sorted_faces = jax.lax.sort(
+        (key_mat.reshape(-1), pair_faces.reshape(-1)), num_keys=1, is_stable=True
+    )
+
+    # Per-tile ranges via searchsorted on the sorted keys
+    tile_ids = jnp.arange(total_tiles + 1, dtype=jnp.int32)
+    starts = jnp.searchsorted(sorted_keys, tile_ids, side="left").astype(jnp.int32)
+    tile_counts = starts[1:] - starts[:-1]  # per-tile pair counts (incl. L3 slot)
+
+    # Gather candidate lists: each L0 tile sees its own list plus its
+    # ancestors' lists and the global list.
+    (nty0, ntx0), (nty1, ntx1), (nty2, ntx2) = grids
+    t0y = jnp.arange(nty0, dtype=jnp.int32)
+    t0x = jnp.arange(ntx0, dtype=jnp.int32)
+    ty_grid, tx_grid = jnp.meshgrid(t0y, t0x, indexing="ij")
+    ty_flat = ty_grid.reshape(-1)
+    tx_flat = tx_grid.reshape(-1)
+
+    s0, s1, s2 = (config.level_scales[i] for i in range(3))
+    tile_key0 = level_base[0] + ty_flat * ntx0 + tx_flat
+    tile_key1 = level_base[1] + (
+        jnp.minimum(ty_flat * config.tile_h // (config.tile_h * s1), nty1 - 1) * ntx1
+        + jnp.minimum(tx_flat * config.tile_w // (config.tile_w * s1), ntx1 - 1)
+    )
+    tile_key2 = level_base[2] + (
+        jnp.minimum(ty_flat * config.tile_h // (config.tile_h * s2), nty2 - 1) * ntx2
+        + jnp.minimum(tx_flat * config.tile_w // (config.tile_w * s2), ntx2 - 1)
+    )
+    tile_key3 = jnp.full_like(tile_key0, base3)
+
+    def gather_list(tile_keys, cap):
+        st = starts[tile_keys]  # (n_tiles0,)
+        cnt = tile_counts[tile_keys]
+        offs = jnp.arange(cap, dtype=jnp.int32)
+        idx = st[:, None] + offs[None, :]
+        ok = offs[None, :] < cnt[:, None]
+        vals = sorted_faces[jnp.clip(idx, 0, sorted_faces.shape[0] - 1)]
+        over = jnp.sum(jnp.maximum(cnt - cap, 0))
+        return jnp.where(ok, vals, -1), over
+
+    c0, o0 = gather_list(tile_key0, config.caps[0])
+    c1, o1 = gather_list(tile_key1, config.caps[1])
+    c2, o2 = gather_list(tile_key2, config.caps[2])
+    c3, o3 = gather_list(tile_key3, config.caps[3])
+    cand = jnp.concatenate([c0, c1, c2, c3], axis=1)
+
+    n_valid_keys = jnp.sum(sorted_keys < INT32_MAX)
+    counts = jnp.stack(
+        [
+            jnp.sum(tile_counts[level_base[0] : level_base[1]]),
+            jnp.sum(tile_counts[level_base[1] : level_base[2]]),
+            jnp.sum(tile_counts[level_base[2] : base3]),
+            tile_counts[base3],
+        ]
+    ).astype(jnp.int32)
+    del n_valid_keys
+    overflow = (o0 + o1 + o2 + o3).astype(jnp.int32)
+    return BinnedTriangles(cand=cand, counts=counts, overflow=overflow)
+
+
+def _raster_tiles_xla(
+    cand: jax.Array,
+    planes: jax.Array,
+    config: RasterConfig,
+    image_h: int,
+    image_w: int,
+) -> jax.Array:
+    """Evaluate per-tile candidates and z-resolve: XLA reference kernel.
+
+    Scans candidate chunks to bound the live intermediate to
+    (n_tiles, pixels, chunk, 4).
+    """
+    th, tw = config.tile_h, config.tile_w
+    nty, ntx = -(-image_h // th), -(-image_w // tw)
+    n_tiles, ctot = cand.shape
+    chunk = config.chunk
+    pad = (-ctot) % chunk
+    if pad:
+        cand = jnp.pad(cand, ((0, 0), (0, pad)), constant_values=-1)
+        ctot += pad
+    n_chunks = ctot // chunk
+
+    # (n_tiles, pixels, 3) pixel-center homogeneous coords
+    ty = (jnp.arange(n_tiles, dtype=jnp.int32) // ntx)[:, None]
+    tx = (jnp.arange(n_tiles, dtype=jnp.int32) % ntx)[:, None]
+    ys = ty * th + jnp.arange(th, dtype=jnp.int32)[None, :]
+    xs = tx * tw + jnp.arange(tw, dtype=jnp.int32)[None, :]
+    pxy = jnp.stack(
+        [
+            jnp.broadcast_to(xs[:, None, :], (n_tiles, th, tw)).reshape(n_tiles, -1)
+            + 0.5,
+            jnp.broadcast_to(ys[:, :, None], (n_tiles, th, tw)).reshape(n_tiles, -1)
+            + 0.5,
+            jnp.ones((n_tiles, th * tw), planes.dtype),
+        ],
+        axis=-1,
+    )  # (n_tiles, P, 3)
+
+    neg = jnp.asarray(-jnp.inf, planes.dtype)
+
+    def step(carry, cand_chunk):
+        best_w, best_face = carry  # (n_tiles, P)
+        ids = cand_chunk  # (n_tiles, chunk)
+        p = planes[jnp.clip(ids, 0, None)]  # (n_tiles, chunk, 12)
+        e = p.reshape(n_tiles, chunk, 4, 3)
+        # (n_tiles, P, chunk, 4)
+        vals = jnp.einsum("tpk,tcek->tpce", pxy, e)
+        covered = jnp.all(vals[..., :3] >= 0, axis=-1) & (ids >= 0)[:, None, :]
+        wv = jnp.where(covered, vals[..., 3], neg)
+        # best within chunk (first max wins -> lowest face id given sorting)
+        arg = jnp.argmax(wv, axis=-1)  # (n_tiles, P)
+        w_new = jnp.take_along_axis(wv, arg[..., None], axis=-1)[..., 0]
+        f_new = jnp.take_along_axis(ids[:, None, :], arg[..., None], axis=-1)[..., 0]
+        upd = w_new > best_w
+        return (
+            jnp.where(upd, w_new, best_w),
+            jnp.where(upd, f_new, best_face),
+        ), None
+
+    init = (
+        jnp.full((n_tiles, th * tw), neg, planes.dtype),
+        jnp.full((n_tiles, th * tw), -1, jnp.int32),
+    )
+    (best_w, best_face), _ = jax.lax.scan(
+        step, init, cand.reshape(n_tiles, n_chunks, chunk).transpose(1, 0, 2)
+    )
+    face_img = best_face.reshape(nty, ntx, th, tw).transpose(0, 2, 1, 3)
+    face_img = face_img.reshape(nty * th, ntx * tw)
+    return face_img[:image_h, :image_w]
+
+
+def rasterize_setup(
+    setup: TriangleSetup,
+    config: RasterConfig,
+    image_h: int,
+    image_w: int,
+):
+    """Bin + rasterize prepared triangles -> (pix2face, diagnostics)."""
+    binned = bin_triangles(setup, config, image_h, image_w)
+    # Invalidate candidate slots pointing at invalid triangles (bbox-clipped
+    # empties can't appear since they were excluded from binning).
+    if config.backend == "pallas":
+        from geograypher_tpu.ops.pallas_raster import raster_tiles_pallas
+
+        pix2face = raster_tiles_pallas(
+            binned.cand, setup.planes, config, image_h, image_w
+        )
+    else:
+        pix2face = _raster_tiles_xla(
+            binned.cand, setup.planes, config, image_h, image_w
+        )
+    return pix2face, binned
+
+
+@functools.partial(
+    jax.jit, static_argnames=("image_w", "image_h", "config")
+)
+def rasterize_triangles(
+    tri_verts_cam: jax.Array,
+    f: jax.Array,
+    image_w: int,
+    image_h: int,
+    config: RasterConfig = RasterConfig(),
+) -> jax.Array:
+    """One-view pix2face from camera-frame triangles.
+
+    Args:
+        tri_verts_cam: (F, 3, 3) triangle vertices in the camera frame.
+        f: scalar focal length (pixels).
+
+    Returns:
+        (image_h, image_w) int32 face ids, -1 for background.
+    """
+    setup = setup_triangles(tri_verts_cam, f, image_w, image_h, config.znear)
+    pix2face, _ = rasterize_setup(setup, config, image_h, image_w)
+    return pix2face
+
+
+def transform_to_camera(tri_verts: jax.Array, world_to_cam: jax.Array) -> jax.Array:
+    """(F, 3, 3) local-frame triangles -> camera frame via one 4x4."""
+    rot = world_to_cam[:3, :3]
+    t = world_to_cam[:3, 3]
+    flat = tri_verts.reshape(-1, 3)
+    return (flat @ rot.T + t).reshape(tri_verts.shape)
+
+
+def rasterize_batch(
+    tri_verts: jax.Array,
+    world_to_cam: jax.Array,
+    f: jax.Array,
+    image_w: int,
+    image_h: int,
+    config: RasterConfig = RasterConfig(),
+) -> jax.Array:
+    """pix2face for a batch of cameras (N, H, W).
+
+    Views are processed under ``lax.map`` (sequentially) because each view
+    already exposes ample tile-level parallelism; batching views would
+    multiply peak memory by the batch size for no throughput gain.
+    """
+
+    def one(args):
+        w2c, focal = args
+        cam_tris = transform_to_camera(tri_verts, w2c)
+        return rasterize_triangles(
+            cam_tris, focal, image_w=image_w, image_h=image_h, config=config
+        )
+
+    return jax.lax.map(one, (world_to_cam, f))
