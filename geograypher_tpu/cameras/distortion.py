@@ -1,0 +1,287 @@
+"""Lens-distortion engine: Brown-Conrady forward model + Newton inverse.
+
+Replaces the reference's distortion machinery:
+
+* ``ideal_to_warped`` — the Metashape Brown-Conrady "Frame Cameras" model
+  (reference derived_cameras.py:151-196): radial k1..k4, tangential p1/p2,
+  affinity b1/b2.  Implemented as a vectorized JAX function of the
+  8-element distortion vector (cameras/core.DISTORTION_KEYS order).
+* map construction + inversion — the reference samples the forward warp on
+  a grid and inverts it with scipy griddata ("multiple minutes" on first
+  use, meshes.py:1812-1813; indexing.py:87-150).  Here the inverse map is
+  computed directly by Newton iteration on the forward model per output
+  pixel — jit-compiled, milliseconds, no interpolation error on the hull.
+* ``warp_dewarp_image`` — resampling an image through either map
+  (reference cameras.py:1092-1156), nearest-neighbor for discrete data
+  (pix2face) or bilinear for continuous.
+
+Semantics preserved: the "ideal" image is the principal-point-free pinhole
+render; cx/cy enter only through the warp (derived_cameras.py:188-196).
+The ``image_scale`` behavior matches cameras.py:1029-1055: the warp
+equation runs on full-resolution pixel coordinates and results are scaled.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@jax.jit
+def distort_normalized(
+    x: jax.Array, y: jax.Array, dist: jax.Array
+) -> Tuple[jax.Array, jax.Array]:
+    """Apply Brown-Conrady distortion to normalized camera coords.
+
+    Args:
+        x, y: normalized coordinates ((pix - center) / f), any shape.
+        dist: (8,) [k1, k2, k3, k4, p1, p2, b1, b2].
+
+    Returns distorted normalized (xd, yd) — before the affinity terms,
+    which apply at the pixel stage (see :func:`ideal_to_warped_pixels`).
+    """
+    k1, k2, k3, k4, p1, p2 = (dist[i] for i in range(6))
+    r2 = x * x + y * y
+    radial = 1.0 + r2 * (k1 + r2 * (k2 + r2 * (k3 + r2 * k4)))
+    xd = x * radial + (p1 * (r2 + 2 * x * x) + 2 * p2 * x * y)
+    yd = y * radial + (p2 * (r2 + 2 * y * y) + 2 * p1 * x * y)
+    return xd, yd
+
+
+def ideal_to_warped_pixels(
+    xpix: jax.Array,
+    ypix: jax.Array,
+    f: jax.Array,
+    cx: jax.Array,
+    cy: jax.Array,
+    image_width: int,
+    image_height: int,
+    dist: jax.Array,
+) -> Tuple[jax.Array, jax.Array]:
+    """Ideal (pinhole, centered) pixel coords -> warped/distorted pixels.
+
+    Matches reference derived_cameras.py:151-196 exactly, including the
+    convention that the ideal image's principal point is the geometric
+    center and cx/cy/b1/b2 apply on the way out.
+    """
+    x = (xpix - image_width / 2.0) / f
+    y = (ypix - image_height / 2.0) / f
+    xd, yd = distort_normalized(x, y, dist)
+    b1, b2 = dist[6], dist[7]
+    xpix_warp = image_width / 2.0 + cx + xd * f + xd * b1 + yd * b2
+    ypix_warp = image_height / 2.0 + cy + yd * f
+    return xpix_warp, ypix_warp
+
+
+def warped_to_ideal_pixels(
+    xpix_w: jax.Array,
+    ypix_w: jax.Array,
+    f: jax.Array,
+    cx: jax.Array,
+    cy: jax.Array,
+    image_width: int,
+    image_height: int,
+    dist: jax.Array,
+    iterations: int = 12,
+) -> Tuple[jax.Array, jax.Array]:
+    """Invert the Brown-Conrady warp by damped fixed-point/Newton iteration.
+
+    Replaces the reference's griddata-based map inversion
+    (utils/indexing.py:87-150) with a direct solve: find normalized (x, y)
+    such that distort(x, y) = (xd, yd).  The classic fixed-point update
+    ``x <- (target - tangential(x, y)) / radial(x, y)`` converges for all
+    realistic drone-lens coefficients.
+    """
+    b1, b2 = dist[6], dist[7]
+    yd = (ypix_w - image_height / 2.0 - cy) / f
+    # solve the affinity: xpix = W/2 + cx + xd*(f + b1) + yd*b2
+    xd = (xpix_w - image_width / 2.0 - cx - yd * b2) / (f + b1)
+
+    k1, k2, k3, k4, p1, p2 = (dist[i] for i in range(6))
+
+    def body(_, xy):
+        x, y = xy
+        r2 = x * x + y * y
+        radial = 1.0 + r2 * (k1 + r2 * (k2 + r2 * (k3 + r2 * k4)))
+        tx = p1 * (r2 + 2 * x * x) + 2 * p2 * x * y
+        ty = p2 * (r2 + 2 * y * y) + 2 * p1 * x * y
+        x_new = (xd - tx) / radial
+        y_new = (yd - ty) / radial
+        return (x_new, y_new)
+
+    x, y = jax.lax.fori_loop(0, iterations, body, (xd, yd))
+    return x * f + image_width / 2.0, y * f + image_height / 2.0
+
+
+@functools.partial(
+    jax.jit, static_argnames=("image_width", "image_height", "image_scale")
+)
+def make_maps(
+    f: jax.Array,
+    cx: jax.Array,
+    cy: jax.Array,
+    image_width: int,
+    image_height: int,
+    dist: jax.Array,
+    image_scale: float = 1.0,
+) -> Tuple[jax.Array, jax.Array]:
+    """Build the (2, H, W) ideal->warped and warped->ideal sampling maps.
+
+    Map semantics follow the reference (cameras.py:995-1063): the map's
+    pixel position is the DESTINATION pixel and its value is the SOURCE
+    (row, col) to sample.  So:
+
+    * ``map_ideal_to_warped[..., i, j]`` = warped-image location sampled
+      when producing ideal-image pixel (i, j) — used to UNDISTORT.
+    * ``map_warped_to_ideal[..., i, j]`` = ideal-image location sampled
+      when producing warped-image pixel (i, j) — used to re-DISTORT (e.g.
+      warping a rendered pinhole pix2face to match the real image).
+
+    With image_scale < 1, the warp runs over the full-res coordinate range
+    at a coarser step and results scale down (cameras.py:1029-1055).
+    """
+    out_h = int(image_height * image_scale)
+    out_w = int(image_width * image_scale)
+    if abs(image_scale - 1.0) < 1e-9:
+        rr = jnp.arange(image_height, dtype=jnp.float32)
+        cc = jnp.arange(image_width, dtype=jnp.float32)
+    else:
+        start = 1.0 / (2.0 * image_scale)
+        step = 1.0 / image_scale
+        rr = (start + step * jnp.arange(out_h)).astype(jnp.float32)
+        cc = (start + step * jnp.arange(out_w)).astype(jnp.float32)
+    rows, cols = jnp.meshgrid(rr, cc, indexing="ij")
+
+    wx, wy = ideal_to_warped_pixels(
+        cols, rows, f, cx, cy, image_width, image_height, dist
+    )
+    ix, iy = warped_to_ideal_pixels(
+        cols, rows, f, cx, cy, image_width, image_height, dist
+    )
+    s = jnp.float32(image_scale)
+    map_i2w = jnp.stack([wy * s, wx * s], axis=0)
+    map_w2i = jnp.stack([iy * s, ix * s], axis=0)
+    return map_i2w, map_w2i
+
+
+def remap_image(
+    image: np.ndarray,
+    ijmap: np.ndarray,
+    fill_value: float = 0.0,
+    interpolation_order: int = 1,
+) -> np.ndarray:
+    """Resample ``image`` through a (2, H, W) (row, col) source map.
+
+    Host-side cv2.remap (replaces skimage.warp in
+    reference utils/image.py:72-127); order 0 = nearest (discrete masks),
+    1 = bilinear.
+    """
+    import cv2
+
+    ijmap = np.asarray(ijmap, dtype=np.float32)
+    map_x = ijmap[1]
+    map_y = ijmap[0]
+    interp = cv2.INTER_NEAREST if interpolation_order == 0 else cv2.INTER_LINEAR
+    img = np.asarray(image)
+    orig_dtype = img.dtype
+    if img.dtype not in (np.uint8, np.float32, np.int16, np.uint16):
+        img = img.astype(np.float32)
+    out = cv2.remap(
+        img,
+        map_x,
+        map_y,
+        interpolation=interp,
+        borderMode=cv2.BORDER_CONSTANT,
+        borderValue=float(fill_value),
+    )
+    if orig_dtype == np.int32 or np.issubdtype(orig_dtype, np.integer):
+        out = np.round(out).astype(orig_dtype)
+    return out
+
+
+def remap_image_jax(
+    image: jax.Array, ijmap: jax.Array, fill_value: float = 0.0
+) -> jax.Array:
+    """Nearest-neighbor remap on-device (for pix2face maps staying on TPU)."""
+    h, w = image.shape[:2]
+    ri = jnp.round(ijmap[0]).astype(jnp.int32)
+    ci = jnp.round(ijmap[1]).astype(jnp.int32)
+    ok = (ri >= 0) & (ri < h) & (ci >= 0) & (ci < w)
+    vals = image[jnp.clip(ri, 0, h - 1), jnp.clip(ci, 0, w - 1)]
+    fill = jnp.asarray(fill_value, image.dtype)
+    if vals.ndim > ok.ndim:
+        ok = ok[..., None]
+    return jnp.where(ok, vals, fill)
+
+
+class DistortionEngine:
+    """Per-sensor cached distortion maps (reference cameras.py:968-1156).
+
+    Keyed like the reference's ``distortion_key`` (params rounded to 8
+    decimals + image_scale) so cameras sharing a sensor share maps.
+    """
+
+    def __init__(self):
+        self._maps: dict = {}
+
+    @staticmethod
+    def key(dist_vec: np.ndarray, f, cx, cy, w, h, image_scale: float) -> str:
+        parts = [f"{float(v):.8f}" for v in np.asarray(dist_vec).ravel()]
+        parts += [
+            f"{float(f):.8f}", f"{float(cx):.8f}", f"{float(cy):.8f}",
+            str(int(w)), str(int(h)), f"{float(image_scale):.8f}",
+        ]
+        return "|".join(parts)
+
+    def get_maps(self, f, cx, cy, image_width, image_height, dist_vec,
+                 image_scale: float = 1.0):
+        k = self.key(dist_vec, f, cx, cy, image_width, image_height, image_scale)
+        if k not in self._maps:
+            i2w, w2i = make_maps(
+                jnp.float32(f), jnp.float32(cx), jnp.float32(cy),
+                int(image_width), int(image_height),
+                jnp.asarray(dist_vec, jnp.float32), float(image_scale),
+            )
+            self._maps[k] = (np.asarray(i2w), np.asarray(w2i))
+        return self._maps[k]
+
+    def warp_dewarp_image(
+        self,
+        image: np.ndarray,
+        f, cx, cy, image_width, image_height, dist_vec,
+        warped_to_ideal: bool = True,
+        fill_value: float = 0.0,
+        interpolation_order: int = 1,
+        image_scale: float = 1.0,
+    ) -> np.ndarray:
+        """Undistort (warped->ideal) or re-distort (ideal->warped) an image
+        (reference cameras.py:1092-1156)."""
+        i2w, w2i = self.get_maps(
+            f, cx, cy, image_width, image_height, dist_vec, image_scale
+        )
+        ijmap = i2w if warped_to_ideal else w2i
+        return remap_image(image, ijmap, fill_value, interpolation_order)
+
+    def warp_dewarp_pixels(
+        self,
+        pixels_ij: np.ndarray,
+        f, cx, cy, image_width, image_height, dist_vec,
+        warped_to_ideal: bool = True,
+    ) -> np.ndarray:
+        """Map (N, 2) integer (i, j) pixel locations through the warp
+        (reference cameras.py:1158-1207).  Output is float (subpixel)."""
+        i2w, w2i = self.get_maps(
+            f, cx, cy, image_width, image_height, dist_vec, 1.0
+        )
+        # To transform warped pixel LOCATIONS to ideal ones, look up where
+        # each warped pixel would be sampled FROM in the ideal image: that
+        # is the warped->ideal *sampling* map (and vice versa).
+        rowmap, colmap = (w2i if warped_to_ideal else i2w)
+        pixels_ij = np.asarray(pixels_ij)
+        rows = rowmap[pixels_ij[:, 0], pixels_ij[:, 1]]
+        cols = colmap[pixels_ij[:, 0], pixels_ij[:, 1]]
+        return np.stack([rows, cols], axis=1)

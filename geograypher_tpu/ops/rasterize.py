@@ -82,8 +82,15 @@ class TriangleSetup(NamedTuple):
 
 
 class BinnedTriangles(NamedTuple):
-    cand: jax.Array  # (n_tiles0, Ctot) int32 face ids (-1 = empty slot)
-    counts: jax.Array  # (4,) int32 pairs per level (diagnostics)
+    """Per-level tile candidate lists.
+
+    ``cand[l]`` is (n_tiles_l, cap_l) int32 face ids (-1 = empty slot) and
+    ``counts[l]`` the true per-tile candidate count (clipped to cap).
+    Level 3 has a single global tile.
+    """
+
+    cand: Tuple[jax.Array, jax.Array, jax.Array, jax.Array]
+    counts: Tuple[jax.Array, jax.Array, jax.Array, jax.Array]
     overflow: jax.Array  # () int32 candidates dropped by capacity limits
 
 
@@ -246,57 +253,64 @@ def bin_triangles(
     # Per-tile ranges via searchsorted on the sorted keys
     tile_ids = jnp.arange(total_tiles + 1, dtype=jnp.int32)
     starts = jnp.searchsorted(sorted_keys, tile_ids, side="left").astype(jnp.int32)
-    tile_counts = starts[1:] - starts[:-1]  # per-tile pair counts (incl. L3 slot)
+    tile_counts = starts[1:] - starts[:-1]
 
-    # Gather candidate lists: each L0 tile sees its own list plus its
-    # ancestors' lists and the global list.
-    (nty0, ntx0), (nty1, ntx1), (nty2, ntx2) = grids
-    t0y = jnp.arange(nty0, dtype=jnp.int32)
-    t0x = jnp.arange(ntx0, dtype=jnp.int32)
-    ty_grid, tx_grid = jnp.meshgrid(t0y, t0x, indexing="ij")
-    ty_flat = ty_grid.reshape(-1)
-    tx_flat = tx_grid.reshape(-1)
-
-    s0, s1, s2 = (config.level_scales[i] for i in range(3))
-    tile_key0 = level_base[0] + ty_flat * ntx0 + tx_flat
-    tile_key1 = level_base[1] + (
-        jnp.minimum(ty_flat * config.tile_h // (config.tile_h * s1), nty1 - 1) * ntx1
-        + jnp.minimum(tx_flat * config.tile_w // (config.tile_w * s1), ntx1 - 1)
-    )
-    tile_key2 = level_base[2] + (
-        jnp.minimum(ty_flat * config.tile_h // (config.tile_h * s2), nty2 - 1) * ntx2
-        + jnp.minimum(tx_flat * config.tile_w // (config.tile_w * s2), ntx2 - 1)
-    )
-    tile_key3 = jnp.full_like(tile_key0, base3)
-
-    def gather_list(tile_keys, cap):
-        st = starts[tile_keys]  # (n_tiles0,)
-        cnt = tile_counts[tile_keys]
+    def gather_level(base, n_tiles_l, cap):
+        st = starts[base + jnp.arange(n_tiles_l, dtype=jnp.int32)]
+        cnt = tile_counts[base + jnp.arange(n_tiles_l, dtype=jnp.int32)]
         offs = jnp.arange(cap, dtype=jnp.int32)
         idx = st[:, None] + offs[None, :]
         ok = offs[None, :] < cnt[:, None]
         vals = sorted_faces[jnp.clip(idx, 0, sorted_faces.shape[0] - 1)]
         over = jnp.sum(jnp.maximum(cnt - cap, 0))
-        return jnp.where(ok, vals, -1), over
+        return jnp.where(ok, vals, -1), jnp.minimum(cnt, cap), over
 
-    c0, o0 = gather_list(tile_key0, config.caps[0])
-    c1, o1 = gather_list(tile_key1, config.caps[1])
-    c2, o2 = gather_list(tile_key2, config.caps[2])
-    c3, o3 = gather_list(tile_key3, config.caps[3])
-    cand = jnp.concatenate([c0, c1, c2, c3], axis=1)
+    cands, cnts, overs = [], [], []
+    for lvl in range(3):
+        nty_l, ntx_l = grids[lvl]
+        c, n, o = gather_level(level_base[lvl], nty_l * ntx_l, config.caps[lvl])
+        cands.append(c)
+        cnts.append(n)
+        overs.append(o)
+    c3, n3, o3 = gather_level(base3, 1, config.caps[3])
+    cands.append(c3)
+    cnts.append(n3)
+    overs.append(o3)
 
-    n_valid_keys = jnp.sum(sorted_keys < INT32_MAX)
-    counts = jnp.stack(
-        [
-            jnp.sum(tile_counts[level_base[0] : level_base[1]]),
-            jnp.sum(tile_counts[level_base[1] : level_base[2]]),
-            jnp.sum(tile_counts[level_base[2] : base3]),
-            tile_counts[base3],
-        ]
-    ).astype(jnp.int32)
-    del n_valid_keys
-    overflow = (o0 + o1 + o2 + o3).astype(jnp.int32)
-    return BinnedTriangles(cand=cand, counts=counts, overflow=overflow)
+    overflow = (overs[0] + overs[1] + overs[2] + o3).astype(jnp.int32)
+    return BinnedTriangles(
+        cand=tuple(cands), counts=tuple(cnts), overflow=overflow
+    )
+
+
+def concat_candidates_for_tiles(
+    binned: BinnedTriangles,
+    config: RasterConfig,
+    image_h: int,
+    image_w: int,
+) -> jax.Array:
+    """(n_tiles0, Ctot) candidate lists for the XLA kernel: each L0 tile's
+    own list followed by its ancestors' lists and the global list.  The
+    Pallas kernel instead addresses ancestor slabs via BlockSpec index maps
+    (no duplication)."""
+    grids = config.grids(image_h, image_w)
+    (nty0, ntx0) = grids[0]
+    ty, tx = jnp.meshgrid(
+        jnp.arange(nty0, dtype=jnp.int32),
+        jnp.arange(ntx0, dtype=jnp.int32),
+        indexing="ij",
+    )
+    ty, tx = ty.reshape(-1), tx.reshape(-1)
+    parts = [binned.cand[0]]
+    for lvl in (1, 2):
+        s = config.level_scales[lvl]
+        nty_l, ntx_l = grids[lvl]
+        parent = jnp.minimum(ty // s, nty_l - 1) * ntx_l + jnp.minimum(
+            tx // s, ntx_l - 1
+        )
+        parts.append(binned.cand[lvl][parent])
+    parts.append(jnp.broadcast_to(binned.cand[3], (ty.shape[0], config.caps[3])))
+    return jnp.concatenate(parts, axis=1)
 
 
 def _raster_tiles_xla(
@@ -378,18 +392,15 @@ def rasterize_setup(
 ):
     """Bin + rasterize prepared triangles -> (pix2face, diagnostics)."""
     binned = bin_triangles(setup, config, image_h, image_w)
-    # Invalidate candidate slots pointing at invalid triangles (bbox-clipped
-    # empties can't appear since they were excluded from binning).
     if config.backend == "pallas":
         from geograypher_tpu.ops.pallas_raster import raster_tiles_pallas
 
         pix2face = raster_tiles_pallas(
-            binned.cand, setup.planes, config, image_h, image_w
+            binned, setup.planes, config, image_h, image_w
         )
     else:
-        pix2face = _raster_tiles_xla(
-            binned.cand, setup.planes, config, image_h, image_w
-        )
+        cand = concat_candidates_for_tiles(binned, config, image_h, image_w)
+        pix2face = _raster_tiles_xla(cand, setup.planes, config, image_h, image_w)
     return pix2face, binned
 
 

@@ -1,0 +1,518 @@
+"""Minimal vector-geodata engine (replaces shapely/geopandas usage).
+
+The reference leans on GEOS via shapely/geopandas for polygon IO, overlay,
+point-in-polygon and union (SURVEY.md §2.6).  Neither library exists in
+this environment, so this module provides the subset geograypher's
+workflows actually need, numpy-vectorized and raster-assisted (cv2):
+
+* :class:`VectorData`: a feature collection (polygons/points + attribute
+  table + EPSG) with GeoJSON read/write and GeoPackage read (sqlite + WKB).
+* vectorized point-in-polygon (crossing number over all rings at once)
+* polygon rasterization (cv2.fillPoly) and raster->polygon extraction
+  (cv2.findContours), which replace GEOS overlay/union in the face-label
+  export path: instead of unioning millions of triangle polygons
+  (reference geometric.py:13 batched_unary_union), faces are rendered to a
+  grid in an orthographic view and contours are vectorized back — a
+  resolution-parameterized, massively cheaper equivalent.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import sqlite3
+import struct
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence, Tuple, Union
+
+import numpy as np
+
+from geograypher_tpu.constants import PATH_TYPE
+from geograypher_tpu.utils import crs as crs_utils
+
+
+class Polygon:
+    """Polygon with exterior ring + holes, as (N, 2) float arrays of
+    (x, y) — for EPSG:4326 that is (lon, lat) GeoJSON axis order."""
+
+    __slots__ = ("exterior", "holes")
+
+    def __init__(self, exterior, holes=()):
+        self.exterior = np.asarray(exterior, dtype=np.float64)
+        self.holes = [np.asarray(h, dtype=np.float64) for h in holes]
+
+    @property
+    def bounds(self) -> Tuple[float, float, float, float]:
+        xs, ys = self.exterior[:, 0], self.exterior[:, 1]
+        return float(xs.min()), float(ys.min()), float(xs.max()), float(ys.max())
+
+    @property
+    def area(self) -> float:
+        a = _ring_area(self.exterior)
+        return abs(a) - sum(abs(_ring_area(h)) for h in self.holes)
+
+    @property
+    def centroid(self) -> Tuple[float, float]:
+        c = _ring_centroid(self.exterior)
+        return float(c[0]), float(c[1])
+
+    def contains_points(self, pts: np.ndarray) -> np.ndarray:
+        """Vectorized point-in-polygon for (N, 2) points."""
+        inside = _points_in_ring(pts, self.exterior)
+        for h in self.holes:
+            inside &= ~_points_in_ring(pts, h)
+        return inside
+
+    def buffer(self, dist: float, resolution: int = 8) -> "Polygon":
+        """Approximate Minkowski buffer via raster dilation/erosion."""
+        polys = buffer_polygons([self], dist, resolution=resolution)
+        return polys[0] if polys else Polygon(np.zeros((0, 2)))
+
+
+def _ring_area(ring: np.ndarray) -> float:
+    x, y = ring[:, 0], ring[:, 1]
+    return 0.5 * float(
+        np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y)
+    )
+
+
+def _ring_centroid(ring: np.ndarray) -> np.ndarray:
+    x, y = ring[:, 0], ring[:, 1]
+    xn, yn = np.roll(x, -1), np.roll(y, -1)
+    cross = x * yn - xn * y
+    a = np.sum(cross) / 2.0
+    if abs(a) < 1e-12:
+        return ring.mean(axis=0)
+    cx = np.sum((x + xn) * cross) / (6 * a)
+    cy = np.sum((y + yn) * cross) / (6 * a)
+    return np.array([cx, cy])
+
+
+def _points_in_ring(pts: np.ndarray, ring: np.ndarray) -> np.ndarray:
+    """Crossing-number test, vectorized over points x edges."""
+    pts = np.asarray(pts, dtype=np.float64)
+    x, y = pts[:, 0:1], pts[:, 1:2]  # (N, 1)
+    x0, y0 = ring[:-1, 0][None], ring[:-1, 1][None]  # (1, E)
+    x1, y1 = ring[1:, 0][None], ring[1:, 1][None]
+    if not (ring[0] == ring[-1]).all():
+        x0 = np.concatenate([x0, ring[-1:, 0][None]], axis=1)
+        y0 = np.concatenate([y0, ring[-1:, 1][None]], axis=1)
+        x1 = np.concatenate([x1, ring[:1, 0][None]], axis=1)
+        y1 = np.concatenate([y1, ring[:1, 1][None]], axis=1)
+    cond = (y0 <= y) != (y1 <= y)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xint = x0 + (y - y0) * (x1 - x0) / (y1 - y0)
+    crossings = np.sum(cond & (x < xint), axis=1)
+    return (crossings % 2) == 1
+
+
+class VectorData:
+    """A feature table: geometries + per-feature attributes + EPSG code.
+
+    The minimal stand-in for a GeoDataFrame in this framework's workflows.
+    """
+
+    def __init__(
+        self,
+        geometries: Sequence[Union[Polygon, np.ndarray]],
+        attributes: Optional[Dict[str, list]] = None,
+        epsg: Optional[int] = None,
+    ):
+        self.geometries = list(geometries)
+        self.attributes: Dict[str, list] = {
+            k: list(v) for k, v in (attributes or {}).items()
+        }
+        for k, v in self.attributes.items():
+            if len(v) != len(self.geometries):
+                raise ValueError(f"attribute {k} length mismatch")
+        self.epsg = int(epsg) if epsg is not None else None
+
+    def __len__(self):
+        return len(self.geometries)
+
+    def __getitem__(self, column: str) -> list:
+        return self.attributes[column]
+
+    @property
+    def is_points(self) -> bool:
+        return bool(self.geometries) and isinstance(
+            self.geometries[0], np.ndarray
+        )
+
+    def total_bounds(self) -> Tuple[float, float, float, float]:
+        bs = []
+        for g in self.geometries:
+            if isinstance(g, Polygon):
+                bs.append(g.bounds)
+            else:
+                p = np.asarray(g).reshape(-1, 2)
+                bs.append((p[:, 0].min(), p[:, 1].min(), p[:, 0].max(), p[:, 1].max()))
+        bs = np.asarray(bs)
+        return (
+            float(bs[:, 0].min()),
+            float(bs[:, 1].min()),
+            float(bs[:, 2].max()),
+            float(bs[:, 3].max()),
+        )
+
+    def to_crs(self, epsg: int) -> "VectorData":
+        if self.epsg is None:
+            raise ValueError("VectorData has no CRS")
+        if int(epsg) == self.epsg:
+            return self
+        geoms = []
+        for g in self.geometries:
+            if isinstance(g, Polygon):
+                geoms.append(
+                    Polygon(
+                        _tx_ring(g.exterior, self.epsg, epsg),
+                        [_tx_ring(h, self.epsg, epsg) for h in g.holes],
+                    )
+                )
+            else:
+                geoms.append(_tx_ring(np.asarray(g).reshape(-1, 2), self.epsg, epsg))
+        return VectorData(geoms, self.attributes, epsg)
+
+    def ensure_projected(self) -> "VectorData":
+        """Project geographic data to the local UTM zone
+        (reference geospatial.py:27-48)."""
+        if self.epsg is None or crs_utils.crs_is_projected(self.epsg):
+            return self
+        g0 = self.geometries[0]
+        if isinstance(g0, Polygon):
+            lon, lat = g0.centroid
+        else:
+            pt = np.asarray(g0).reshape(-1, 2)[0]
+            lon, lat = pt[0], pt[1]
+        utm = crs_utils.utm_epsg_for(lat, lon)
+        return self.to_crs(utm)
+
+    def contains_points(self, pts: np.ndarray) -> np.ndarray:
+        """(n_pts,) index of the first polygon containing each point, -1 if
+        none.  Bbox-prefiltered crossing-number tests."""
+        pts = np.asarray(pts, dtype=np.float64)
+        out = np.full(pts.shape[0], -1, dtype=np.int64)
+        for i, g in enumerate(self.geometries):
+            if not isinstance(g, Polygon):
+                continue
+            x0, y0, x1, y1 = g.bounds
+            cand = (
+                (out < 0)
+                & (pts[:, 0] >= x0)
+                & (pts[:, 0] <= x1)
+                & (pts[:, 1] >= y0)
+                & (pts[:, 1] <= y1)
+            )
+            if not cand.any():
+                continue
+            inside = g.contains_points(pts[cand])
+            idx = np.where(cand)[0][inside]
+            out[idx] = i
+        return out
+
+    # -- IO -----------------------------------------------------------------
+
+    @staticmethod
+    def read_file(path: PATH_TYPE) -> "VectorData":
+        path = Path(path)
+        suffix = path.suffix.lower()
+        if suffix in (".geojson", ".json"):
+            return _read_geojson(path)
+        if suffix == ".gpkg":
+            return _read_gpkg(path)
+        raise ValueError(
+            f"Unsupported vector format {suffix}; supported: .geojson/.json/.gpkg"
+        )
+
+    def to_file(self, path: PATH_TYPE) -> None:
+        path = Path(path)
+        from geograypher_tpu.utils.files import ensure_containing_folder
+
+        ensure_containing_folder(path)
+        if path.suffix.lower() not in (".geojson", ".json"):
+            raise ValueError("Writing supports GeoJSON (.geojson/.json) only")
+        feats = []
+        for i, g in enumerate(self.geometries):
+            props = {k: _jsonable(v[i]) for k, v in self.attributes.items()}
+            if isinstance(g, Polygon):
+                rings = [g.exterior.tolist()] + [h.tolist() for h in g.holes]
+                geom = {"type": "Polygon", "coordinates": rings}
+            else:
+                pt = np.asarray(g).reshape(-1)
+                geom = {"type": "Point", "coordinates": pt.tolist()}
+            feats.append(
+                {"type": "Feature", "geometry": geom, "properties": props}
+            )
+        doc = {"type": "FeatureCollection", "features": feats}
+        if self.epsg is not None:
+            doc["crs"] = {
+                "type": "name",
+                "properties": {"name": f"urn:ogc:def:crs:EPSG::{self.epsg}"},
+            }
+        Path(path).write_text(json.dumps(doc))
+
+
+def _jsonable(v):
+    if isinstance(v, (np.floating, np.integer)):
+        return v.item()
+    if isinstance(v, float) and math.isnan(v):
+        return None
+    return v
+
+
+def _tx_ring(ring: np.ndarray, src: int, dst: int) -> np.ndarray:
+    pts3 = np.concatenate([ring, np.zeros((ring.shape[0], 1))], axis=1)
+    if src == 4326:
+        pts3 = pts3[:, [1, 0, 2]]  # GeoJSON lon/lat -> transform lat/lon
+    out = crs_utils.transform_points(pts3, src, dst)
+    if dst == 4326:
+        out = out[:, [1, 0, 2]]
+    return out[:, :2]
+
+
+def _read_geojson(path: Path) -> VectorData:
+    doc = json.loads(Path(path).read_text())
+    epsg = 4326
+    crs_field = doc.get("crs")
+    if crs_field:
+        name = crs_field.get("properties", {}).get("name", "")
+        digits = "".join(ch for ch in name if ch.isdigit())
+        if digits:
+            epsg = int(digits)
+    geoms: List[Union[Polygon, np.ndarray]] = []
+    attrs: Dict[str, list] = {}
+    feats = doc["features"] if doc.get("type") == "FeatureCollection" else [doc]
+    for fi, feat in enumerate(feats):
+        geom = feat["geometry"]
+        parts = []
+        if geom["type"] == "Polygon":
+            parts = [geom["coordinates"]]
+        elif geom["type"] == "MultiPolygon":
+            parts = geom["coordinates"]
+        elif geom["type"] == "Point":
+            parts = None
+            geoms.append(np.asarray(geom["coordinates"], dtype=np.float64))
+            _append_attrs(attrs, feat.get("properties") or {}, len(geoms))
+            continue
+        else:
+            continue
+        for rings in parts:
+            geoms.append(
+                Polygon(np.asarray(rings[0]), [np.asarray(r) for r in rings[1:]])
+            )
+            _append_attrs(attrs, feat.get("properties") or {}, len(geoms))
+    return VectorData(geoms, attrs, epsg)
+
+
+def _append_attrs(attrs: Dict[str, list], props: dict, n: int):
+    for k in set(attrs) | set(props):
+        attrs.setdefault(k, [None] * (n - 1))
+        attrs[k].append(props.get(k))
+    for k in attrs:
+        if len(attrs[k]) < n:
+            attrs[k] += [None] * (n - len(attrs[k]))
+
+
+# -- GeoPackage (sqlite + WKB) ------------------------------------------------
+
+
+def _read_gpkg(path: Path) -> VectorData:
+    con = sqlite3.connect(str(path))
+    try:
+        row = con.execute(
+            "SELECT table_name, srs_id FROM gpkg_geometry_columns LIMIT 1"
+        ).fetchone()
+        if row is None:
+            raise ValueError("No geometry table in GeoPackage")
+        table, srs_id = row
+        geom_col = con.execute(
+            "SELECT column_name FROM gpkg_geometry_columns WHERE table_name=?",
+            (table,),
+        ).fetchone()[0]
+        cols = [r[1] for r in con.execute(f'PRAGMA table_info("{table}")')]
+        attr_cols = [c for c in cols if c != geom_col]
+        sel = ", ".join(f'"{c}"' for c in ([geom_col] + attr_cols))
+        geoms: List[Union[Polygon, np.ndarray]] = []
+        attrs: Dict[str, list] = {c: [] for c in attr_cols}
+        for rec in con.execute(f'SELECT {sel} FROM "{table}"'):
+            blob = rec[0]
+            if blob is None:
+                continue
+            for g in _parse_gpkg_blob(blob):
+                geoms.append(g)
+                for c, v in zip(attr_cols, rec[1:]):
+                    attrs[c].append(v)
+        return VectorData(geoms, attrs, int(srs_id))
+    finally:
+        con.close()
+
+
+def _parse_gpkg_blob(blob: bytes):
+    # GeoPackage binary header: magic 'GP', version, flags, srs, envelope
+    if blob[:2] != b"GP":
+        raise ValueError("Bad GPKG geometry blob")
+    flags = blob[3]
+    env_code = (flags >> 1) & 0x7
+    env_len = {0: 0, 1: 32, 2: 48, 3: 48, 4: 64}[env_code]
+    return _parse_wkb(blob[8 + env_len :])
+
+
+def _parse_wkb(buf: bytes):
+    geoms = []
+    _parse_wkb_into(buf, 0, geoms)
+    return geoms
+
+
+def _parse_wkb_into(buf: bytes, off: int, out: list) -> int:
+    endian = "<" if buf[off] == 1 else ">"
+    (gtype,) = struct.unpack_from(endian + "I", buf, off + 1)
+    off += 5
+    base = gtype % 1000
+    has_z = gtype >= 1000
+    dim = 3 if has_z else 2
+    if base == 1:  # Point
+        vals = struct.unpack_from(endian + "d" * dim, buf, off)
+        out.append(np.asarray(vals[:2]))
+        return off + 8 * dim
+    if base == 3:  # Polygon
+        (nrings,) = struct.unpack_from(endian + "I", buf, off)
+        off += 4
+        rings = []
+        for _ in range(nrings):
+            (npts,) = struct.unpack_from(endian + "I", buf, off)
+            off += 4
+            vals = np.frombuffer(
+                buf, dtype=endian + "f8", count=npts * dim, offset=off
+            ).reshape(npts, dim)
+            rings.append(vals[:, :2].copy())
+            off += 8 * dim * npts
+        out.append(Polygon(rings[0], rings[1:]))
+        return off
+    if base in (4, 6, 7):  # Multi* / collection
+        (n,) = struct.unpack_from(endian + "I", buf, off)
+        off += 4
+        for _ in range(n):
+            off = _parse_wkb_into(buf, off, out)
+        return off
+    raise ValueError(f"Unsupported WKB geometry type {gtype}")
+
+
+# -- raster-assisted polygon ops ---------------------------------------------
+
+
+def rasterize_polygons(
+    polygons: Sequence[Polygon],
+    values: Sequence[int],
+    bounds: Tuple[float, float, float, float],
+    shape: Tuple[int, int],
+    background: int = -1,
+) -> np.ndarray:
+    """Burn polygons into an (H, W) int32 grid over ``bounds``
+    (x0, y0, x1, y1); row 0 is the TOP (max y).  Later polygons win."""
+    import cv2
+
+    h, w = shape
+    x0, y0, x1, y1 = bounds
+    sx = w / (x1 - x0)
+    sy = h / (y1 - y0)
+    img = np.full((h, w), background, dtype=np.int32)
+    for poly, val in zip(polygons, values):
+        ext = np.round(
+            np.stack(
+                [(poly.exterior[:, 0] - x0) * sx, (y1 - poly.exterior[:, 1]) * sy],
+                axis=1,
+            )
+        ).astype(np.int32)
+        cv2.fillPoly(img, [ext], int(val))
+        for hole in poly.holes:
+            hp = np.round(
+                np.stack(
+                    [(hole[:, 0] - x0) * sx, (y1 - hole[:, 1]) * sy], axis=1
+                )
+            ).astype(np.int32)
+            cv2.fillPoly(img, [hp], int(background))
+    return img
+
+
+def polygons_from_mask(
+    mask: np.ndarray,
+    bounds: Tuple[float, float, float, float],
+) -> List[Polygon]:
+    """Extract polygons (with holes) from a boolean (H, W) mask over
+    ``bounds``; inverse of :func:`rasterize_polygons`."""
+    import cv2
+
+    h, w = mask.shape
+    x0, y0, x1, y1 = bounds
+    sx = (x1 - x0) / w
+    sy = (y1 - y0) / h
+    contours, hierarchy = cv2.findContours(
+        mask.astype(np.uint8), cv2.RETR_CCOMP, cv2.CHAIN_APPROX_SIMPLE
+    )
+    if hierarchy is None:
+        return []
+    hierarchy = hierarchy[0]
+
+    def to_world(c):
+        c = c.reshape(-1, 2).astype(np.float64)
+        xs = x0 + (c[:, 0] + 0.5) * sx
+        ys = y1 - (c[:, 1] + 0.5) * sy
+        return np.stack([xs, ys], axis=1)
+
+    polys = []
+    for i, cont in enumerate(contours):
+        if hierarchy[i][3] != -1:  # a hole; handled with its parent
+            continue
+        if len(cont) < 3:
+            continue
+        holes = []
+        child = hierarchy[i][2]
+        while child != -1:
+            if len(contours[child]) >= 3:
+                holes.append(to_world(contours[child]))
+            child = hierarchy[child][0]
+        polys.append(Polygon(to_world(cont), holes))
+    return polys
+
+
+def buffer_polygons(
+    polygons: Sequence[Polygon],
+    dist: float,
+    resolution: int = 8,
+    grid: int = 2048,
+) -> List[Polygon]:
+    """Raster-based polygon buffering (dilate by ``dist``; negative erodes)."""
+    import cv2
+
+    if not polygons:
+        return []
+    bs = np.asarray([p.bounds for p in polygons])
+    pad = abs(dist) * 1.5 + 1e-9
+    x0, y0 = bs[:, 0].min() - pad, bs[:, 1].min() - pad
+    x1, y1 = bs[:, 2].max() + pad, bs[:, 3].max() + pad
+    bounds = (x0, y0, x1, y1)
+    mask = (
+        rasterize_polygons(polygons, [1] * len(polygons), bounds, (grid, grid), 0)
+        > 0
+    ).astype(np.uint8)
+    px = abs(dist) * grid / max(x1 - x0, y1 - y0)
+    k = max(int(round(px * 2)) | 1, 3)
+    kernel = cv2.getStructuringElement(cv2.MORPH_ELLIPSE, (k, k))
+    op = cv2.dilate if dist > 0 else cv2.erode
+    out = op(mask, kernel)
+    return polygons_from_mask(out > 0, bounds)
+
+
+def union_all(polygons: Sequence[Polygon], grid: int = 4096) -> List[Polygon]:
+    """Raster-based union of many polygons (replaces the reference's
+    recursive batched GEOS union, geometric.py:13-95)."""
+    if not polygons:
+        return []
+    bs = np.asarray([p.bounds for p in polygons])
+    x0, y0, x1, y1 = bs[:, 0].min(), bs[:, 1].min(), bs[:, 2].max(), bs[:, 3].max()
+    pad = max(x1 - x0, y1 - y0) * 0.01 + 1e-9
+    bounds = (x0 - pad, y0 - pad, x1 + pad, y1 + pad)
+    mask = rasterize_polygons(
+        polygons, [1] * len(polygons), bounds, (grid, grid), 0
+    )
+    return polygons_from_mask(mask > 0, bounds)
