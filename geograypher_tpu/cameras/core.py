@@ -165,7 +165,10 @@ def world_to_camera_frame(points: jax.Array, world_to_cam: jax.Array) -> jax.Arr
     """
     rot = world_to_cam[:3, :3]
     t = world_to_cam[:3, 3]
-    return points @ rot.T + t
+    rotated = jax.lax.dot_general(
+        points, rot, (((1,), (1,)), ((), ())), precision=jax.lax.Precision.HIGHEST
+    )
+    return rotated + t
 
 
 def camera_frame_to_pixels(
@@ -266,7 +269,9 @@ def pixel_rays(
         dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
         rot = c2w[:3, :3]
         origin = c2w[:3, 3]
-        world_dirs = dirs @ rot.T
+        world_dirs = jax.lax.dot_general(
+            dirs, rot, (((1,), (1,)), ((), ())), precision=jax.lax.Precision.HIGHEST
+        )
         starts = jnp.broadcast_to(origin, world_dirs.shape)
         ends = starts + world_dirs * line_length
         return starts, ends

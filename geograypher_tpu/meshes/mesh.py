@@ -1,0 +1,979 @@
+"""TexturedMesh: the central multiview-projection engine.
+
+TPU-native counterpart of the reference's ``TexturedPhotogrammetryMesh``
+(/root/reference/geograypher/meshes/meshes.py:53-2449).  Same capabilities,
+different architecture: geometry and textures are numpy on the host
+(float64, ECEF internal frame exactly like the reference, meshes.py:211),
+while every per-view computation — rasterization, rendering, projection,
+aggregation — is jitted JAX over a pre-gathered ``(F, 3, 3)`` triangle
+array in the cameras' local frame.  The VTK plotter, GEOS overlays and
+pyembree of the reference are replaced by ops/rasterize, utils/vector and
+ops/raycast respectively.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import logging
+import typing
+from pathlib import Path
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from geograypher_tpu.cameras.core import CameraBatch, CameraSet
+from geograypher_tpu.cameras.distortion import DistortionEngine
+from geograypher_tpu.constants import (
+    CACHE_FOLDER,
+    EARTH_CENTERED_EARTH_FIXED_EPSG,
+    LAT_LON_EPSG,
+    PATH_TYPE,
+)
+from geograypher_tpu.ops.aggregate import (
+    AggregationState,
+    accumulate_view,
+    finalize_aggregation,
+    init_aggregation,
+    project_image_to_faces,
+    render_texture,
+    vert_to_face_discrete,
+    vert_to_face_mean,
+)
+from geograypher_tpu.ops.rasterize import (
+    RasterConfig,
+    rasterize_triangles,
+    transform_to_camera,
+)
+from geograypher_tpu.utils import crs as crs_utils
+from geograypher_tpu.utils.vector import (
+    Polygon,
+    VectorData,
+    polygons_from_mask,
+    rasterize_polygons,
+)
+
+logger = logging.getLogger(__name__)
+
+DEFAULT_RASTER_CONFIG = RasterConfig(caps=(512, 128, 64, 64), backend="pallas")
+
+
+class TexturedMesh:
+    """A textured triangle mesh in a geospatial frame.
+
+    Vertices are stored float64 host-side in the ECEF frame (EPSG:4978)
+    when georeferenced (matching the reference's internal frame,
+    meshes.py:211), or in an arbitrary local frame when not.
+    """
+
+    def __init__(
+        self,
+        mesh: typing.Union[PATH_TYPE, tuple, "TexturedMesh"],
+        downsample_target: float = 1.0,
+        transform_filename: typing.Optional[PATH_TYPE] = None,
+        texture: typing.Union[None, PATH_TYPE, np.ndarray] = None,
+        texture_column_name: typing.Optional[str] = None,
+        CRS: typing.Optional[int] = None,
+        ROI=None,
+        ROI_buffer_meters: float = 0.0,
+        IDs_to_labels: typing.Optional[dict] = None,
+        shift: typing.Optional[np.ndarray] = None,
+        raster_config: RasterConfig = DEFAULT_RASTER_CONFIG,
+        local_to_epsg_4978_transform: typing.Optional[np.ndarray] = None,
+    ):
+        """Load geometry + texture.
+
+        Args:
+            mesh: a mesh file (.ply/.obj/.npz), a (verts, faces) tuple, or
+                another TexturedMesh to share geometry with.
+            downsample_target: fraction of faces to keep (vertex-clustering
+                decimation, reference meshes.py:219-225).
+            transform_filename: Metashape camera XML providing the
+                local->ECEF transform, or mesh-metadata XML with CRS+shift.
+            texture: np array (per-vert or per-face), .npy file, vector
+                file (labels by ``texture_column_name``), or raster file.
+            CRS: EPSG code the mesh vertices are in (None = local frame).
+            ROI: vector data / file / Polygon to crop the mesh to.
+            shift: (3,) added to vertices at load (Metashape SRSOrigin).
+        """
+        self.raster_config = raster_config
+        self.IDs_to_labels = dict(IDs_to_labels) if IDs_to_labels else None
+        self.vertex_texture: typing.Optional[np.ndarray] = None
+        self.face_texture: typing.Optional[np.ndarray] = None
+        self._tri_verts_cache: dict = {}
+        self._local_transform = None  # set when georeferenced
+        self.distortion_engine = DistortionEngine()
+
+        # -- geometry -------------------------------------------------------
+        if isinstance(mesh, TexturedMesh):
+            self.verts = mesh.verts
+            self.faces = mesh.faces
+            self.CRS = mesh.CRS
+            self._local_transform = mesh._local_transform
+        elif isinstance(mesh, (tuple, list)):
+            verts, faces = mesh
+            self.verts = np.asarray(verts, dtype=np.float64)
+            self.faces = np.asarray(faces, dtype=np.int32)
+            self.CRS = CRS
+        else:
+            from geograypher_tpu.utils.meshio import load_mesh
+
+            self.verts, self.faces, attrs = load_mesh(mesh)
+            self.CRS = CRS
+            if "colors" in attrs:
+                self.vertex_texture = attrs["colors"].astype(np.float64)
+
+        # Metashape transform / metadata (reference meshes.py:157-215)
+        if transform_filename is not None:
+            self._apply_transform_file(transform_filename)
+        if local_to_epsg_4978_transform is not None:
+            self._set_local_transform(np.asarray(local_to_epsg_4978_transform))
+        if shift is not None:
+            self.verts = self.verts + np.asarray(shift, dtype=np.float64)
+
+        # Reproject to the internal ECEF frame when georeferenced
+        if self.CRS is not None and self.CRS != EARTH_CENTERED_EARTH_FIXED_EPSG:
+            self.verts = crs_utils.transform_points(
+                self.verts, self.CRS, EARTH_CENTERED_EARTH_FIXED_EPSG
+            )
+            self.CRS = EARTH_CENTERED_EARTH_FIXED_EPSG
+
+        if ROI is not None:
+            self.select_mesh_ROI(ROI, ROI_buffer_meters, inplace=True)
+
+        if downsample_target < 1.0:
+            self.downsample(downsample_target, inplace=True)
+
+        # -- texture ----------------------------------------------------------
+        if texture is not None:
+            self.load_texture(texture, texture_column_name)
+
+    # -- transforms -----------------------------------------------------------
+
+    def _apply_transform_file(self, transform_filename: PATH_TYPE):
+        from geograypher_tpu.utils.parsing import (
+            extract_epsg,
+            parse_metashape_mesh_metadata,
+            parse_transform_metashape,
+        )
+
+        transform_filename = Path(transform_filename)
+        if transform_filename.suffix.lower() == ".xml":
+            try:
+                t = parse_transform_metashape(transform_filename)
+                if t is not None:
+                    # mesh verts are in the local chunk frame -> ECEF
+                    hom = np.concatenate(
+                        [self.verts, np.ones((len(self.verts), 1))], axis=1
+                    )
+                    self.verts = (t @ hom.T).T[:, :3]
+                    self.CRS = EARTH_CENTERED_EARTH_FIXED_EPSG
+                    self._set_local_transform(t)
+                    return
+            except (AssertionError, AttributeError):
+                pass
+            crs_text, shift = parse_metashape_mesh_metadata(transform_filename)
+            epsg = extract_epsg(crs_text)
+            if shift is not None:
+                self.verts = self.verts + shift
+            if epsg is not None:
+                self.CRS = epsg
+
+    def _set_local_transform(self, t: np.ndarray):
+        self._local_transform = t
+
+    @property
+    def n_faces(self) -> int:
+        return int(self.faces.shape[0])
+
+    @property
+    def n_verts(self) -> int:
+        return int(self.verts.shape[0])
+
+    def get_mesh_hash(self) -> str:
+        hasher = hashlib.sha256()
+        hasher.update(np.ascontiguousarray(self.verts).tobytes())
+        hasher.update(np.ascontiguousarray(self.faces).tobytes())
+        return hasher.hexdigest()
+
+    def get_vertices_in_CRS(self, output_CRS: typing.Optional[int]) -> np.ndarray:
+        """Vertices in the requested CRS (reference meshes.py:751-774)."""
+        if output_CRS is None or self.CRS is None or output_CRS == self.CRS:
+            return self.verts.copy()
+        return crs_utils.transform_points(self.verts, self.CRS, output_CRS)
+
+    def get_working_projected_CRS(self) -> int:
+        """A projected (UTM) CRS for 2D geospatial math near the mesh."""
+        if self.CRS is None:
+            raise ValueError("Mesh is not georeferenced")
+        lla = crs_utils.transform_points(
+            self.verts[:1], self.CRS, LAT_LON_EPSG
+        )
+        return crs_utils.utm_epsg_for(lla[0, 0], lla[0, 1])
+
+    def get_verts_in_local_frame(
+        self, cameras: typing.Union[CameraSet, np.ndarray, None]
+    ) -> np.ndarray:
+        """Vertices in the camera set's local frame (reference
+        get_mesh_in_cameras_coords, meshes.py:1608-1643), float64 host-side
+        so ECEF magnitudes never hit f32."""
+        if cameras is None:
+            return self.verts
+        t = (
+            cameras.get_local_to_epsg_4978_transform()
+            if isinstance(cameras, CameraSet)
+            else np.asarray(cameras)
+        )
+        if t is None or self.CRS is None:
+            return self.verts
+        inv = np.linalg.inv(t)
+        hom = np.concatenate([self.verts, np.ones((len(self.verts), 1))], axis=1)
+        return (inv @ hom.T).T[:, :3]
+
+    def get_tri_verts_device(
+        self, cameras: typing.Union[CameraSet, None]
+    ) -> jax.Array:
+        """(F, 3, 3) float32 triangle vertices in the local frame, cached
+        on device per camera frame (the rasterizer's mesh representation)."""
+        key = None
+        if isinstance(cameras, CameraSet):
+            t = cameras.get_local_to_epsg_4978_transform()
+            key = None if t is None else hashlib.sha256(t.tobytes()).hexdigest()
+        if key not in self._tri_verts_cache:
+            local = self.get_verts_in_local_frame(cameras)
+            self._tri_verts_cache[key] = jnp.asarray(
+                local[self.faces], jnp.float32
+            )
+        return self._tri_verts_cache[key]
+
+    # -- geometry edits ---------------------------------------------------
+
+    def select_mesh_ROI(
+        self,
+        ROI,
+        buffer_meters: float = 0.0,
+        inplace: bool = False,
+        default_CRS: typing.Optional[int] = None,
+    ):
+        """Crop to faces whose vertices fall inside the (buffered) ROI
+        (reference meshes.py:645-749)."""
+        if isinstance(ROI, (str, Path)):
+            ROI = VectorData.read_file(ROI)
+        elif isinstance(ROI, Polygon):
+            ROI = VectorData([ROI], epsg=default_CRS)
+
+        if ROI.epsg is not None and self.CRS is not None:
+            ROI = ROI.ensure_projected()
+            verts2d = crs_utils.transform_points(self.verts, self.CRS, ROI.epsg)[
+                :, :2
+            ]
+        else:
+            verts2d = self.verts[:, :2]
+        polys = [g for g in ROI.geometries if isinstance(g, Polygon)]
+        if buffer_meters:
+            from geograypher_tpu.utils.vector import buffer_polygons
+
+            polys = buffer_polygons(polys, buffer_meters)
+        inside = np.zeros(len(verts2d), dtype=bool)
+        for p in polys:
+            inside |= p.contains_points(verts2d)
+        return self._keep_vertices(inside, inplace=inplace)
+
+    def _keep_vertices(self, vert_mask: np.ndarray, inplace: bool):
+        keep_face = vert_mask[self.faces].all(axis=1)
+        return self._keep_faces(keep_face, inplace=inplace)
+
+    def _keep_faces(self, face_mask: np.ndarray, inplace: bool):
+        new_faces = self.faces[face_mask]
+        used = np.zeros(len(self.verts), dtype=bool)
+        used[new_faces.reshape(-1)] = True
+        remap = np.cumsum(used) - 1
+        out_verts = self.verts[used]
+        out_faces = remap[new_faces].astype(np.int32)
+        if inplace:
+            self.verts = out_verts
+            self.faces = out_faces
+            if self.vertex_texture is not None:
+                self.vertex_texture = self.vertex_texture[used]
+            if self.face_texture is not None:
+                self.face_texture = self.face_texture[face_mask]
+            self._tri_verts_cache.clear()
+            return self, face_mask
+        sub = TexturedMesh(
+            (out_verts, out_faces),
+            CRS=self.CRS,
+            IDs_to_labels=self.IDs_to_labels,
+            raster_config=self.raster_config,
+        )
+        sub._local_transform = self._local_transform
+        if self.vertex_texture is not None:
+            sub.vertex_texture = self.vertex_texture[used]
+        if self.face_texture is not None:
+            sub.face_texture = self.face_texture[face_mask]
+        return sub, face_mask
+
+    def downsample(self, target: float, inplace: bool = False):
+        """Vertex-clustering decimation to ~``target`` fraction of faces,
+        with KDTree texture transfer (reference meshes.py:219-225, 287-334).
+        """
+        from scipy.spatial import cKDTree
+
+        # cluster cell size from target face ratio: faces ~ verts * 2 on
+        # meshes; cell count ~ verts * target
+        bbox = self.verts.max(0) - self.verts.min(0)
+        vol = np.prod(np.maximum(bbox[:2], 1e-9)) * max(bbox[2], bbox[:2].mean() * 0.01)
+        n_cells = max(int(self.n_verts * target), 8)
+        cell = (vol / n_cells) ** (1 / 3)
+        keys = np.floor((self.verts - self.verts.min(0)) / cell).astype(np.int64)
+        _, first_idx, inv = np.unique(
+            keys[:, 0] * 73856093 ^ keys[:, 1] * 19349663 ^ keys[:, 2] * 83492791,
+            return_index=True,
+            return_inverse=True,
+        )
+        # representative vertex = centroid of cluster
+        n_new = first_idx.shape[0]
+        sums = np.zeros((n_new, 3))
+        np.add.at(sums, inv, self.verts)
+        counts = np.bincount(inv, minlength=n_new)
+        new_verts = sums / counts[:, None]
+        new_faces = inv[self.faces]
+        nondegenerate = (
+            (new_faces[:, 0] != new_faces[:, 1])
+            & (new_faces[:, 1] != new_faces[:, 2])
+            & (new_faces[:, 0] != new_faces[:, 2])
+        )
+        new_faces = new_faces[nondegenerate].astype(np.int32)
+
+        old = self
+        new_vertex_texture = None
+        if old.vertex_texture is not None:
+            tree = cKDTree(old.verts)
+            _, nearest = tree.query(new_verts)
+            new_vertex_texture = old.vertex_texture[nearest]
+        if inplace:
+            self.verts = new_verts
+            self.faces = new_faces
+            self.vertex_texture = new_vertex_texture
+            self.face_texture = None
+            self._tri_verts_cache.clear()
+            return self
+        sub = TexturedMesh(
+            (new_verts, new_faces),
+            CRS=self.CRS,
+            IDs_to_labels=self.IDs_to_labels,
+            raster_config=self.raster_config,
+        )
+        sub._local_transform = self._local_transform
+        sub.vertex_texture = new_vertex_texture
+        return sub
+
+    # -- textures ----------------------------------------------------------
+
+    def set_texture(
+        self,
+        texture_array: np.ndarray,
+        is_vertex: typing.Optional[bool] = None,
+        IDs_to_labels: typing.Optional[dict] = None,
+    ):
+        """Install a texture, inferring vertex- vs face-alignment by length
+        (reference meshes.py:475-530)."""
+        texture_array = np.asarray(texture_array, dtype=np.float64)
+        if texture_array.ndim == 1:
+            texture_array = texture_array[:, None]
+        if is_vertex is None:
+            if texture_array.shape[0] == self.n_verts:
+                is_vertex = True
+            elif texture_array.shape[0] == self.n_faces:
+                is_vertex = False
+            else:
+                raise ValueError(
+                    f"Texture length {texture_array.shape[0]} matches neither "
+                    f"verts ({self.n_verts}) nor faces ({self.n_faces})"
+                )
+        if is_vertex:
+            self.vertex_texture = texture_array
+            self.face_texture = None
+        else:
+            self.face_texture = texture_array
+            self.vertex_texture = None
+        if IDs_to_labels is not None:
+            self.IDs_to_labels = dict(IDs_to_labels)
+
+    def get_texture(
+        self,
+        request_vertex_texture: typing.Optional[bool] = None,
+        try_verts_faces_conversion: bool = True,
+    ) -> typing.Optional[np.ndarray]:
+        """Fetch the texture in the requested alignment, converting if
+        allowed (reference meshes.py:336-380)."""
+        if request_vertex_texture is None:
+            return (
+                self.vertex_texture
+                if self.vertex_texture is not None
+                else self.face_texture
+            )
+        if request_vertex_texture:
+            if self.vertex_texture is not None:
+                return self.vertex_texture
+            if self.face_texture is not None and try_verts_faces_conversion:
+                from geograypher_tpu.ops.aggregate import face_to_vert_texture
+
+                return np.asarray(
+                    face_to_vert_texture(
+                        jnp.asarray(self.faces),
+                        jnp.asarray(self.face_texture, jnp.float32),
+                        self.n_verts,
+                    )
+                )
+            return None
+        if self.face_texture is not None:
+            return self.face_texture
+        if self.vertex_texture is not None and try_verts_faces_conversion:
+            return self.vert_to_face_texture()
+        return None
+
+    def vert_to_face_texture(self) -> np.ndarray:
+        """Vertex texture -> face texture: mode vote for discrete data,
+        mean otherwise (reference meshes.py:928-969)."""
+        if self.vertex_texture is None:
+            raise ValueError("No vertex texture")
+        tex = self.vertex_texture
+        if self.is_discrete_texture(tex):
+            finite = tex[np.isfinite(tex[:, 0]), 0]
+            n_classes = int(finite.max()) + 1 if finite.size else 1
+            out = np.asarray(
+                vert_to_face_discrete(
+                    jnp.asarray(self.faces),
+                    jnp.asarray(tex[:, 0], jnp.float32),
+                    n_classes,
+                )
+            )[:, None]
+        else:
+            out = np.asarray(
+                vert_to_face_mean(
+                    jnp.asarray(self.faces), jnp.asarray(tex, jnp.float32)
+                )
+            )
+        return out.astype(np.float64)
+
+    @staticmethod
+    def is_discrete_texture(tex: np.ndarray) -> bool:
+        finite = tex[np.isfinite(tex)]
+        return finite.size == 0 or bool(
+            np.allclose(finite, np.round(finite))
+        )
+
+    def load_texture(
+        self,
+        texture: typing.Union[PATH_TYPE, np.ndarray],
+        texture_column_name: typing.Optional[str] = None,
+    ):
+        """Texture loading fallback chain (reference meshes.py:532-643):
+        array -> .npy -> vector file -> raster file."""
+        if isinstance(texture, np.ndarray):
+            self.set_texture(texture)
+            return
+        path = Path(texture)
+        suffix = path.suffix.lower()
+        if suffix == ".npy":
+            self.set_texture(np.load(path))
+        elif suffix in (".geojson", ".json", ".gpkg"):
+            labels, ids_to_labels = self.get_values_for_verts_from_vector(
+                path, texture_column_name
+            )
+            self.set_texture(labels, is_vertex=True, IDs_to_labels=ids_to_labels)
+        elif suffix in (".tif", ".tiff"):
+            vals = self.get_values_for_verts_from_raster(path)
+            self.set_texture(vals, is_vertex=True)
+        else:
+            raise ValueError(f"Cannot load texture from {path}")
+
+    def remap_texture(self, labels_to_IDs: dict):
+        """String/label texture values -> integer IDs (reference
+        meshes.py:382-473)."""
+        tex = self.get_texture()
+        out = np.full_like(tex, np.nan, dtype=np.float64)
+        for label, ID in labels_to_IDs.items():
+            out[tex == label] = ID
+        self.set_texture(out)
+        self.IDs_to_labels = {v: k for k, v in labels_to_IDs.items()}
+
+    # -- geospatial sampling ------------------------------------------------
+
+    def get_values_for_verts_from_vector(
+        self,
+        vector: typing.Union[PATH_TYPE, VectorData],
+        column_name: typing.Optional[str] = None,
+    ):
+        """Per-vertex class from polygon containment (reference
+        meshes.py:971-1086: gpd.overlay of verts x polygons)."""
+        if not isinstance(vector, VectorData):
+            vector = VectorData.read_file(vector)
+        if self.CRS is not None and vector.epsg is not None:
+            vector = vector.ensure_projected()
+            verts2d = crs_utils.transform_points(
+                self.verts, self.CRS, vector.epsg
+            )[:, :2]
+        else:
+            verts2d = self.verts[:, :2]
+        poly_idx = vector.contains_points(verts2d)
+
+        if column_name is not None and column_name in vector.attributes:
+            col = vector.attributes[column_name]
+            classes = sorted({v for v in col if v is not None}, key=str)
+            label_to_id = {c: i for i, c in enumerate(classes)}
+            ids = np.full(len(verts2d), np.nan)
+            hit = poly_idx >= 0
+            ids[hit] = [
+                label_to_id.get(col[i], np.nan) for i in poly_idx[hit]
+            ]
+            ids_to_labels = {i: c for c, i in label_to_id.items()}
+            return ids, ids_to_labels
+        ids = np.where(poly_idx >= 0, poly_idx.astype(float), np.nan)
+        return ids, {i: i for i in range(len(vector))}
+
+    def get_values_for_verts_from_raster(
+        self, raster_file: PATH_TYPE, method: str = "nearest"
+    ) -> np.ndarray:
+        """Sample a georeferenced raster at each vertex (reference
+        meshes.py:1425-1472)."""
+        from geograypher_tpu.utils.raster import read_geotiff
+
+        raster = read_geotiff(raster_file)
+        epsg = raster.epsg if raster.epsg is not None else self.CRS
+        verts = self.get_vertices_in_CRS(epsg)
+        if epsg == LAT_LON_EPSG:
+            xs, ys = verts[:, 1], verts[:, 0]  # lon, lat
+        else:
+            xs, ys = verts[:, 0], verts[:, 1]
+        return raster.sample(xs, ys, method=method)
+
+    def get_height_above_ground(
+        self, DTM_file: PATH_TYPE, threshold: typing.Optional[float] = None
+    ) -> np.ndarray:
+        """Per-vertex height above a digital terrain model (reference
+        meshes.py:1474-1502); thresholded to a bool mask if requested."""
+        dtm_heights = self.get_values_for_verts_from_raster(DTM_file)
+        if dtm_heights.ndim > 1:
+            dtm_heights = dtm_heights[..., 0]
+        vert_alt = crs_utils.transform_points(
+            self.verts, self.CRS, LAT_LON_EPSG
+        )[:, 2]
+        hag = vert_alt - dtm_heights
+        if threshold is not None:
+            return hag < threshold
+        return hag
+
+    def label_ground_class(
+        self,
+        DTM_file: PATH_TYPE,
+        height_above_ground_threshold: float = 2.0,
+        ground_ID: typing.Optional[int] = None,
+        only_label_existing: bool = True,
+        set_mesh_texture: bool = True,
+    ):
+        """Relabel near-ground vertices to the ground class (reference
+        meshes.py:1504-1596)."""
+        ground = self.get_height_above_ground(
+            DTM_file, threshold=height_above_ground_threshold
+        )
+        tex = self.get_texture(request_vertex_texture=True)
+        if tex is None:
+            tex = np.full((self.n_verts, 1), np.nan)
+        tex = tex.copy()
+        if ground_ID is None:
+            finite = tex[np.isfinite(tex)]
+            ground_ID = int(finite.max()) + 1 if finite.size else 0
+        mask = ground.copy()
+        if only_label_existing:
+            mask &= np.isfinite(tex[:, 0])
+        tex[mask, 0] = ground_ID
+        if set_mesh_texture:
+            ids = dict(self.IDs_to_labels or {})
+            ids[ground_ID] = "ground"
+            self.set_texture(tex, is_vertex=True, IDs_to_labels=ids)
+        return tex, ground_ID
+
+    # -- rasterization / rendering / aggregation -----------------------------
+
+    def pix2face(
+        self,
+        cameras: CameraSet,
+        indices: typing.Optional[typing.Sequence[int]] = None,
+        render_img_scale: float = 1.0,
+        apply_distortion: bool = False,
+        config: typing.Optional[RasterConfig] = None,
+    ) -> np.ndarray:
+        """(N, H, W) pixel->face-id maps for the given cameras (reference
+        meshes.py:1645-1823, minus the VTK color-encoding hack).
+
+        With ``apply_distortion``, the pinhole map is warped to the real
+        (distorted) image geometry with nearest-neighbor resampling,
+        exactly like the reference's pix2face post-warp
+        (meshes.py:1809-1821).
+        """
+        config = config or self.raster_config
+        if indices is None:
+            indices = list(range(len(cameras)))
+        batch = cameras.get_camera_batch(indices, image_scale=render_img_scale)
+        tri = self.get_tri_verts_device(cameras)
+        out = []
+        for k in range(batch.n_cameras):
+            p2f = rasterize_triangles(
+                transform_to_camera(tri, batch.world_to_cam[k]),
+                batch.f[k],
+                image_w=batch.image_width,
+                image_h=batch.image_height,
+                config=config,
+            )
+            p2f = np.asarray(p2f)
+            if apply_distortion:
+                i = indices[k]
+                sensor = cameras.sensors[cameras.sensor_IDs[i]]
+                dist = sensor.get("distortion_params") or {}
+                if dist:
+                    from geograypher_tpu.cameras.core import (
+                        distortion_dict_to_vector,
+                    )
+
+                    p2f = self.distortion_engine.warp_dewarp_image(
+                        p2f,
+                        sensor["f"],
+                        sensor.get("cx", 0.0),
+                        sensor.get("cy", 0.0),
+                        sensor["image_width"],
+                        sensor["image_height"],
+                        distortion_dict_to_vector(dist),
+                        warped_to_ideal=False,
+                        fill_value=-1,
+                        interpolation_order=0,
+                        image_scale=render_img_scale,
+                    )
+            out.append(p2f)
+        return np.stack(out, axis=0)
+
+    def render_flat(
+        self,
+        cameras: CameraSet,
+        batch_size: int = 1,
+        render_img_scale: float = 1.0,
+        return_camera: bool = False,
+        **pix2face_kwargs,
+    ):
+        """Generator of per-camera rendered texture images (reference
+        meshes.py:1825-1909)."""
+        face_tex = self.get_texture(
+            request_vertex_texture=False, try_verts_faces_conversion=True
+        )
+        if face_tex is None:
+            raise ValueError("Mesh has no texture to render")
+        tex_dev = jnp.asarray(face_tex, jnp.float32)
+        for i in range(len(cameras)):
+            p2f = self.pix2face(
+                cameras, [i], render_img_scale=render_img_scale, **pix2face_kwargs
+            )[0]
+            img = np.asarray(render_texture(jnp.asarray(p2f), tex_dev))
+            if return_camera:
+                yield img, cameras.get_subset_cameras([i])
+            else:
+                yield img
+
+    def project_images(
+        self,
+        cameras: CameraSet,
+        batch_size: int = 1,
+        aggregate_img_scale: float = 1.0,
+        check_null_image: bool = False,
+        **pix2face_kwargs,
+    ):
+        """Generator of per-view per-face (mean values, pixel counts)
+        (reference meshes.py:1911-1969; see ops/aggregate.py for the
+        deliberate last-pixel-wins -> per-face-mean semantics fix)."""
+        for i in range(len(cameras)):
+            p2f = self.pix2face(
+                cameras, [i], render_img_scale=aggregate_img_scale,
+                **pix2face_kwargs,
+            )[0]
+            img = cameras.get_image_by_index(i, aggregate_img_scale)
+            if check_null_image and not np.any(np.isfinite(img)):
+                yield None
+                continue
+            sums, counts = project_image_to_faces(
+                jnp.asarray(p2f), jnp.asarray(img, jnp.float32), self.n_faces
+            )
+            yield np.asarray(sums), np.asarray(counts)
+
+    def aggregate_projected_images(
+        self,
+        cameras: CameraSet,
+        batch_size: int = 1,
+        aggregate_img_scale: float = 1.0,
+        return_all: bool = False,
+        **kwargs,
+    ):
+        """Average projections across views (reference meshes.py:1971-2052).
+
+        Returns (average_projections (F, C), additional_information dict).
+        """
+        n_channels = None
+        state = None
+        all_projections = []
+        for proj in self.project_images(
+            cameras,
+            batch_size=batch_size,
+            aggregate_img_scale=aggregate_img_scale,
+            **kwargs,
+        ):
+            if proj is None:
+                continue
+            sums, counts = proj
+            if state is None:
+                n_channels = sums.shape[1]
+                state = init_aggregation(self.n_faces, n_channels)
+            state = accumulate_view(
+                state, jnp.asarray(sums), jnp.asarray(counts)
+            )
+            if return_all:
+                with np.errstate(invalid="ignore"):
+                    all_projections.append(
+                        np.where(counts > 0, sums / np.maximum(counts, 1), np.nan)
+                    )
+        if state is None:
+            raise ValueError("No images to aggregate")
+        avg = np.asarray(finalize_aggregation(state))
+        additional = {
+            "projection_counts": np.asarray(state.view_count),
+            "summed_projections": np.asarray(state.value_sum),
+        }
+        if return_all:
+            additional["all_projections"] = all_projections
+        return avg, additional
+
+    # -- ortho rasterization + vector export ---------------------------------
+
+    def ortho_pix2face(
+        self,
+        crs: typing.Optional[int] = None,
+        resolution_m: float = 0.2,
+        max_pixels: int = 8192,
+    ):
+        """Orthographic top-down pix2face over the mesh footprint.
+
+        The building block for vector export and polygon labeling: an
+        orthographic view is a pinhole camera at a great distance with a
+        long focal length (0.06% perspective error at the defaults).
+
+        Returns (pix2face (H, W), bounds (x0, y0, x1, y1), epsg).
+        """
+        if crs is None and self.CRS is not None:
+            crs = self.get_working_projected_CRS()
+        verts = self.get_vertices_in_CRS(crs)
+        x0, y0 = verts[:, 0].min(), verts[:, 1].min()
+        x1, y1 = verts[:, 0].max(), verts[:, 1].max()
+        zmax = verts[:, 2].max()
+        span_x = max(x1 - x0, resolution_m)
+        span_y = max(y1 - y0, resolution_m)
+        w = min(int(np.ceil(span_x / resolution_m)), max_pixels)
+        h = min(int(np.ceil(span_y / resolution_m)), max_pixels)
+        res_x = span_x / w
+        res_y = span_y / h
+        # Nadir camera far above the scene: distance D, f = D / res
+        depth_range = zmax - verts[:, 2].min()
+        dist = max(span_x, span_y, depth_range) * 40.0
+        cam_z = zmax + dist
+        f = dist / max(res_x, res_y)
+        c2w = np.array(
+            [
+                [1.0, 0.0, 0.0, (x0 + x1) / 2],
+                [0.0, -1.0, 0.0, (y0 + y1) / 2],
+                [0.0, 0.0, -1.0, cam_z],
+                [0.0, 0.0, 0.0, 1.0],
+            ]
+        )
+        tri = jnp.asarray(verts[self.faces] - np.array([[(x0+x1)/2, (y0+y1)/2, 0.0]]), jnp.float32)
+        # shift camera to origin-centered frame to keep f32 precision
+        c2w_local = c2w.copy()
+        c2w_local[0, 3] = 0.0
+        c2w_local[1, 3] = 0.0
+        w2c = jnp.asarray(np.linalg.inv(c2w_local), jnp.float32)
+        p2f = rasterize_triangles(
+            transform_to_camera(tri, w2c),
+            jnp.float32(f),
+            image_w=w,
+            image_h=h,
+            config=self.raster_config,
+        )
+        # pixel (0, 0) is top-left = (x0, y1); bounds in CRS coords
+        return np.asarray(p2f), (x0, y0, x0 + res_x * w, y0 + res_y * h), crs
+
+    def export_face_labels_vector(
+        self,
+        face_labels: typing.Optional[np.ndarray] = None,
+        export_file: typing.Optional[PATH_TYPE] = None,
+        label_names: typing.Optional[dict] = None,
+        resolution_m: float = 0.2,
+    ) -> VectorData:
+        """Per-face labels -> geospatial polygons (reference
+        meshes.py:1284-1423).
+
+        The reference unions millions of per-face 2D triangles with GEOS
+        (batched_unary_union); here the faces are rendered orthographically
+        at ``resolution_m`` and class masks are vectorized with contour
+        extraction — equivalent output at a controllable resolution, orders
+        of magnitude faster.
+        """
+        if face_labels is None:
+            face_labels = self.get_texture(request_vertex_texture=False)
+        face_labels = np.asarray(face_labels).reshape(-1)
+        p2f, bounds, crs = self.ortho_pix2face(resolution_m=resolution_m)
+        with np.errstate(invalid="ignore"):
+            label_img = np.where(
+                p2f >= 0, face_labels[np.clip(p2f, 0, None)], np.nan
+            )
+        classes = np.unique(label_img[np.isfinite(label_img)]).astype(int)
+        geoms, names, ids = [], [], []
+        label_names = label_names or self.IDs_to_labels or {}
+        x0, y0, x1, y1 = bounds
+        for c in classes:
+            mask = label_img == c
+            for poly in polygons_from_mask(mask, bounds):
+                geoms.append(poly)
+                ids.append(int(c))
+                names.append(label_names.get(int(c), int(c)))
+        out = VectorData(
+            geoms,
+            {"class_ID": ids, "names": [str(n) for n in names]},
+            epsg=crs,
+        )
+        if export_file is not None:
+            out.to_file(export_file)
+        return out
+
+    def label_polygons(
+        self,
+        face_labels: np.ndarray,
+        polygons: typing.Union[PATH_TYPE, VectorData],
+        face_weighting: typing.Optional[np.ndarray] = None,
+        sjoin_overlay: bool = True,  # accepted for API parity; unused
+        return_class_labels: bool = True,
+        unknown_class_label: str = "unknown",
+        resolution_m: float = 0.2,
+    ) -> list:
+        """Assign each polygon the area-weighted dominant face class
+        (reference meshes.py:1117-1282).
+
+        The reference overlays face triangles with polygons in GEOS and
+        area-weights; here both layers are rasterized onto a common ortho
+        grid and the joint histogram provides the same area weighting at
+        ``resolution_m`` granularity.
+        """
+        if not isinstance(polygons, VectorData):
+            polygons = VectorData.read_file(polygons)
+        face_labels = np.asarray(face_labels).reshape(-1)
+        p2f, bounds, crs = self.ortho_pix2face(resolution_m=resolution_m)
+        if polygons.epsg is not None and crs is not None:
+            polygons = polygons.to_crs(crs)
+        poly_img = rasterize_polygons(
+            [g for g in polygons.geometries],
+            list(range(len(polygons))),
+            bounds,
+            p2f.shape,
+        )
+        with np.errstate(invalid="ignore"):
+            label_img = np.where(
+                p2f >= 0, face_labels[np.clip(p2f, 0, None)], np.nan
+            )
+        weight_img = None
+        if face_weighting is not None:
+            face_weighting = np.asarray(face_weighting).reshape(-1)
+            weight_img = np.where(
+                p2f >= 0, face_weighting[np.clip(p2f, 0, None)], 0.0
+            )
+        valid = (poly_img >= 0) & np.isfinite(label_img)
+        n_classes = (
+            int(np.nanmax(face_labels)) + 1
+            if np.isfinite(face_labels).any()
+            else 1
+        )
+        flat_idx = poly_img[valid].astype(np.int64) * n_classes + label_img[
+            valid
+        ].astype(np.int64)
+        weights = weight_img[valid] if weight_img is not None else None
+        hist = np.bincount(
+            flat_idx, weights=weights, minlength=len(polygons) * n_classes
+        ).reshape(len(polygons), n_classes)
+        best = np.argmax(hist, axis=1).astype(float)
+        best[hist.sum(axis=1) == 0] = np.nan
+        if return_class_labels:
+            ids_to_labels = self.IDs_to_labels or {}
+            return [
+                unknown_class_label
+                if np.isnan(b)
+                else ids_to_labels.get(int(b), int(b))
+                for b in best
+            ]
+        return best.tolist()
+
+    # -- saving ---------------------------------------------------------------
+
+    def save_renders(
+        self,
+        cameras: CameraSet,
+        render_image_scale: float = 1.0,
+        output_folder: PATH_TYPE = "renders",
+        make_composites: bool = False,
+        save_native_resolution: bool = True,
+        cast_to_uint8: bool = True,
+        output_extension: str = ".png",
+        **render_kwargs,
+    ):
+        """Render per-camera label masks to disk (reference
+        meshes.py:2215-2364)."""
+        import cv2
+
+        from geograypher_tpu.utils.files import ensure_containing_folder
+
+        output_folder = Path(output_folder)
+        for img, cam in self.render_flat(
+            cameras,
+            render_img_scale=render_image_scale,
+            return_camera=True,
+            **render_kwargs,
+        ):
+            fname = cam.image_filenames[0]
+            rel = Path(fname.name if fname is not None else "render")
+            out_path = (output_folder / rel).with_suffix(output_extension)
+            ensure_containing_folder(out_path)
+            data = img[..., 0] if img.shape[-1] == 1 else img
+            if save_native_resolution and render_image_scale != 1.0:
+                sensor = cam.sensors[cam.sensor_IDs[0]]
+                data = cv2.resize(
+                    data,
+                    (sensor["image_width"], sensor["image_height"]),
+                    interpolation=cv2.INTER_NEAREST,
+                )
+            if output_extension == ".npy":
+                np.save(out_path, data)
+                continue
+            if cast_to_uint8:
+                out = np.where(np.isfinite(data), data, 255.0)
+                out = np.clip(out, 0, 255).astype(np.uint8)
+            else:
+                out = data
+            cv2.imwrite(str(out_path), out)
+
+    def save_mesh(self, savepath: PATH_TYPE, write_texture: bool = True):
+        from geograypher_tpu.utils.meshio import save_mesh
+
+        colors = None
+        if write_texture and self.vertex_texture is not None:
+            t = self.vertex_texture
+            if t.shape[1] >= 3:
+                colors = np.nan_to_num(t[:, :3])
+            else:
+                v = np.nan_to_num(t[:, 0])
+                rng = v.max() - v.min() if v.size else 1.0
+                g = (255 * (v - v.min()) / max(rng, 1e-9)).astype(np.uint8)
+                colors = np.stack([g, g, g], axis=1)
+        save_mesh(savepath, self.verts, self.faces, vert_colors=colors)

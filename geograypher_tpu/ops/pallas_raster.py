@@ -116,6 +116,7 @@ def _make_kernel(
                         pmat,
                         (((0,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
                     )  # (CHUNK, npix)
 
                 e0, e1, e2, wv, idv = (plane(k) for k in range(5))

@@ -359,7 +359,9 @@ def _raster_tiles_xla(
         p = planes[jnp.clip(ids, 0, None)]  # (n_tiles, chunk, 12)
         e = p.reshape(n_tiles, chunk, 4, 3)
         # (n_tiles, P, chunk, 4)
-        vals = jnp.einsum("tpk,tcek->tpce", pxy, e)
+        vals = jnp.einsum(
+            "tpk,tcek->tpce", pxy, e, precision=jax.lax.Precision.HIGHEST
+        )
         covered = jnp.all(vals[..., :3] >= 0, axis=-1) & (ids >= 0)[:, None, :]
         wv = jnp.where(covered, vals[..., 3], neg)
         # best within chunk (first max wins -> lowest face id given sorting)
@@ -433,7 +435,13 @@ def transform_to_camera(tri_verts: jax.Array, world_to_cam: jax.Array) -> jax.Ar
     rot = world_to_cam[:3, :3]
     t = world_to_cam[:3, 3]
     flat = tri_verts.reshape(-1, 3)
-    return (flat @ rot.T + t).reshape(tri_verts.shape)
+    rotated = jax.lax.dot_general(
+        flat,
+        rot,
+        (((1,), (1,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return (rotated + t).reshape(tri_verts.shape)
 
 
 def rasterize_batch(

@@ -175,7 +175,7 @@ def _load_ply_binary(fh, elements, endian):
             idx_dt = np.dtype(endian + props[0][1])
             # Fast path: peek first polygon size, assume uniform, verify
             raw = fh.read()
-            first = np.frombuffer(raw[: cnt_dt.itemsize], dtype=cnt_dt)[0]
+            first = int(np.frombuffer(raw[: cnt_dt.itemsize], dtype=cnt_dt)[0])
             stride = cnt_dt.itemsize + first * idx_dt.itemsize
             if count * stride == len(raw) or count * stride <= len(raw):
                 rec = np.frombuffer(raw[: count * stride], dtype=np.uint8)

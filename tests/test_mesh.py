@@ -1,0 +1,216 @@
+"""TexturedMesh engine tests: CRS frames, ROI, textures, rendering,
+aggregation, vector export, polygon labeling."""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from geograypher_tpu.cameras.core import CameraSet
+from geograypher_tpu.meshes.mesh import TexturedMesh
+from geograypher_tpu.ops.rasterize import RasterConfig
+from geograypher_tpu.utils import crs as crs_utils
+from geograypher_tpu.utils.fixtures import make_grid_mesh, nadir_camera
+from geograypher_tpu.utils.vector import Polygon, VectorData
+
+CFG = RasterConfig(caps=(512, 64, 32, 16), backend="xla")
+
+# A survey site near (lat 36, lon -119), UTM zone 11N
+SITE_LAT, SITE_LON = 36.0, -119.0
+SITE_UTM = 32611
+
+
+def make_geo_mesh(n=15, size=40.0, z0=100.0):
+    """Grid mesh positioned at the site, in UTM coords -> TexturedMesh."""
+    verts, faces = make_grid_mesh(n=n, size=size)
+    e0, n0 = crs_utils.lla_to_tm(
+        SITE_LAT, SITE_LON, np.deg2rad(-117.0), crs_utils.UTM_K0, 500000.0, 0.0
+    )
+    verts[:, 0] += e0
+    verts[:, 1] += n0
+    verts[:, 2] += z0
+    return TexturedMesh(
+        (verts, faces), CRS=SITE_UTM, raster_config=CFG
+    ), (e0, n0)
+
+
+def local_camera_set(mesh: TexturedMesh, n_cams=2, sensor=100, focal=50.0):
+    """Cameras in a local frame centered on the mesh: local->ECEF maps the
+    origin to the mesh centroid."""
+    centroid = mesh.verts.mean(axis=0)
+    # Build an orthonormal local frame: Z up along ECEF radial
+    up = centroid / np.linalg.norm(centroid)
+    east = np.cross([0, 0, 1], up)
+    east /= np.linalg.norm(east)
+    north = np.cross(up, east)
+    l2e = np.eye(4)
+    l2e[:3, 0], l2e[:3, 1], l2e[:3, 2] = east, north, up
+    l2e[:3, 3] = centroid
+    c2ws = []
+    for k in range(n_cams):
+        c2w = nadir_camera(40.0, focal, sensor)
+        c2w[0, 3] += k * 2.0
+        c2w[2, 3] = 25.0
+        c2ws.append(c2w)
+    return CameraSet(
+        c2ws,
+        {0: {"f": focal, "cx": 0.0, "cy": 0.0, "image_width": sensor,
+             "image_height": sensor}},
+        local_to_epsg_4978_transform=l2e,
+    )
+
+
+def test_crs_internal_frame_is_ecef():
+    mesh, _ = make_geo_mesh()
+    assert mesh.CRS == 4978
+    # ECEF magnitudes ~ earth radius
+    r = np.linalg.norm(mesh.verts, axis=1)
+    assert np.all((6.3e6 < r) & (r < 6.5e6))
+    # Roundtrip back to UTM preserves the grid span
+    utm = mesh.get_vertices_in_CRS(SITE_UTM)
+    assert np.isclose(utm[:, 0].max() - utm[:, 0].min(), 40.0, atol=1e-3)
+
+
+def test_roi_crop():
+    mesh, (e0, n0) = make_geo_mesh(n=21, size=40.0)
+    n_before = mesh.n_faces
+    roi = Polygon(
+        np.array(
+            [[e0 - 10, n0 - 10], [e0 + 10, n0 - 10],
+             [e0 + 10, n0 + 10], [e0 - 10, n0 + 10]]
+        )
+    )
+    sub, _ = mesh.select_mesh_ROI(
+        VectorData([roi], epsg=SITE_UTM), inplace=False
+    )
+    assert 0 < sub.n_faces < n_before
+    utm = sub.get_vertices_in_CRS(SITE_UTM)
+    assert utm[:, 0].max() <= e0 + 10 + 1e-6
+
+
+def test_texture_alignment_and_conversion():
+    mesh, _ = make_geo_mesh(n=5)
+    vt = np.arange(mesh.n_verts, dtype=float) % 3
+    mesh.set_texture(vt)
+    assert mesh.vertex_texture is not None
+    ft = mesh.get_texture(request_vertex_texture=False)
+    assert ft.shape == (mesh.n_faces, 1)
+    finite = ft[np.isfinite(ft)]
+    assert set(np.unique(finite)).issubset({0.0, 1.0, 2.0})
+
+    # continuous conversion = mean
+    mesh.set_texture(np.linspace(0, 1.77, mesh.n_verts))
+    ft = mesh.get_texture(request_vertex_texture=False)
+    assert np.isfinite(ft).all()
+
+
+def test_downsample_transfers_texture():
+    mesh, _ = make_geo_mesh(n=21)
+    mesh.set_texture(np.zeros(mesh.n_verts))
+    small = mesh.downsample(0.3)
+    assert small.n_faces < mesh.n_faces
+    assert small.vertex_texture.shape[0] == small.n_verts
+
+
+def test_render_and_aggregate_round_trip_local_frame():
+    """Labels -> rendered masks -> aggregate -> argmax recovers labels,
+    through the full TexturedMesh + CameraSet stack with a nontrivial
+    local->ECEF transform."""
+    mesh, _ = make_geo_mesh(n=15, size=40.0)
+    cams = local_camera_set(mesh, n_cams=3)
+    rng = np.random.default_rng(0)
+    face_labels = rng.integers(0, 4, mesh.n_faces).astype(float)
+    mesh.set_texture(face_labels, is_vertex=False)
+
+    renders = list(mesh.render_flat(cams))
+    assert renders[0].shape == (100, 100, 1)
+    hit = np.isfinite(renders[0][..., 0])
+    assert hit.mean() > 0.5
+
+    # aggregate those renders back via a LookUp-style segmentor camera set
+    from geograypher_tpu.predictors.segmentors import ArraySegmentor
+    from geograypher_tpu.cameras.segmentor_set import SegmentorCameraSet
+
+    seg = ArraySegmentor([r[..., 0] for r in renders], num_classes=4)
+    seg_cams = SegmentorCameraSet(cams, seg)
+    avg, info = mesh.aggregate_projected_images(seg_cams)
+    assert avg.shape == (mesh.n_faces, 4)
+    observed = info["projection_counts"] > 0
+    pred = np.argmax(avg, axis=1).astype(float)
+    assert (pred[observed] == face_labels[observed]).mean() > 0.99
+
+
+def test_export_face_labels_vector(tmp_path):
+    mesh, (e0, n0) = make_geo_mesh(n=11, size=40.0)
+    labels = np.zeros(mesh.n_faces)
+    # label the faces in the +x half as class 1 (in UTM frame)
+    utm = mesh.get_vertices_in_CRS(SITE_UTM)
+    face_cx = utm[mesh.faces][:, :, 0].mean(axis=1)
+    labels[face_cx > e0] = 1.0
+    out_file = tmp_path / "labels.geojson"
+    vd = mesh.export_face_labels_vector(
+        labels, export_file=out_file, resolution_m=0.5
+    )
+    assert len(vd) >= 2
+    assert set(vd["class_ID"]) == {0, 1}
+    doc = json.loads(out_file.read_text())
+    assert doc["type"] == "FeatureCollection"
+    # class-1 polygons live in the +x half
+    read_back = VectorData.read_file(out_file)
+    for g, cid in zip(read_back.geometries, read_back["class_ID"]):
+        cx, _ = g.centroid
+        assert (cx > e0) == (cid == 1)
+
+
+def test_label_polygons():
+    mesh, (e0, n0) = make_geo_mesh(n=11, size=40.0)
+    utm = mesh.get_vertices_in_CRS(SITE_UTM)
+    face_cx = utm[mesh.faces][:, :, 0].mean(axis=1)
+    labels = np.where(face_cx > e0, 1.0, 0.0)
+    mesh.IDs_to_labels = {0: "left", 1: "right"}
+    polys = VectorData(
+        [
+            Polygon(np.array([[e0 - 15, n0 - 5], [e0 - 5, n0 - 5],
+                              [e0 - 5, n0 + 5], [e0 - 15, n0 + 5]])),
+            Polygon(np.array([[e0 + 5, n0 - 5], [e0 + 15, n0 - 5],
+                              [e0 + 15, n0 + 5], [e0 + 5, n0 + 5]])),
+        ],
+        epsg=SITE_UTM,
+    )
+    out = mesh.label_polygons(labels, polys, resolution_m=0.5)
+    assert out == ["left", "right"]
+
+
+def test_height_above_ground_and_ground_label(tmp_path):
+    from geograypher_tpu.utils.raster import Raster, write_geotiff
+
+    mesh, (e0, n0) = make_geo_mesh(n=9, size=40.0, z0=100.0)
+    # DTM at constant 99m over the site in UTM coords
+    dtm = Raster(
+        data=np.full((50, 50), 99.0, np.float32),
+        transform=(2.0, 0.0, e0 - 50.0, 0.0, -2.0, n0 + 50.0),
+        epsg=SITE_UTM,
+    )
+    path = tmp_path / "dtm.tif"
+    write_geotiff(path, dtm)
+    hag = mesh.get_height_above_ground(path)
+    # mesh z=100 in UTM; UTM alt carries through -> ~1m above the 99m DTM
+    assert np.allclose(hag, 1.0, atol=0.2)
+
+    mesh.set_texture(np.zeros(mesh.n_verts))
+    tex, gid = mesh.label_ground_class(path, height_above_ground_threshold=2.0)
+    assert gid == 1
+    assert (tex[:, 0] == gid).all()
+
+
+def test_save_and_reload_mesh(tmp_path):
+    mesh, _ = make_geo_mesh(n=7)
+    mesh.set_texture(np.arange(mesh.n_verts) % 2 * 255.0)
+    p = tmp_path / "mesh.ply"
+    mesh.save_mesh(p)
+    re = TexturedMesh(p, CRS=4978, raster_config=CFG)
+    assert re.n_verts == mesh.n_verts
+    assert re.n_faces == mesh.n_faces
+    assert np.allclose(re.verts, mesh.verts, atol=1e-9)
+    assert re.vertex_texture is not None  # colors round-tripped
