@@ -32,6 +32,7 @@ from __future__ import annotations
 import dataclasses
 import hashlib
 from pathlib import Path
+from typing import Callable as typing_Callable
 from typing import Dict, List, Optional, Sequence, Tuple, Union
 
 import jax
@@ -399,6 +400,51 @@ class CameraSet:
         ]
         return self.get_subset_cameras(idx)
 
+    def get_subset_every_nth(self, n: int) -> "CameraSet":
+        return self.get_subset_cameras(range(0, len(self), max(int(n), 1)))
+
+    def get_subset_ROI(
+        self,
+        ROI,
+        buffer_radius: float = 0.0,
+        is_geospatial: Optional[bool] = None,
+    ) -> "CameraSet":
+        """Cameras located within (a buffer of) the ROI geometry
+        (reference cameras.py:1207-1273).
+
+        Geospatial ROIs are compared against camera lon/lats in the ROI's
+        projected CRS; non-geospatial ROIs against local-frame locations.
+        """
+        from geograypher_tpu.utils import crs as crs_utils
+        from geograypher_tpu.utils.vector import (
+            Polygon,
+            VectorData,
+            buffer_polygons,
+        )
+
+        if isinstance(ROI, Polygon):
+            ROI = VectorData([ROI], epsg=4326 if is_geospatial else None)
+        elif not isinstance(ROI, VectorData):
+            ROI = VectorData.read_file(ROI)
+        if is_geospatial is None:
+            is_geospatial = ROI.epsg is not None
+
+        if is_geospatial:
+            ROI = ROI.ensure_projected()
+            lon_lats = self.get_lon_lat_coords()
+            lla = np.array([[ll[1], ll[0], 0.0] for ll in lon_lats])
+            pts = crs_utils.transform_points(lla, 4326, ROI.epsg)[:, :2]
+        else:
+            pts = self.get_camera_locations()[:, :2]
+
+        polys = [g for g in ROI.geometries if isinstance(g, Polygon)]
+        if buffer_radius:
+            polys = buffer_polygons(polys, buffer_radius)
+        inside = np.zeros(len(pts), dtype=bool)
+        for p in polys:
+            inside |= p.contains_points(pts)
+        return self.get_subset_cameras(np.where(inside)[0])
+
     def get_image_filename(self, index: int, absolute: bool = True):
         f = self.image_filenames[index]
         if f is None:
@@ -506,6 +552,179 @@ class CameraSet:
             batch = batch.scaled(image_scale)
         self._batch_cache[key] = batch
         return batch
+
+    # -- detection triangulation -------------------------------------------
+
+    def get_local_scale(self) -> float:
+        """Meters per local unit: cbrt of the local->ECEF determinant
+        (reference utils/geometric.py:97-113)."""
+        t = self.local_to_epsg_4978_transform
+        if t is None:
+            return 1.0
+        return float(np.cbrt(np.linalg.det(t[:3, :3])))
+
+    def calc_line_segments(
+        self,
+        detector,
+        boundaries=None,
+        ray_length_local: float = 1e3,
+        out_dir=None,
+        limit_ray_length_local: Optional[float] = None,
+        limit_angle_from_vert: Optional[float] = None,
+    ):
+        """Detection centers -> world-frame rays, filtered and clipped
+        (reference cameras.py:1483-1596).
+
+        Steps: per camera, look up detection centers, cast rays through
+        them (batched), optionally drop rays too far from vertical,
+        optionally clip between (ceiling, floor) covering meshes, and
+        optionally cap the length from the origin.
+        """
+        from geograypher_tpu.cameras.core import pixel_rays as _pixel_rays
+
+        all_starts, all_ends, all_ids = [], [], []
+        for cam_ind in range(len(self)):
+            fname = str(self.get_image_filename(cam_ind))
+            centers = np.asarray(detector.get_detection_centers(fname))
+            if centers.size == 0:
+                continue
+            batch = self.get_camera_batch([cam_ind])
+            starts, ends = _pixel_rays(
+                batch,
+                jnp.asarray(centers[None], jnp.float32),
+                line_length=ray_length_local,
+            )
+            starts = np.asarray(starts)[0]
+            ends = np.asarray(ends)[0]
+            all_starts.append(starts)
+            all_ends.append(ends)
+            all_ids.append(np.full(len(starts), cam_ind))
+        if not all_starts:
+            data = {
+                "ray_starts": np.zeros((0, 3)),
+                "ray_ends": np.zeros((0, 3)),
+                "ray_IDs": np.zeros((0,), int),
+            }
+        else:
+            starts = np.concatenate(all_starts)
+            ends = np.concatenate(all_ends)
+            ids = np.concatenate(all_ids)
+            keep = np.ones(len(starts), dtype=bool)
+            if limit_angle_from_vert is not None:
+                dirs = ends - starts
+                dirs = dirs / np.linalg.norm(dirs, axis=1, keepdims=True)
+                angle = np.arccos(np.clip(-dirs[:, 2], -1.0, 1.0))
+                keep &= angle <= limit_angle_from_vert
+            starts, ends, ids = starts[keep], ends[keep], ids[keep]
+            if boundaries is not None:
+                from geograypher_tpu.ops.raycast import clip_line_segments
+
+                (ceil_v, ceil_f), (floor_v, floor_f) = boundaries
+                origins = starts.copy()
+                starts, ends, valid = clip_line_segments(
+                    starts, ends, ceil_v[ceil_f], floor_v[floor_f]
+                )
+                if limit_ray_length_local is not None:
+                    length = np.linalg.norm(ends - origins, axis=1)
+                    valid &= length <= limit_ray_length_local
+                starts, ends, ids = starts[valid], ends[valid], ids[valid]
+            data = {"ray_starts": starts, "ray_ends": ends, "ray_IDs": ids}
+        if out_dir is not None:
+            path = Path(out_dir) / "line_segments.npz"
+            np.savez(path, **data)
+            return path
+        return data
+
+    def triangulate_detections(
+        self,
+        detector,
+        ray_length_meters: float = 1e3,
+        boundaries=None,
+        limit_ray_length_meters: Optional[float] = None,
+        limit_angle_from_vert: Optional[float] = None,
+        similarity_threshold_meters: float = 0.1,
+        transform: Optional[typing_Callable] = None,
+        louvain_resolution: float = 1.0,
+        out_dir: Optional[PATH_TYPE] = None,
+    ) -> np.ndarray:
+        """Per-image detections -> triangulated 3D object locations
+        (reference cameras.py:1275-1480): rays -> pairwise-intersection
+        graph -> Louvain communities -> per-community triangulation.
+
+        File-cached per stage in ``out_dir`` (line_segments.npz,
+        edge_weights.json, communities.npz), resuming like the reference.
+        Returns (M, 3) (lat, lon, alt) when georeferenced, else local
+        points.
+        """
+        import json
+
+        from geograypher_tpu.ops.triangulate import (
+            calc_communities,
+            calc_graph_weights,
+        )
+
+        if out_dir is not None:
+            out_dir = Path(out_dir)
+            out_dir.mkdir(parents=True, exist_ok=True)
+        scale = self.get_local_scale()
+
+        seg_path = out_dir / "line_segments.npz" if out_dir else None
+        if seg_path is not None and seg_path.is_file():
+            data = dict(np.load(seg_path))
+        else:
+            data = self.calc_line_segments(
+                detector,
+                boundaries=boundaries,
+                ray_length_local=ray_length_meters / scale,
+                limit_ray_length_local=(
+                    limit_ray_length_meters / scale
+                    if limit_ray_length_meters is not None
+                    else None
+                ),
+                limit_angle_from_vert=limit_angle_from_vert,
+                out_dir=out_dir,
+            )
+            if out_dir is not None:
+                data = dict(np.load(data))
+
+        starts, ends, ray_IDs = (
+            data["ray_starts"],
+            data["ray_ends"],
+            data["ray_IDs"],
+        )
+        edges_path = out_dir / "edge_weights.json" if out_dir else None
+        if edges_path is not None and edges_path.is_file():
+            edge_weights = [tuple(e) for e in json.load(open(edges_path))]
+        else:
+            edge_weights = calc_graph_weights(
+                starts,
+                ends,
+                ray_IDs,
+                similarity_threshold=similarity_threshold_meters / scale,
+                transform=transform,
+                out_dir=out_dir,
+            )
+            if out_dir is not None:
+                edge_weights = [tuple(e) for e in json.load(open(edge_weights))]
+
+        comm_path = out_dir / "communities.npz" if out_dir else None
+        if comm_path is not None and comm_path.is_file():
+            result = dict(np.load(comm_path))
+        else:
+            result = calc_communities(
+                starts,
+                ends,
+                edge_weights,
+                louvain_resolution=louvain_resolution,
+                transform_to_epsg_4978=self.local_to_epsg_4978_transform,
+                out_dir=out_dir,
+            )
+            if out_dir is not None:
+                result = dict(np.load(result))
+
+        if "community_points_latlon" in result:
+            return result["community_points_latlon"]
+        return result["community_points"]
 
     # -- images -----------------------------------------------------------
 

@@ -963,6 +963,67 @@ class TexturedMesh:
                 out = data
             cv2.imwrite(str(out_path), out)
 
+    def export_covering_meshes(
+        self,
+        N: int,
+        z_buffer: tuple = (0.0, 0.0),
+        subsample: typing.Optional[int] = None,
+        frame_transform: typing.Optional[np.ndarray] = None,
+    ):
+        """Ceiling/floor covering surfaces over the mesh footprint
+        (reference meshes.py:2366-2447): an (N, N) grid of the per-cell
+        max/min z, returned as (verts, faces) triangle meshes.
+
+        ``frame_transform`` (local->ECEF 4x4) evaluates the covering in a
+        camera set's local frame (the triangulation workflow's frame).
+
+        Returns ((top_verts, top_faces), (bottom_verts, bottom_faces)).
+        """
+        if frame_transform is not None:
+            points = self.get_verts_in_local_frame(frame_transform)
+        else:
+            points = self.verts
+        if subsample is not None:
+            points = points[::subsample]
+        if len(points) == 0:
+            empty = (np.zeros((0, 3)), np.zeros((0, 3), np.int32))
+            return empty, empty
+        x_min, y_min = points[:, 0].min(), points[:, 1].min()
+        x_max, y_max = points[:, 0].max(), points[:, 1].max()
+        cw = max((x_max - x_min) / (N - 1), 1e-9)
+        ch = max((y_max - y_min) / (N - 1), 1e-9)
+        ix = np.clip(np.round((points[:, 0] - x_min) / cw).astype(int), 0, N - 1)
+        iy = np.clip(np.round((points[:, 1] - y_min) / ch).astype(int), 0, N - 1)
+        cell = iy * N + ix
+        z_hi = np.full(N * N, -np.inf)
+        z_lo = np.full(N * N, np.inf)
+        np.maximum.at(z_hi, cell, points[:, 2])
+        np.minimum.at(z_lo, cell, points[:, 2])
+        # Empty cells take the global extremes (conservative cover)
+        z_hi[~np.isfinite(z_hi)] = points[:, 2].max()
+        z_lo[~np.isfinite(z_lo)] = points[:, 2].min()
+        z_hi = z_hi.reshape(N, N) + z_buffer[0]
+        z_lo = z_lo.reshape(N, N) + z_buffer[1]
+
+        xs = np.linspace(x_min, x_max, N)
+        ys = np.linspace(y_min, y_max, N)
+        xx, yy = np.meshgrid(xs, ys, indexing="xy")
+        iy_g, ix_g = np.meshgrid(np.arange(N - 1), np.arange(N - 1), indexing="ij")
+        v00 = (iy_g * N + ix_g).ravel()
+        tri_a = np.stack([v00, v00 + 1, v00 + N + 1], axis=1)
+        tri_b = np.stack([v00, v00 + N + 1, v00 + N], axis=1)
+        faces = np.concatenate([tri_a, tri_b], axis=1).reshape(-1, 3).astype(np.int32)
+
+        top = (
+            np.stack([xx.ravel(), yy.ravel(), z_hi.ravel()], axis=1),
+            faces,
+        )
+        bottom = (
+            np.stack([xx.ravel(), yy.ravel(), z_lo.ravel()], axis=1),
+            faces.copy(),
+        )
+        return top, bottom
+
     def save_mesh(self, savepath: PATH_TYPE, write_texture: bool = True):
         from geograypher_tpu.utils.meshio import save_mesh
 

@@ -1,0 +1,119 @@
+"""Sparse aggregation for huge discrete label spaces.
+
+Port of the reference's ``TexturedPhotogrammetryMeshIndexPredictions``
+(/root/reference/geograypher/meshes/derived_meshes.py:414-550): when the
+"classes" are per-detection instances or per-image ids (tens of thousands
+to millions), a dense (faces x classes) accumulator is infeasible.
+
+TPU-native design: each view's pix2face + detection-index image reduce to
+COO (face, class, count) triples via one on-device sort-free segment-sum
+over the PER-VIEW compact class set (each image only contains a handful of
+detections), and the host accumulates scipy CSR across views.
+"""
+
+from __future__ import annotations
+
+import typing
+
+import numpy as np
+import scipy.sparse
+
+import jax.numpy as jnp
+
+from geograypher_tpu.cameras.core import CameraSet
+from geograypher_tpu.meshes.mesh import TexturedMesh
+from geograypher_tpu.ops.aggregate import project_image_class_counts
+
+
+def aggregate_index_predictions(
+    mesh: TexturedMesh,
+    cameras: CameraSet,
+    n_classes: int,
+    aggregate_img_scale: float = 1.0,
+    check_null_image: bool = True,
+    **pix2face_kwargs,
+) -> typing.Tuple[scipy.sparse.csr_array, np.ndarray]:
+    """Accumulate sparse per-face class counts across views.
+
+    Args:
+        mesh: the textured mesh.
+        cameras: camera set whose images are detection-index rasters
+            (NaN = background, else global class/detection index).
+        n_classes: total number of global classes/detections.
+
+    Returns:
+        counts: (n_faces, n_classes) CSR of pixel counts
+        faces_seen: (n_faces,) number of views seeing each face
+    """
+    n_faces = mesh.n_faces
+    rows, cols, vals = [], [], []
+    faces_seen = np.zeros(n_faces)
+    for i in range(len(cameras)):
+        img = cameras.get_image_by_index(i, aggregate_img_scale)
+        img = np.asarray(img, dtype=np.float64)
+        if img.ndim == 3:
+            img = img[..., 0]
+        finite = np.isfinite(img)
+        if check_null_image and not finite.any():
+            continue
+        p2f = mesh.pix2face(
+            cameras, [i], render_img_scale=aggregate_img_scale,
+            **pix2face_kwargs,
+        )[0]
+        # remap this view's classes to a compact local set
+        local_classes = np.unique(img[finite]).astype(np.int64)
+        lut = {c: k for k, c in enumerate(local_classes)}
+        local_img = np.full(img.shape, -1, np.int32)
+        local_img[finite] = [lut[c] for c in img[finite].astype(np.int64)]
+        counts = np.asarray(
+            project_image_class_counts(
+                jnp.asarray(p2f),
+                jnp.asarray(local_img),
+                n_faces=n_faces,
+                n_classes=max(len(local_classes), 1),
+            )
+        )
+        f_idx, c_idx = np.nonzero(counts)
+        rows.append(f_idx)
+        cols.append(local_classes[c_idx])
+        vals.append(counts[f_idx, c_idx])
+        faces_seen_view = np.zeros(n_faces, bool)
+        faces_seen_view[np.unique(p2f[p2f >= 0])] = True
+        faces_seen += faces_seen_view
+    if rows:
+        counts = scipy.sparse.csr_array(
+            (
+                np.concatenate(vals),
+                (np.concatenate(rows), np.concatenate(cols)),
+            ),
+            shape=(n_faces, n_classes),
+        )
+    else:
+        counts = scipy.sparse.csr_array((n_faces, n_classes))
+    return counts, faces_seen
+
+
+def normalize_sparse_counts(
+    counts: scipy.sparse.csr_array, faces_seen: np.ndarray
+) -> scipy.sparse.csr_array:
+    """Per-face reciprocal normalization (reference
+    derived_meshes.py:522-548): each face's counts divided by its total."""
+    totals = np.asarray(counts.sum(axis=1)).reshape(-1)
+    inv = np.zeros_like(totals)
+    nz = totals > 0
+    inv[nz] = 1.0 / totals[nz]
+    d = scipy.sparse.diags_array(inv)
+    return (d @ counts).tocsr()
+
+
+def sparse_argmax(counts: scipy.sparse.csr_array) -> np.ndarray:
+    """Per-face argmax class over a CSR count matrix; NaN for empty rows."""
+    counts = counts.tocsr()
+    out = np.full(counts.shape[0], np.nan)
+    indptr = counts.indptr
+    for f in range(counts.shape[0]):
+        s, e = indptr[f], indptr[f + 1]
+        if e > s:
+            seg = counts.data[s:e]
+            out[f] = counts.indices[s:e][np.argmax(seg)]
+    return out

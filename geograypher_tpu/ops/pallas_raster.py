@@ -62,8 +62,15 @@ def _prep_level_slab(cand: jax.Array, planes_ext: jax.Array, n_faces: int):
         axis=-1,
     )  # (T, Cp, 3)
     full = jnp.concatenate([p, id_plane], axis=-1)  # (T, Cp, 15)
-    # -> (T, coef=3, plane=5, Cp) -> (T, 3, 5*Cp)
-    slab = full.reshape(t, cp, 5, 3).transpose(0, 3, 2, 1).reshape(t, 3, 5 * cp)
+    # Chunk-interleaved layout: per 128-candidate chunk, plane blocks
+    # [e0|e1|e2|w|id] of 128 columns each, so the kernel evaluates all five
+    # planes of a chunk with a single (3, 640) x (3, npix) contraction.
+    nch = cp // CHUNK
+    slab = (
+        full.reshape(t, nch, CHUNK, 5, 3)
+        .transpose(0, 4, 1, 3, 2)  # (T, coef, chunk, plane, cand)
+        .reshape(t, 3, nch * 5 * CHUNK)
+    )
     counts = jnp.sum(cand >= 0, axis=1, dtype=jnp.int32).reshape(t, 1)
     return slab, counts
 
@@ -101,25 +108,25 @@ def _make_kernel(
 
         def level(slab_ref, cnt_ref, tile_idx, carry):
             best_w, best_id = carry
-            cp = slab_ref.shape[-1] // 5
             cnt = cnt_ref[tile_idx]
             n_chunks = (cnt + CHUNK - 1) // CHUNK
 
             def chunk(ci, carry):
                 best_w, best_id = carry
-                off = pl.multiple_of(ci * CHUNK, CHUNK)
-
-                def plane(k):
-                    block = slab_ref[0, :, pl.ds(k * cp + off, CHUNK)]  # (3, CHUNK)
-                    return jax.lax.dot_general(
-                        block,
-                        pmat,
-                        (((0,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST,
-                    )  # (CHUNK, npix)
-
-                e0, e1, e2, wv, idv = (plane(k) for k in range(5))
+                off = pl.multiple_of(ci * (5 * CHUNK), 5 * CHUNK)
+                block = slab_ref[0, :, pl.ds(off, 5 * CHUNK)]  # (3, 5*CHUNK)
+                vals = jax.lax.dot_general(
+                    block,
+                    pmat,
+                    (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )  # (5*CHUNK, npix), plane-major blocks of CHUNK rows
+                e0 = vals[0 * CHUNK : 1 * CHUNK]
+                e1 = vals[1 * CHUNK : 2 * CHUNK]
+                e2 = vals[2 * CHUNK : 3 * CHUNK]
+                wv = vals[3 * CHUNK : 4 * CHUNK]
+                idv = vals[4 * CHUNK : 5 * CHUNK]
                 covered = (e0 >= 0) & (e1 >= 0) & (e2 >= 0)
                 wm = jnp.where(covered, wv, NEG_INF)
                 cmax = jnp.max(wm, axis=0, keepdims=True)  # (1, npix)

@@ -216,14 +216,18 @@ def bin_triangles(
     level = jnp.where(fits0, 0, jnp.where(fits1, 1, jnp.where(fits2, 2, 3)))
 
     def pick(field_idx):
-        stacked = jnp.stack([pl[field_idx] for pl in per_level], axis=1)  # (F, 3)
-        return jnp.take_along_axis(
-            stacked, jnp.minimum(level, 2)[:, None], axis=1
-        )[:, 0]
+        # elementwise 3-way select (cheaper than a gather on TPU)
+        a, b, c = (pl[field_idx] for pl in per_level)
+        return jnp.where(fits0, a, jnp.where(fits1, b, c))
 
     ty0_s, ty1_s, tx0_s, tx1_s = (pick(i) for i in range(4))
-    base_s = jnp.asarray(level_base, jnp.int32)[jnp.minimum(level, 2)]
-    ntx_s = jnp.asarray([g[1] for g in grids], jnp.int32)[jnp.minimum(level, 2)]
+    lb = level_base
+    base_s = jnp.where(
+        fits0, lb[0], jnp.where(fits1, lb[1], lb[2])
+    ).astype(jnp.int32)
+    ntx_s = jnp.where(
+        fits0, grids[0][1], jnp.where(fits1, grids[1][1], grids[2][1])
+    ).astype(jnp.int32)
     at_l3 = level == 3
 
     # <= 4 (key, face) pairs per face: the 2x2 tile window at its level,
@@ -435,13 +439,19 @@ def transform_to_camera(tri_verts: jax.Array, world_to_cam: jax.Array) -> jax.Ar
     rot = world_to_cam[:3, :3]
     t = world_to_cam[:3, 3]
     flat = tri_verts.reshape(-1, 3)
-    rotated = jax.lax.dot_general(
-        flat,
-        rot,
-        (((1,), (1,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
+    # Elementwise 3x3 rotate: exact f32 on the VPU, avoiding the MXU's
+    # bf16-rounded f32 matmul (and the 6-pass HIGHEST workaround) for a
+    # K=3 contraction the MXU can't use efficiently anyway.
+    x, y, z = flat[:, 0], flat[:, 1], flat[:, 2]
+    out = jnp.stack(
+        [
+            rot[0, 0] * x + rot[0, 1] * y + rot[0, 2] * z + t[0],
+            rot[1, 0] * x + rot[1, 1] * y + rot[1, 2] * z + t[1],
+            rot[2, 0] * x + rot[2, 1] * y + rot[2, 2] * z + t[2],
+        ],
+        axis=1,
     )
-    return (rotated + t).reshape(tri_verts.shape)
+    return out.reshape(tri_verts.shape)
 
 
 def rasterize_batch(

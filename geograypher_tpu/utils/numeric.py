@@ -45,11 +45,15 @@ def quaternion_wxyz_to_matrix(q) -> np.ndarray:
 
 
 def rotation_rpy_to_matrix(roll: float, pitch: float, yaw: float) -> np.ndarray:
-    """Intrinsic x-y-z (roll, pitch, yaw) Euler rotation, degrees.
+    """Camera-frame roll/pitch/yaw rotation, degrees.
 
-    Equivalent to scipy's ``Rotation.from_euler("xyz", [r, p, y],
-    degrees=True)`` used by the rig-camera synthesis
-    (reference utils/image.py:29-70).
+    Matches the reference's ``rotate_by_roll_pitch_yaw``
+    (utils/image.py:29-70): RPY is defined in the aeronautics frame
+    (X forward, Z down) and conjugated into the camera frame (x right,
+    y down, z forward) by the permutation X_rpy = Z_cam, Y_rpy = X_cam,
+    Z_rpy = -Y_cam.  Net effect: +yaw pans the view toward +x (image
+    right), +pitch tilts toward +y (image down), roll spins about the
+    optical axis.
     """
     r, p, y = np.deg2rad([roll, pitch, yaw])
     cr, sr = np.cos(r), np.sin(r)
@@ -58,8 +62,10 @@ def rotation_rpy_to_matrix(roll: float, pitch: float, yaw: float) -> np.ndarray:
     rx = np.array([[1, 0, 0], [0, cr, -sr], [0, sr, cr]])
     ry = np.array([[cp, 0, sp], [0, 1, 0], [-sp, 0, cp]])
     rz = np.array([[cy, -sy, 0], [sy, cy, 0], [0, 0, 1]])
-    # intrinsic xyz == extrinsic zyx composition
-    return rz @ ry @ rx
+    # intrinsic ZYX (yaw, pitch, roll) in the RPY frame
+    r_zyx = rz @ ry @ rx
+    perm = np.array([[0, 0, 1], [1, 0, 0], [0, -1, 0]], dtype=float)
+    return perm.T @ r_zyx @ perm
 
 
 def chunk_slices(

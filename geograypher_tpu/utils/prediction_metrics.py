@@ -1,0 +1,147 @@
+"""Evaluation metrics for geospatial predictions.
+
+Counterpart of /root/reference/geograypher/utils/prediction_metrics.py:
+confusion matrices between predicted and ground-truth maps (raster or
+vector), accuracy, and class-averaged precision/recall.  Vector-vs-vector
+comparison rasterizes both layers onto a common grid so the pixel joint
+histogram approximates the reference's polygon-intersection-area matrix
+(cf_from_vector_vector, reference :95-145).
+"""
+
+from __future__ import annotations
+
+import typing
+from pathlib import Path
+
+import numpy as np
+
+from geograypher_tpu.constants import PATH_TYPE
+
+
+def check_if_raster(filename: PATH_TYPE) -> bool:
+    """Classify a geodata file as raster or vector (reference :27-35)."""
+    suffix = Path(filename).suffix.lower()
+    if suffix in (".tif", ".tiff"):
+        return True
+    if suffix in (".geojson", ".json", ".gpkg", ".shp"):
+        return False
+    raise ValueError(f"Unknown geodata extension {suffix}")
+
+
+def cf_from_vector_vector(
+    predicted,
+    true,
+    column_name: str,
+    class_names: typing.Optional[list] = None,
+    grid: int = 2048,
+    include_unlabeled: bool = True,
+):
+    """Confusion matrix weighted by intersection area between two polygon
+    layers (reference :95-145), via common-grid rasterization.
+
+    Returns (cf (C[+1], C[+1]) areas, class_names).  The trailing
+    row/column is the unlabeled class when requested.
+    """
+    from geograypher_tpu.utils.vector import VectorData, rasterize_polygons
+
+    if not isinstance(predicted, VectorData):
+        predicted = VectorData.read_file(predicted)
+    if not isinstance(true, VectorData):
+        true = VectorData.read_file(true)
+    if predicted.epsg is not None:
+        predicted = predicted.ensure_projected()
+        if true.epsg is not None:
+            true = true.to_crs(predicted.epsg)
+
+    if class_names is None:
+        vals = set(predicted.attributes.get(column_name, [])) | set(
+            true.attributes.get(column_name, [])
+        )
+        class_names = sorted({v for v in vals if v is not None}, key=str)
+    name_to_id = {c: i for i, c in enumerate(class_names)}
+    n = len(class_names)
+
+    bounds = true.total_bounds()
+    px0, py0, px1, py1 = predicted.total_bounds()
+    bounds = (
+        min(bounds[0], px0), min(bounds[1], py0),
+        max(bounds[2], px1), max(bounds[3], py1),
+    )
+    area_per_px = ((bounds[2] - bounds[0]) / grid) * ((bounds[3] - bounds[1]) / grid)
+
+    def burn(vd):
+        vals = [
+            name_to_id.get(v, n)
+            for v in vd.attributes.get(column_name, [None] * len(vd))
+        ]
+        return rasterize_polygons(
+            vd.geometries, vals, bounds, (grid, grid), background=n
+        )
+
+    pred_img = burn(predicted)
+    true_img = burn(true)
+    size = n + 1 if include_unlabeled else n
+    mask = np.ones_like(pred_img, bool)
+    if not include_unlabeled:
+        mask = (pred_img < n) & (true_img < n)
+    flat = true_img[mask] * size + pred_img[mask]
+    cf = np.bincount(flat, minlength=size * size).reshape(size, size).astype(float)
+    cf *= area_per_px
+    return cf, class_names
+
+
+def compute_confusion_matrix_from_geospatial(
+    prediction_file: PATH_TYPE,
+    groundtruth_file: PATH_TYPE,
+    column_name: str,
+    class_names: typing.Optional[list] = None,
+    grid: int = 2048,
+):
+    """Dispatch raster/vector comparison (reference :147-230).  Raster
+    inputs are compared pixelwise after resampling to the coarser grid."""
+    pred_is_raster = check_if_raster(prediction_file)
+    true_is_raster = check_if_raster(groundtruth_file)
+    if not pred_is_raster and not true_is_raster:
+        return cf_from_vector_vector(
+            prediction_file, groundtruth_file, column_name,
+            class_names=class_names, grid=grid,
+        )
+    if pred_is_raster and true_is_raster:
+        from geograypher_tpu.utils.raster import read_geotiff
+
+        pred = read_geotiff(prediction_file)
+        true = read_geotiff(groundtruth_file)
+        h = min(pred.data.shape[0], true.data.shape[0])
+        w = min(pred.data.shape[1], true.data.shape[1])
+        p = pred.data[:h, :w].astype(int)
+        t = true.data[:h, :w].astype(int)
+        if class_names is None:
+            class_names = sorted(set(np.unique(p)) | set(np.unique(t)))
+        n = len(class_names)
+        lut = {c: i for i, c in enumerate(class_names)}
+        pi = np.vectorize(lambda v: lut.get(v, n))(p)
+        ti = np.vectorize(lambda v: lut.get(v, n))(t)
+        ok = (pi < n) & (ti < n)
+        cf = np.bincount(
+            ti[ok] * n + pi[ok], minlength=n * n
+        ).reshape(n, n).astype(float)
+        return cf, class_names
+    raise NotImplementedError("Mixed raster/vector comparison")
+
+
+def compute_comprehensive_metrics(cf: np.ndarray) -> dict:
+    """Accuracy + class-averaged precision/recall from a confusion matrix
+    (true on rows, predicted on columns; reference :293-335)."""
+    cf = np.asarray(cf, dtype=float)
+    total = cf.sum()
+    accuracy = np.trace(cf) / total if total else np.nan
+    with np.errstate(invalid="ignore", divide="ignore"):
+        recall = np.diag(cf) / cf.sum(axis=1)
+        precision = np.diag(cf) / cf.sum(axis=0)
+    return {
+        "accuracy": float(accuracy),
+        "per_class_recall": recall,
+        "per_class_precision": precision,
+        "class_averaged_recall": float(np.nanmean(recall)),
+        "class_averaged_precision": float(np.nanmean(precision)),
+    }

@@ -1,0 +1,144 @@
+"""Vector engine (polygons, GeoJSON/GPKG IO, rasterize/vectorize) and
+GeoTIFF raster IO tests."""
+
+import json
+import sqlite3
+import struct
+
+import numpy as np
+import pytest
+
+from geograypher_tpu.utils.raster import Raster, read_geotiff, write_geotiff
+from geograypher_tpu.utils.vector import (
+    Polygon,
+    VectorData,
+    buffer_polygons,
+    polygons_from_mask,
+    rasterize_polygons,
+    union_all,
+)
+
+
+def square(x0, y0, size):
+    return Polygon(
+        np.array(
+            [[x0, y0], [x0 + size, y0], [x0 + size, y0 + size], [x0, y0 + size]]
+        )
+    )
+
+
+def test_polygon_basics():
+    p = square(0, 0, 2)
+    assert np.isclose(p.area, 4.0)
+    assert p.bounds == (0, 0, 2, 2)
+    assert np.allclose(p.centroid, (1, 1))
+    pts = np.array([[1, 1], [3, 1], [-0.1, 0.5], [1.99, 1.99]])
+    assert p.contains_points(pts).tolist() == [True, False, False, True]
+
+
+def test_polygon_with_hole():
+    outer = np.array([[0, 0], [4, 0], [4, 4], [0, 4]], float)
+    hole = np.array([[1, 1], [3, 1], [3, 3], [1, 3]], float)
+    p = Polygon(outer, [hole])
+    assert np.isclose(p.area, 16 - 4)
+    assert not p.contains_points(np.array([[2.0, 2.0]]))[0]
+    assert p.contains_points(np.array([[0.5, 0.5]]))[0]
+
+
+def test_geojson_roundtrip(tmp_path):
+    vd = VectorData(
+        [square(0, 0, 1), square(5, 5, 2)],
+        {"name": ["a", "b"], "value": [1, 2]},
+        epsg=32611,
+    )
+    path = tmp_path / "t.geojson"
+    vd.to_file(path)
+    back = VectorData.read_file(path)
+    assert len(back) == 2
+    assert back.epsg == 32611
+    assert back["name"] == ["a", "b"]
+    assert np.allclose(back.geometries[1].exterior, vd.geometries[1].exterior)
+
+
+def test_gpkg_read(tmp_path):
+    """Write a minimal GeoPackage by hand (sqlite + WKB) and read it."""
+    path = tmp_path / "t.gpkg"
+    con = sqlite3.connect(path)
+    con.execute(
+        "CREATE TABLE gpkg_geometry_columns (table_name TEXT, column_name "
+        "TEXT, geometry_type_name TEXT, srs_id INTEGER, z TINYINT, m TINYINT)"
+    )
+    con.execute(
+        "INSERT INTO gpkg_geometry_columns VALUES ('feats', 'geom', "
+        "'POLYGON', 32611, 0, 0)"
+    )
+    con.execute("CREATE TABLE feats (geom BLOB, label TEXT)")
+    # WKB polygon: little endian, type 3, 1 ring, 5 points
+    ring = [(0, 0), (2, 0), (2, 2), (0, 2), (0, 0)]
+    wkb = struct.pack("<BII", 1, 3, 1) + struct.pack("<I", len(ring))
+    for x, y in ring:
+        wkb += struct.pack("<dd", float(x), float(y))
+    blob = b"GP" + bytes([0, 1]) + struct.pack("<i", 32611) + wkb
+    con.execute("INSERT INTO feats VALUES (?, 'tree')", (blob,))
+    con.commit()
+    con.close()
+    vd = VectorData.read_file(path)
+    assert len(vd) == 1
+    assert vd.epsg == 32611
+    assert vd["label"] == ["tree"]
+    assert np.isclose(vd.geometries[0].area, 4.0)
+
+
+def test_rasterize_vectorize_roundtrip():
+    polys = [square(10, 10, 30), square(60, 50, 20)]
+    bounds = (0, 0, 100, 100)
+    img = rasterize_polygons(polys, [1, 1], bounds, (200, 200), 0)
+    assert (img == 1).sum() > 0
+    out = polygons_from_mask(img > 0, bounds)
+    assert len(out) == 2
+    areas = sorted(p.area for p in out)
+    assert abs(areas[0] - 400) / 400 < 0.15
+    assert abs(areas[1] - 900) / 900 < 0.15
+
+
+def test_union_and_buffer():
+    merged = union_all([square(0, 0, 2), square(1, 0, 2)])
+    assert len(merged) == 1
+    assert abs(merged[0].area - 6.0) / 6.0 < 0.05
+    buffered = buffer_polygons([square(0, 0, 2)], 1.0)
+    assert len(buffered) == 1
+    assert buffered[0].area > 4.0
+
+
+def test_geotiff_roundtrip(tmp_path):
+    data = np.arange(20 * 30, dtype=np.float32).reshape(20, 30)
+    r = Raster(
+        data=data,
+        transform=(2.0, 0.0, 1000.0, 0.0, -2.0, 5000.0),
+        epsg=32611,
+        nodata=-1.0,
+    )
+    path = tmp_path / "t.tif"
+    write_geotiff(path, r)
+    back = read_geotiff(path)
+    assert back.epsg == 32611
+    assert np.allclose(back.transform, r.transform)
+    assert np.allclose(back.data, data)
+    assert back.nodata == -1.0
+    # sampling: pixel (0, 0) center is at (1001, 4999)
+    val = back.sample(np.array([1001.0]), np.array([4999.0]))
+    assert np.isclose(val[0], data[0, 0])
+    # out of bounds -> NaN
+    assert np.isnan(back.sample(np.array([0.0]), np.array([0.0]))[0])
+
+
+def test_crs_transform_of_vector():
+    vd = VectorData([square(499000, 4000000, 1000)], epsg=32611)
+    geo = vd.to_crs(4326)
+    assert geo.epsg == 4326
+    lon, lat = geo.geometries[0].centroid
+    assert -118 < lon < -116 and 30 < lat < 40
+    back = geo.to_crs(32611)
+    assert np.allclose(
+        back.geometries[0].exterior, vd.geometries[0].exterior, atol=1e-6
+    )
