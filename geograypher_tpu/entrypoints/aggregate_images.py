@@ -120,7 +120,7 @@ def aggregate_images(
 
     import jax.numpy as jnp
 
-    predicted_face_classes = np.asarray(
+    predicted_face_classes = np.array(
         find_argmax_nonzero_value(
             jnp.asarray(np.nan_to_num(average_projections), jnp.float32)
         )
