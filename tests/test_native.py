@@ -1,0 +1,57 @@
+"""Native C++ module tests: builds with the local toolchain, RLE codec
+round-trips, PLY fast path agrees with the pure-Python reader."""
+
+import numpy as np
+import pytest
+
+from geograypher_tpu import native
+
+
+@pytest.fixture(scope="module")
+def lib():
+    lib = native.get_lib()
+    if lib is None:
+        pytest.skip("native toolchain unavailable")
+    return lib
+
+
+def test_rle_roundtrip(lib):
+    rng = np.random.default_rng(0)
+    # runs typical of a pix2face map
+    runs = rng.integers(1, 50, 2000)
+    vals = rng.integers(-1, 10000, 2000).astype(np.int32)
+    arr = np.repeat(vals, runs)
+    enc = native.rle_encode(arr)
+    assert enc is not None
+    assert len(enc) < arr.nbytes / 4  # real compression on run-y data
+    dec = native.rle_decode(enc, arr.size)
+    assert (dec == arr).all()
+
+
+def test_rle_worst_case(lib):
+    arr = np.arange(1000, dtype=np.int32)  # no runs at all
+    enc = native.rle_encode(arr)
+    dec = native.rle_decode(enc, arr.size)
+    assert (dec == arr).all()
+
+
+def test_fastply_matches_python_reader(lib, tmp_path):
+    from geograypher_tpu.utils.fixtures import make_grid_mesh
+    from geograypher_tpu.utils.meshio import _load_ply, load_mesh, save_mesh
+
+    verts, faces = make_grid_mesh(n=13, size=4.0, z_fn=lambda x, y: x * y)
+    colors = (np.arange(verts.shape[0] * 3) % 255).reshape(-1, 3).astype(np.uint8)
+    path = tmp_path / "m.ply"
+    save_mesh(path, verts, faces, vert_colors=colors)
+
+    fast = native.fastply.load_ply(str(path))
+    assert fast is not None
+    fv, ff, fattrs = fast
+    pv, pf, pattrs = _load_ply(path)
+    assert np.allclose(fv, pv)
+    assert (ff == pf).all()
+    assert (fattrs["colors"] == pattrs["colors"]).all()
+
+    # load_mesh dispatches to the fast path transparently
+    lv, lf, _ = load_mesh(path)
+    assert np.allclose(lv, verts)
