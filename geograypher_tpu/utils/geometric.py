@@ -1,0 +1,43 @@
+"""Small geometric helpers (counterpart of reference utils/geometric.py).
+
+The heavy pieces of the reference module moved to dedicated device ops:
+``batched_unary_union`` -> raster union (utils/vector.union_all),
+``clip_line_segments`` (Embree) -> ops/raycast.clip_line_segments.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def get_scale_from_transform(transform: np.ndarray) -> float:
+    """Isotropic scale of a 4x4: cbrt of the rotation block determinant
+    (reference geometric.py:97-113)."""
+    if transform is None:
+        return 1.0
+    return float(np.cbrt(np.linalg.det(np.asarray(transform)[:3, :3])))
+
+
+def angle_between(v1: np.ndarray, v2: np.ndarray) -> np.ndarray:
+    """Angle(s) in radians between vectors, vectorized over leading dims
+    (reference geometric.py:115-134)."""
+    v1 = np.asarray(v1, dtype=np.float64)
+    v2 = np.asarray(v2, dtype=np.float64)
+    n1 = np.linalg.norm(v1, axis=-1)
+    n2 = np.linalg.norm(v2, axis=-1)
+    dot = np.sum(v1 * v2, axis=-1)
+    cos = np.clip(dot / np.maximum(n1 * n2, 1e-300), -1.0, 1.0)
+    return np.arccos(cos)
+
+
+def orthogonal_projection(v1: np.ndarray, v2: np.ndarray) -> np.ndarray:
+    """Projection of v1 onto v2."""
+    v2 = np.asarray(v2, dtype=np.float64)
+    denom = np.sum(v2 * v2, axis=-1, keepdims=True)
+    return v2 * np.sum(np.asarray(v1) * v2, axis=-1, keepdims=True) / denom
+
+
+def projection_onto_plane(v: np.ndarray, normal: np.ndarray) -> np.ndarray:
+    """Component of v in the plane with the given normal
+    (reference geometric.py:136-142)."""
+    return np.asarray(v, dtype=np.float64) - orthogonal_projection(v, normal)

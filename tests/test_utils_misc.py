@@ -1,0 +1,92 @@
+"""geometric / indexing / visualization / profiling utility tests."""
+
+import numpy as np
+import pytest
+
+from geograypher_tpu.utils.geometric import (
+    angle_between,
+    get_scale_from_transform,
+    projection_onto_plane,
+)
+from geograypher_tpu.utils.indexing import (
+    determine_IDs_to_labels,
+    find_argmax_nonzero_value,
+    inverse_map_interpolation,
+)
+
+
+def test_scale_from_transform():
+    t = np.eye(4)
+    t[:3, :3] *= 2.5
+    assert np.isclose(get_scale_from_transform(t), 2.5)
+    assert get_scale_from_transform(None) == 1.0
+
+
+def test_angle_between():
+    assert np.isclose(angle_between([1, 0, 0], [0, 1, 0]), np.pi / 2)
+    assert np.isclose(angle_between([1, 0, 0], [1, 0, 0]), 0.0)
+    v1 = np.array([[1, 0, 0], [0, 0, 2]])
+    v2 = np.array([[0, 2, 0], [0, 0, -1]])
+    assert np.allclose(angle_between(v1, v2), [np.pi / 2, np.pi])
+
+
+def test_projection_onto_plane():
+    out = projection_onto_plane([1.0, 2.0, 3.0], [0.0, 0.0, 1.0])
+    assert np.allclose(out, [1, 2, 0])
+
+
+def test_find_argmax_nonzero():
+    arr = np.array([[0.0, 3.0], [0.0, 0.0], [np.inf, 1.0]])
+    out = find_argmax_nonzero_value(arr)
+    assert out[0] == 1 and np.isnan(out[1]) and np.isnan(out[2])
+
+
+def test_determine_ids_to_labels():
+    assert determine_IDs_to_labels(np.array([0.5, 1.7])) is None
+    out = determine_IDs_to_labels(np.array([3.0, 5.0, 3.0]))
+    assert out == {0: 3.0, 1: 5.0}
+    out = determine_IDs_to_labels(np.array([3.0, 5.0]), background_ID=0)
+    assert out == {1: 3.0, 2: 5.0}
+
+
+def test_inverse_map_interpolation_identity_shift():
+    """Invert a pure +2 pixel shift map (spirit of reference
+    tests/test_indexing.py:7-61)."""
+    H, W = 16, 20
+    ii, jj = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    fwd = np.stack([ii + 2.0, jj + 3.0], axis=0)
+    inv = inverse_map_interpolation(fwd)
+    interior = (slice(4, H - 4), slice(5, W - 4))
+    assert np.allclose(inv[0][interior], ii[interior] - 2.0, atol=1e-6)
+    assert np.allclose(inv[1][interior], jj[interior] - 3.0, atol=1e-6)
+
+
+def test_composite_and_frustum():
+    from geograypher_tpu.utils.visualization import (
+        camera_frustum_mesh,
+        create_composite,
+    )
+
+    rgb = np.random.default_rng(0).integers(0, 255, (8, 10, 3)).astype(np.uint8)
+    lab = np.full((8, 10), np.nan)
+    lab[2:4, 3:6] = 1.0
+    comp = create_composite(rgb, lab, {0: "a", 1: "b"})
+    assert comp.shape == (8, 30, 3)
+
+    verts, faces, colors = camera_frustum_mesh(
+        np.eye(4), 100.0, 0.0, 0.0, 200, 100, frustum_scale=0.5
+    )
+    assert verts.shape == (5, 3) and faces.shape == (6, 3)
+    assert np.allclose(verts[0], [0, 0, 0])
+
+
+def test_stage_timer():
+    from geograypher_tpu.utils.profiling import stage_timer
+
+    stage_timer.reset()
+    with stage_timer("x"):
+        pass
+    with stage_timer("x"):
+        pass
+    assert stage_timer.counts["x"] == 2
+    assert "x" in stage_timer.report()
