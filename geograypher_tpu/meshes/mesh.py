@@ -604,6 +604,8 @@ class TexturedMesh:
         render_img_scale: float = 1.0,
         apply_distortion: bool = False,
         config: typing.Optional[RasterConfig] = None,
+        save_to_cache: bool = False,
+        cache_folder: typing.Optional[PATH_TYPE] = None,
     ) -> np.ndarray:
         """(N, H, W) pixel->face-id maps for the given cameras (reference
         meshes.py:1645-1823, minus the VTK color-encoding hack).
@@ -611,15 +613,35 @@ class TexturedMesh:
         With ``apply_distortion``, the pinhole map is warped to the real
         (distorted) image geometry with nearest-neighbor resampling,
         exactly like the reference's pix2face post-warp
-        (meshes.py:1809-1821).
+        (meshes.py:1809-1821).  ``save_to_cache`` persists maps keyed by
+        (mesh hash, camera hash, scale) like the reference's ubelt cache
+        (meshes.py:1726-1737), RLE-compressed.
         """
         config = config or self.raster_config
         if indices is None:
             indices = list(range(len(cameras)))
+        cache_key = None
+        if save_to_cache:
+            from geograypher_tpu.constants import CACHE_FOLDER
+            from geograypher_tpu.utils import cache as p2f_cache
+
+            cache_folder = cache_folder or CACHE_FOLDER
+            mesh_hash = self.get_mesh_hash()
         batch = cameras.get_camera_batch(indices, image_scale=render_img_scale)
         tri = self.get_tri_verts_device(cameras)
         out = []
         for k in range(batch.n_cameras):
+            if save_to_cache:
+                cam_hash = cameras.get_subset_cameras(
+                    [indices[k]]
+                ).get_camera_hash()
+                cache_key = [mesh_hash, cam_hash, render_img_scale]
+                cached = p2f_cache.load_pix2face(
+                    "pix2face", cache_key, cache_folder
+                )
+                if cached is not None:
+                    out.append(cached)
+                    continue
             p2f = rasterize_triangles(
                 transform_to_camera(tri, batch.world_to_cam[k]),
                 batch.f[k],
@@ -628,6 +650,10 @@ class TexturedMesh:
                 config=config,
             )
             p2f = np.asarray(p2f)
+            if save_to_cache:
+                p2f_cache.save_pix2face(
+                    p2f, "pix2face", cache_key, cache_folder
+                )
             if apply_distortion:
                 i = indices[k]
                 sensor = cameras.sensors[cameras.sensor_IDs[i]]

@@ -127,8 +127,10 @@ def _make_kernel(
                 e2 = vals[2 * CHUNK : 3 * CHUNK]
                 wv = vals[3 * CHUNK : 4 * CHUNK]
                 idv = vals[4 * CHUNK : 5 * CHUNK]
-                covered = (e0 >= 0) & (e1 >= 0) & (e2 >= 0)
-                wm = jnp.where(covered, wv, NEG_INF)
+                # covered iff min(e0, e1, e2) >= 0 (fewer VPU passes than
+                # three compares + two ands)
+                emin = jnp.minimum(jnp.minimum(e0, e1), e2)
+                wm = jnp.where(emin >= 0, wv, NEG_INF)
                 cmax = jnp.max(wm, axis=0, keepdims=True)  # (1, npix)
                 # lowest face id among depth ties within the chunk
                 neg_id = jnp.where(wm >= cmax, -idv, NEG_INF)

@@ -214,3 +214,18 @@ def test_save_and_reload_mesh(tmp_path):
     assert re.n_faces == mesh.n_faces
     assert np.allclose(re.verts, mesh.verts, atol=1e-9)
     assert re.vertex_texture is not None  # colors round-tripped
+
+
+def test_pix2face_cache(tmp_path):
+    mesh, _ = make_geo_mesh(n=9)
+    cams = local_camera_set(mesh, n_cams=1, sensor=64, focal=32.0)
+    a = mesh.pix2face(cams, save_to_cache=True, cache_folder=tmp_path)
+    files = list(tmp_path.glob("pix2face_*"))
+    assert len(files) == 1
+    # second call loads from cache (same content)
+    b = mesh.pix2face(cams, save_to_cache=True, cache_folder=tmp_path)
+    assert (a == b).all()
+    # corrupt entry -> cleared and recomputed
+    files[0].write_bytes(b"garbage")
+    c = mesh.pix2face(cams, save_to_cache=True, cache_folder=tmp_path)
+    assert (a == c).all()
