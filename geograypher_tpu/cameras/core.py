@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import dataclasses
 import hashlib
+import logging
 from pathlib import Path
 from typing import Callable as typing_Callable
 from typing import Dict, List, Optional, Sequence, Tuple, Union
@@ -402,6 +403,33 @@ class CameraSet:
 
     def get_subset_every_nth(self, n: int) -> "CameraSet":
         return self.get_subset_cameras(range(0, len(self), max(int(n), 1)))
+
+    def export_images(
+        self, output_folder: PATH_TYPE, copy: bool = False
+    ) -> None:
+        """Symlink (or copy) each camera's image into a folder, preserving
+        names (reference cameras.py:928-950)."""
+        import os
+        import shutil
+
+        from geograypher_tpu.utils.files import ensure_containing_folder
+
+        for i in range(len(self)):
+            src = self.get_image_filename(i, absolute=True)
+            if src is None:
+                continue
+            dst = Path(output_folder) / src.name
+            ensure_containing_folder(dst)
+            if copy:
+                try:
+                    shutil.copy(src, dst)
+                except FileNotFoundError:
+                    logging.getLogger(__name__).warning(
+                        "Could not find %s", src
+                    )
+            else:
+                if not dst.exists():
+                    os.symlink(src, dst)
 
     def get_subset_ROI(
         self,

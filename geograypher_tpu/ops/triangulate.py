@@ -251,3 +251,20 @@ def calc_communities(
         np.savez(path, **result)
         return path
     return result
+
+
+def triangulate_rays_lstsq(starts: np.ndarray, directions: np.ndarray) -> np.ndarray:
+    """Least-squares intersection point of rays (reference numeric.py:239-269;
+    kept for API parity — the main triangulation flow uses
+    intersection_average instead).
+
+    Solves min_x sum_i || (I - d_i d_i^T)(x - s_i) ||^2 in closed form.
+    """
+    d = np.asarray(directions, dtype=np.float64)
+    d = d / np.linalg.norm(d, axis=1, keepdims=True)
+    s = np.asarray(starts, dtype=np.float64)
+    eye = np.eye(3)
+    projs = eye[None] - d[:, :, None] * d[:, None, :]  # (N, 3, 3)
+    A = projs.sum(axis=0)
+    b = np.einsum("nij,nj->i", projs, s)
+    return np.linalg.solve(A, b)

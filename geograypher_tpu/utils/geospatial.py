@@ -1,0 +1,145 @@
+"""Geospatial overlay helpers (counterpart of reference utils/geospatial.py).
+
+CRS plumbing lives in utils/crs.py; this module carries the overlay-style
+operations: zonal statistics of rasters/vectors over polygons (replacing
+rasterstats/gpd.overlay) and polygon de-overlapping.  All are raster-
+assisted: layers are burned onto a shared grid and reduced with bincount,
+giving the same area-weighted answers at controllable resolution.
+"""
+
+from __future__ import annotations
+
+import typing
+
+import numpy as np
+
+from geograypher_tpu.constants import PATH_TYPE
+from geograypher_tpu.utils import crs as crs_utils
+from geograypher_tpu.utils.vector import (
+    Polygon,
+    VectorData,
+    polygons_from_mask,
+    rasterize_polygons,
+)
+
+# Re-exports so ported call-sites find the reference's names here
+ensure_projected_CRS = VectorData.ensure_projected
+get_projected_CRS = crs_utils.utm_epsg_for
+convert_CRS_3D_points = crs_utils.convert_CRS_3D_points
+
+
+def get_overlap_raster(
+    unlabeled_polygons: typing.Union[PATH_TYPE, VectorData],
+    classified_raster: PATH_TYPE,
+    num_classes: typing.Optional[int] = None,
+    nodata: int = 255,
+) -> typing.Tuple[np.ndarray, dict]:
+    """Per-polygon class-pixel histograms from a classified raster
+    (reference geospatial.py:150-219, rasterstats zonal_stats).
+
+    Returns (counts (n_polygons, num_classes), ids_to_classes).
+    """
+    from geograypher_tpu.utils.raster import read_geotiff
+
+    if not isinstance(unlabeled_polygons, VectorData):
+        unlabeled_polygons = VectorData.read_file(unlabeled_polygons)
+    raster = read_geotiff(classified_raster)
+    if unlabeled_polygons.epsg is not None and raster.epsg is not None:
+        unlabeled_polygons = unlabeled_polygons.to_crs(raster.epsg)
+    h, w = raster.data.shape[:2]
+    poly_img = rasterize_polygons(
+        unlabeled_polygons.geometries,
+        list(range(len(unlabeled_polygons))),
+        raster.bounds,
+        (h, w),
+    )
+    data = raster.data if raster.data.ndim == 2 else raster.data[..., 0]
+    data = data.astype(np.int64)
+    valid = (poly_img >= 0) & (data != nodata)
+    if num_classes is None:
+        num_classes = int(data[valid].max()) + 1 if valid.any() else 1
+    valid &= data < num_classes
+    flat = poly_img[valid].astype(np.int64) * num_classes + data[valid]
+    counts = np.bincount(
+        flat, minlength=len(unlabeled_polygons) * num_classes
+    ).reshape(len(unlabeled_polygons), num_classes)
+    return counts, {i: i for i in range(num_classes)}
+
+
+def get_overlap_vector(
+    unlabeled_polygons: typing.Union[PATH_TYPE, VectorData],
+    classified_polygons: typing.Union[PATH_TYPE, VectorData],
+    class_column: str,
+    grid: int = 2048,
+) -> typing.Tuple[np.ndarray, list]:
+    """Per-polygon area overlap with each class of a labeled polygon layer
+    (reference geospatial.py:221-331, gpd overlay + groupby).
+
+    Returns (areas (n_polygons, n_classes) in CRS units^2, class_names).
+    """
+    if not isinstance(unlabeled_polygons, VectorData):
+        unlabeled_polygons = VectorData.read_file(unlabeled_polygons)
+    if not isinstance(classified_polygons, VectorData):
+        classified_polygons = VectorData.read_file(classified_polygons)
+    unlabeled_polygons = unlabeled_polygons.ensure_projected()
+    if classified_polygons.epsg is not None:
+        classified_polygons = classified_polygons.to_crs(unlabeled_polygons.epsg)
+
+    col = classified_polygons.attributes[class_column]
+    class_names = sorted({v for v in col if v is not None}, key=str)
+    name_to_id = {c: i for i, c in enumerate(class_names)}
+
+    b1 = unlabeled_polygons.total_bounds()
+    b2 = classified_polygons.total_bounds()
+    bounds = (
+        min(b1[0], b2[0]), min(b1[1], b2[1]),
+        max(b1[2], b2[2]), max(b1[3], b2[3]),
+    )
+    px_area = ((bounds[2] - bounds[0]) / grid) * ((bounds[3] - bounds[1]) / grid)
+    poly_img = rasterize_polygons(
+        unlabeled_polygons.geometries,
+        list(range(len(unlabeled_polygons))),
+        bounds,
+        (grid, grid),
+    )
+    cls_img = rasterize_polygons(
+        classified_polygons.geometries,
+        [name_to_id.get(v, -1) for v in col],
+        bounds,
+        (grid, grid),
+    )
+    valid = (poly_img >= 0) & (cls_img >= 0)
+    n = len(class_names)
+    flat = poly_img[valid].astype(np.int64) * n + cls_img[valid]
+    areas = (
+        np.bincount(flat, minlength=len(unlabeled_polygons) * n)
+        .reshape(len(unlabeled_polygons), n)
+        .astype(float)
+        * px_area
+    )
+    return areas, class_names
+
+
+def ensure_non_overlapping_polygons(
+    vector: VectorData, grid: int = 4096
+) -> VectorData:
+    """Remove overlaps between polygons, smaller-area polygons keeping
+    their territory (reference geospatial.py:74-110: area-sorted iterative
+    difference).  Raster formulation: burn in DESCENDING area order so
+    smaller polygons overwrite larger ones, then re-vectorize."""
+    polys = [g for g in vector.geometries]
+    order = np.argsort([-p.area for p in polys])
+    bounds = vector.total_bounds()
+    pad = max(bounds[2] - bounds[0], bounds[3] - bounds[1]) * 0.01 + 1e-9
+    bounds = (bounds[0] - pad, bounds[1] - pad, bounds[2] + pad, bounds[3] + pad)
+    img = rasterize_polygons(
+        [polys[i] for i in order], [int(i) for i in order], bounds, (grid, grid)
+    )
+    out_geoms: list = [None] * len(polys)
+    for i in range(len(polys)):
+        parts = polygons_from_mask(img == i, bounds)
+        if not parts:
+            out_geoms[i] = Polygon(np.zeros((0, 2)))
+        else:
+            out_geoms[i] = max(parts, key=lambda p: p.area)
+    return VectorData(out_geoms, vector.attributes, vector.epsg)

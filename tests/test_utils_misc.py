@@ -90,3 +90,54 @@ def test_stage_timer():
         pass
     assert stage_timer.counts["x"] == 2
     assert "x" in stage_timer.report()
+
+
+def test_triangulate_rays_lstsq():
+    from geograypher_tpu.ops.triangulate import triangulate_rays_lstsq
+
+    target = np.array([2.0, -1.0, 4.0])
+    rng = np.random.default_rng(3)
+    dirs = rng.normal(size=(8, 3))
+    starts = target - dirs * rng.uniform(1, 5, (8, 1))
+    out = triangulate_rays_lstsq(starts, dirs)
+    assert np.allclose(out, target, atol=1e-8)
+
+
+def test_overlap_vector_and_raster(tmp_path):
+    from geograypher_tpu.utils.geospatial import (
+        ensure_non_overlapping_polygons,
+        get_overlap_raster,
+        get_overlap_vector,
+    )
+    from geograypher_tpu.utils.raster import Raster, write_geotiff
+    from geograypher_tpu.utils.vector import Polygon, VectorData
+
+    def sq(x0, y0, s):
+        return Polygon(np.array([[x0, y0], [x0+s, y0], [x0+s, y0+s], [x0, y0+s]]))
+
+    classified = VectorData(
+        [sq(0, 0, 10), sq(10, 0, 10)], {"cls": ["a", "b"]}, epsg=32611
+    )
+    query = VectorData([sq(5, 2, 10)], epsg=32611)  # half over a, half b
+    areas, names = get_overlap_vector(query, classified, "cls", grid=512)
+    assert names == ["a", "b"]
+    assert abs(areas[0, 0] - areas[0, 1]) / areas[0].sum() < 0.1
+
+    # raster version
+    data = np.zeros((100, 100), np.uint8)
+    data[:, 50:] = 1
+    r = Raster(data, (0.2, 0, 0.0, 0, -0.2, 20.0), epsg=32611)
+    rp = tmp_path / "cls.tif"
+    write_geotiff(rp, r)
+    counts, _ = get_overlap_raster(query, rp, num_classes=2)
+    assert counts[0].sum() > 0
+    assert counts[0, 0] > 0 and counts[0, 1] > 0
+
+    # de-overlap: smaller polygon keeps its area
+    overlapping = VectorData(
+        [sq(0, 0, 10), sq(8, 0, 4)], {"id": [0, 1]}, epsg=32611
+    )
+    fixed = ensure_non_overlapping_polygons(overlapping)
+    a0, a1 = fixed.geometries[0].area, fixed.geometries[1].area
+    assert abs(a1 - 16) / 16 < 0.15  # small square intact
+    assert a0 < 100  # big square lost the overlap
