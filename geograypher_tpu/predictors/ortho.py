@@ -186,11 +186,6 @@ def assemble_tiled_predictions(
         for cls in np.unique(pred[valid]):
             mask = pred == cls
             block = counts[r : r + hh, c : c + ww, int(cls)]
-            np.minimum(
-                block.astype(np.int64) + scaled * mask,
-                np.iinfo(count_dtype).max,
-                out=np.empty_like(block, dtype=np.int64),
-            )
             counts[r : r + hh, c : c + ww, int(cls)] = np.clip(
                 block.astype(np.int64) + scaled * mask,
                 0,
