@@ -96,11 +96,31 @@ def aggregate_images(
     )
     seg_cameras = SegmentorCameraSet(camera_set, segmentor)
 
+    import jax
+
     if n_aggregation_clusters is None and n_cameras_per_aggregation_cluster:
         n_aggregation_clusters = max(
             len(camera_set) // n_cameras_per_aggregation_cluster, 1
         )
-    if n_aggregation_clusters is not None:
+    if n_aggregation_clusters is None and jax.device_count() > 1:
+        # Multi-chip: shard views across the device mesh with host-side
+        # image prefetch (the TPU-native replacement for the reference's
+        # sequential chunked aggregation)
+        from geograypher_tpu.parallel.pipeline import (
+            aggregate_class_images_distributed,
+        )
+
+        counts, totals, views = aggregate_class_images_distributed(
+            mesh,
+            seg_cameras,
+            n_classes=n_classes,
+            aggregate_img_scale=aggregate_image_scale,
+        )
+        with np.errstate(invalid="ignore", divide="ignore"):
+            average_projections = counts / totals[:, None]
+        average_projections[views == 0] = np.nan
+        info = {"projection_counts": views, "summed_projections": counts}
+    elif n_aggregation_clusters is not None:
         from geograypher_tpu.meshes.chunked import aggregate_images_chunked
 
         average_projections, info = aggregate_images_chunked(

@@ -1,0 +1,178 @@
+"""Distributed aggregation pipeline: host image loading overlapped with
+sharded device compute.
+
+The production path for ``aggregate_images`` at survey scale: a thread
+pool loads + segments label images ahead of the device (cv2/PIL release
+the GIL), class-index images are shipped (8 bits/pixel rather than one-hot
+floats), and each device in the view-axis mesh rasterizes + aggregates its
+own views, with per-face accumulators psum-combined over ICI at the end.
+
+Semantics match ``TexturedMesh.aggregate_projected_images`` over one-hot
+segmentor images exactly: a view's per-face class fraction (class pixel
+counts / face pixel count) IS the per-view mean of the one-hot image, so
+the final cross-view average is identical (ops/aggregate.py docstring).
+"""
+
+from __future__ import annotations
+
+import concurrent.futures
+import typing
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from geograypher_tpu.ops.aggregate import project_image_class_counts
+from geograypher_tpu.ops.rasterize import (
+    RasterConfig,
+    rasterize_triangles,
+    transform_to_camera,
+)
+from geograypher_tpu.parallel.sharding import VIEW_AXIS, make_view_mesh
+
+
+def aggregate_class_images_distributed(
+    mesh,
+    cameras,
+    n_classes: int,
+    class_image_provider: typing.Optional[typing.Callable[[int], np.ndarray]] = None,
+    aggregate_img_scale: float = 1.0,
+    device_mesh: typing.Optional[Mesh] = None,
+    prefetch_workers: int = 4,
+    config: typing.Optional[RasterConfig] = None,
+):
+    """Aggregate per-view class images onto mesh faces across all devices.
+
+    Args:
+        mesh: TexturedMesh.
+        cameras: CameraSet (or SegmentorCameraSet).
+        n_classes: number of classes in the label images.
+        class_image_provider: ``f(view_index) -> (H, W)`` integer class
+            image (negative/255 = unlabeled).  Defaults to argmaxing
+            ``cameras.get_image_by_index`` (segmentor one-hots).
+        aggregate_img_scale: label/raster scale fraction.
+        device_mesh: jax device mesh (defaults to all devices).
+
+    Returns (class_counts (F, n_classes), pixel_totals (F,),
+    view_counts (F,)) as numpy arrays; per-face class fractions are
+    ``class_counts / pixel_totals``.
+    """
+    if device_mesh is None:
+        device_mesh = make_view_mesh()
+    n_dev = device_mesh.devices.size
+    config = config or mesh.raster_config
+    n_faces = mesh.n_faces
+    tri = mesh.get_tri_verts_device(cameras)
+    batch = cameras.get_camera_batch(image_scale=aggregate_img_scale)
+    h, w = batch.image_height, batch.image_width
+
+    if class_image_provider is None:
+
+        def class_image_provider(i: int) -> np.ndarray:
+            img = np.asarray(cameras.get_image_by_index(i, aggregate_img_scale))
+            if img.ndim == 3:
+                finite = np.isfinite(img).all(axis=-1)
+                cls = np.argmax(np.nan_to_num(img), axis=-1)
+                return np.where(finite, cls, -1).astype(np.int32)
+            return np.nan_to_num(img, nan=-1).astype(np.int32)
+
+    sharding = NamedSharding(device_mesh, P(VIEW_AXIS))
+
+    @jax.jit
+    def device_step(tri, w2c_shard, f_shard, valid_shard, imgs_shard):
+        def per_device(w2c_b, f_b, valid_b, imgs_b):
+            # collapse the (local-shard=1, steps) leading axes
+            w2c_b = w2c_b.reshape(-1, 4, 4)
+            f_b = f_b.reshape(-1)
+            valid_b = valid_b.reshape(-1)
+            imgs_b = imgs_b.reshape((-1,) + imgs_b.shape[2:])
+
+            def one(carry, inputs):
+                w2c_k, f_k, valid_k, img_k = inputs
+                counts_acc, totals_acc, views_acc = carry
+                p2f = rasterize_triangles(
+                    transform_to_camera(tri, w2c_k),
+                    f_k,
+                    image_w=w,
+                    image_h=h,
+                    config=config,
+                )
+                counts = project_image_class_counts(
+                    p2f, img_k, n_faces=n_faces, n_classes=n_classes
+                )
+                counts = counts * valid_k
+                face_total = jnp.sum(counts, axis=1)
+                seen = (face_total > 0).astype(jnp.float32)
+                return (
+                    counts_acc + counts,
+                    totals_acc + face_total,
+                    views_acc + seen,
+                ), None
+
+            init = (
+                jnp.zeros((n_faces, n_classes), jnp.float32),
+                jnp.zeros((n_faces,), jnp.float32),
+                jnp.zeros((n_faces,), jnp.float32),
+            )
+            (counts, totals, views), _ = jax.lax.scan(
+                one, init, (w2c_b, f_b, valid_b, imgs_b)
+            )
+            return (
+                jax.lax.psum(counts, VIEW_AXIS),
+                jax.lax.psum(totals, VIEW_AXIS),
+                jax.lax.psum(views, VIEW_AXIS),
+            )
+
+        return jax.shard_map(
+            per_device,
+            mesh=device_mesh,
+            in_specs=(P(VIEW_AXIS), P(VIEW_AXIS), P(VIEW_AXIS), P(VIEW_AXIS)),
+            out_specs=(P(), P(), P()),
+            check_vma=False,
+        )(w2c_shard, f_shard, valid_shard, imgs_shard)
+
+    n = len(cameras)
+    n_pad = -(-n // n_dev) * n_dev
+    order = list(range(n)) + [0] * (n_pad - n)
+    valid = np.array([1.0] * n + [0.0] * (n_pad - n), np.float32)
+    w2c_all = np.asarray(batch.world_to_cam)
+    f_all = np.asarray(batch.f)
+
+    total_counts = np.zeros((n_faces, n_classes), np.float32)
+    total_pixels = np.zeros((n_faces,), np.float32)
+    total_views = np.zeros((n_faces,), np.float32)
+
+    with concurrent.futures.ThreadPoolExecutor(prefetch_workers) as pool:
+        futures: dict = {}
+
+        def ensure(i: int):
+            if i not in futures and i < n_pad:
+                futures[i] = pool.submit(class_image_provider, order[i])
+
+        window = n_dev * 3  # slots kept in flight ahead of the device
+        for i in range(min(n_pad, window)):
+            ensure(i)
+        for start in range(0, n_pad, n_dev):
+            idx = list(range(start, start + n_dev))
+            imgs = np.stack([futures.pop(i).result() for i in idx], axis=0)
+            for j in range(start + n_dev, min(start + n_dev + window, n_pad)):
+                ensure(j)
+            # reshape per-device leading dim: (n_dev, 1, ...) so scan runs
+            # once per step per device
+            counts, totals, views = device_step(
+                tri,
+                jax.device_put(
+                    w2c_all[[order[i] for i in idx]][:, None], sharding
+                ),
+                jax.device_put(f_all[[order[i] for i in idx]][:, None], sharding),
+                jax.device_put(valid[idx][:, None], sharding),
+                jax.device_put(
+                    jnp.asarray(imgs[:, None], jnp.int32), sharding
+                ),
+            )
+            total_counts += np.asarray(counts)
+            total_pixels += np.asarray(totals)
+            total_views += np.asarray(views)
+    return total_counts, total_pixels, total_views

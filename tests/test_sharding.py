@@ -58,3 +58,53 @@ def test_sharded_round_trip_matches_labels():
     assert np.allclose(avg[observed], labels[observed])
     # padding views contributed nothing
     assert np.asarray(vcount).max() <= 11
+
+
+def test_distributed_pipeline_matches_single_device():
+    """aggregate_class_images_distributed over 8 virtual devices must match
+    the single-device TexturedMesh aggregation semantics exactly."""
+    from geograypher_tpu.cameras.segmentor_set import SegmentorCameraSet
+    from geograypher_tpu.meshes.mesh import TexturedMesh
+    from geograypher_tpu.parallel.pipeline import (
+        aggregate_class_images_distributed,
+    )
+    from geograypher_tpu.predictors.segmentors import ArraySegmentor
+    from geograypher_tpu.utils.fixtures import (
+        gather_tri_verts,
+        make_grid_mesh,
+        nadir_camera,
+    )
+    from geograypher_tpu.cameras.core import CameraSet
+
+    rng = np.random.default_rng(5)
+    verts, faces = make_grid_mesh(n=13, size=4.0)
+    mesh = TexturedMesh((verts, faces), raster_config=CFG)
+    labels = rng.integers(0, 3, mesh.n_faces).astype(float)
+    mesh.set_texture(labels, is_vertex=False)
+
+    c2ws = []
+    for k in range(5):  # not a device multiple
+        c2w = nadir_camera(4.0, 40.0, 80)
+        c2w[0, 3] += 0.15 * k
+        c2ws.append(c2w)
+    cams = CameraSet(
+        c2ws,
+        {0: {"f": 40.0, "cx": 0.0, "cy": 0.0,
+             "image_width": 80, "image_height": 80}},
+    )
+    renders = [r[..., 0] for r in mesh.render_flat(cams)]
+    seg_cams = SegmentorCameraSet(cams, ArraySegmentor(renders, num_classes=3))
+
+    counts, totals, views = aggregate_class_images_distributed(
+        mesh, seg_cams, n_classes=3
+    )
+    # single-device reference
+    avg, info = mesh.aggregate_projected_images(seg_cams)
+    observed = info["projection_counts"] > 0
+    assert np.allclose(views[observed], info["projection_counts"][observed])
+    with np.errstate(invalid="ignore"):
+        frac = counts / totals[:, None]
+    assert np.allclose(frac[observed], avg[observed], atol=1e-5, equal_nan=True)
+    # and the argmax recovers the labels
+    pred = np.argmax(counts, axis=1)
+    assert (pred[observed] == labels[observed]).all()
