@@ -988,6 +988,21 @@ class TexturedMesh:
             else:
                 out = data
             cv2.imwrite(str(out_path), out)
+            if make_composites and fname is not None and Path(fname).exists():
+                from geograypher_tpu.utils.io import read_image_or_numpy
+                from geograypher_tpu.utils.visualization import (
+                    create_composite,
+                )
+
+                rgb = read_image_or_numpy(fname)
+                if rgb.shape[:2] != data.shape[:2]:
+                    rgb = cv2.resize(rgb, (data.shape[1], data.shape[0]))
+                comp = create_composite(rgb, data, self.IDs_to_labels)
+                comp_path = out_path.with_name(out_path.stem + "_composite.png")
+                cv2.imwrite(
+                    str(comp_path),
+                    (np.clip(comp, 0, 1) * 255).astype(np.uint8)[..., ::-1],
+                )
 
     def export_covering_meshes(
         self,

@@ -195,3 +195,78 @@ def test_camera_set_subset_and_hash(tmp_path):
     h2 = sub.get_camera_hash()
     assert h1 != h2
     assert cams.get_camera_hash() == h1  # stable
+
+
+def make_colmap_files(tmp_path):
+    cameras_txt = tmp_path / "cameras.txt"
+    cameras_txt.write_text(
+        "# Camera list with one line of data per camera:\n"
+        "#   CAMERA_ID, MODEL, WIDTH, HEIGHT, PARAMS[]\n"
+        "# Number of cameras: 1\n"
+        "1 SIMPLE_RADIAL 640 480 500.0 320.0 240.0 -0.05\n"
+    )
+    images_txt = tmp_path / "images.txt"
+    # identity rotation quaternion, camera at origin; every other line is
+    # keypoints (skipped by the parser)
+    images_txt.write_text(
+        "# Image list with two lines of data per image:\n"
+        "#   IMAGE_ID, QW, QX, QY, QZ, TX, TY, TZ, CAMERA_ID, NAME\n"
+        "#   POINTS2D[] as (X, Y, POINT3D_ID)\n"
+        "# Number of images: 2\n"
+        "1 1.0 0.0 0.0 0.0 0.0 0.0 -5.0 1 img_a.jpg\n"
+        "100 200 -1\n"
+        "2 0.7071068 0.0 0.7071068 0.0 1.0 0.0 -5.0 1 img_b.jpg\n"
+        "\n"
+    )
+    return cameras_txt, images_txt
+
+
+def test_colmap_parse(tmp_path):
+    from geograypher_tpu.cameras.colmap import COLMAPCameraSet
+
+    cameras_txt, images_txt = make_colmap_files(tmp_path)
+    cams = COLMAPCameraSet(cameras_txt, images_txt, image_folder=tmp_path)
+    assert len(cams) == 2
+    sensor = cams.sensors[1]
+    assert sensor["f"] == 500.0
+    # cx/cy re-centered from corner-origin convention
+    assert sensor["cx"] == 0.0 and sensor["cy"] == 0.0
+    assert sensor["distortion_params"]["k1"] == -0.05
+    # identity world_to_cam with t=(0,0,-5) -> camera center at +5 z
+    c2w = cams.cam_to_world_transforms[0]
+    assert np.allclose(c2w[:3, 3], [0, 0, 5], atol=1e-6)
+    assert np.allclose(c2w[:3, :3], np.eye(3), atol=1e-6)
+    # quaternion (w=x=0.707...) is a 90-degree rotation about y
+    c2w2 = cams.cam_to_world_transforms[1]
+    assert not np.allclose(c2w2[:3, :3], np.eye(3))
+    assert np.isclose(abs(np.linalg.det(c2w2[:3, :3])), 1.0, atol=1e-6)
+
+    batch = cams.get_camera_batch()
+    assert batch.image_width == 640
+
+
+def test_colmap_unsupported_model(tmp_path):
+    from geograypher_tpu.cameras.colmap import COLMAPCameraSet
+
+    cameras_txt, images_txt = make_colmap_files(tmp_path)
+    cameras_txt.write_text(
+        "#\n#\n#\n1 OPENCV 640 480 500.0 320.0 240.0 -0.05\n"
+    )
+    with pytest.raises(NotImplementedError):
+        COLMAPCameraSet(cameras_txt, images_txt, image_folder=tmp_path)
+
+
+def test_export_images(tmp_path):
+    from geograypher_tpu.cameras.core import CameraSet
+
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "a.jpg").write_bytes(b"x")
+    cams = CameraSet(
+        [np.eye(4)],
+        {0: {"f": 10.0, "cx": 0, "cy": 0, "image_width": 4, "image_height": 4}},
+        image_filenames=[src / "a.jpg"],
+    )
+    out = tmp_path / "out"
+    cams.export_images(out, copy=True)
+    assert (out / "a.jpg").read_bytes() == b"x"
