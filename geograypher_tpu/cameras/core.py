@@ -652,6 +652,7 @@ class CameraSet:
                 starts, ends, valid = clip_line_segments(
                     starts, ends, ceil_v[ceil_f], floor_v[floor_f]
                 )
+                valid = np.array(valid)  # writable copy (from device)
                 if limit_ray_length_local is not None:
                     length = np.linalg.norm(ends - origins, axis=1)
                     valid &= length <= limit_ray_length_local

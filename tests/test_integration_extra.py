@@ -1,0 +1,144 @@
+"""Cross-component integration: distortion-in-the-loop rendering, the
+triangulation smoke matrix with stage caching (reference
+tests/test_cameras.py:189-237 pattern), and the sparse detection path."""
+
+import numpy as np
+import pytest
+
+from geograypher_tpu.cameras.core import CameraSet
+from geograypher_tpu.meshes.mesh import TexturedMesh
+from geograypher_tpu.ops.rasterize import RasterConfig
+from geograypher_tpu.utils.fixtures import make_grid_mesh, nadir_camera
+
+CFG = RasterConfig(caps=(512, 64, 32, 16))
+
+
+def make_scene(n=13, sensor=80, focal=40.0, distortion=None, n_cams=2):
+    verts, faces = make_grid_mesh(n=n, size=4.0)
+    mesh = TexturedMesh((verts, faces), raster_config=CFG)
+    c2ws = []
+    for k in range(n_cams):
+        c2w = nadir_camera(4.0, focal, sensor)
+        c2w[0, 3] += 0.3 * k
+        c2ws.append(c2w)
+    sensor_dict = {
+        "f": focal, "cx": 0.0, "cy": 0.0,
+        "image_width": sensor, "image_height": sensor,
+    }
+    if distortion:
+        sensor_dict["distortion_params"] = distortion
+    cams = CameraSet(c2ws, {0: sensor_dict})
+    return mesh, cams
+
+
+def test_pix2face_distortion_changes_geometry():
+    """With barrel distortion the warped pix2face differs from the pinhole
+    one but preserves the face-id set (reference
+    test_derived_cameras.py:339-415 behavioral contract)."""
+    mesh, cams = make_scene(distortion={"k1": -0.25})
+    ideal = mesh.pix2face(cams, [0], apply_distortion=False)[0]
+    warped = mesh.pix2face(cams, [0], apply_distortion=True)[0]
+    assert ideal.shape == warped.shape
+    assert not (ideal == warped).all()
+    # warped map only contains faces (or -1) that exist in the ideal one
+    assert set(np.unique(warped)) <= set(np.unique(ideal)) | {-1}
+    # center pixel unaffected by radial distortion
+    c = ideal.shape[0] // 2
+    assert warped[c, c] == ideal[c, c]
+
+
+def test_triangulation_smoke_matrix(tmp_path):
+    """Parameter sweep of triangulate_detections incl. file caching: runs,
+    returns the right shapes, and cache files appear + are reused."""
+
+    class MockDetector:
+        def get_detection_centers(self, filename):
+            # two detections per image at fixed pixels
+            return np.array([[30.0, 30.0], [50.0, 55.0]])
+
+    mesh, cams = make_scene(n=9, n_cams=4)
+    top, bottom = mesh.export_covering_meshes(N=8, z_buffer=(3.0, -1.0))
+
+    for kwargs in (
+        dict(),
+        dict(limit_angle_from_vert=1.2),
+        dict(boundaries=(top, bottom)),
+        dict(boundaries=(top, bottom), limit_ray_length_meters=50.0),
+        dict(louvain_resolution=2.0),
+        dict(similarity_threshold_meters=1.0),
+    ):
+        pts = cams.triangulate_detections(
+            MockDetector(), ray_length_meters=20.0, **kwargs
+        )
+        assert pts.ndim == 2 and pts.shape[1] == 3
+
+    out_dir = tmp_path / "cache"
+    pts1 = cams.triangulate_detections(
+        MockDetector(), ray_length_meters=20.0, out_dir=out_dir
+    )
+    assert (out_dir / "line_segments.npz").exists()
+    assert (out_dir / "edge_weights.json").exists()
+    assert (out_dir / "communities.npz").exists()
+    pts2 = cams.triangulate_detections(
+        MockDetector(), ray_length_meters=20.0, out_dir=out_dir
+    )
+    assert np.allclose(pts1, pts2)
+
+
+def test_empty_detections(tmp_path):
+    """No detections anywhere -> empty results, no crash (reference
+    test_cameras.py:177-186 MagicMock pattern)."""
+
+    class EmptyDetector:
+        def get_detection_centers(self, filename):
+            return np.zeros((0, 2))
+
+    _, cams = make_scene(n=5, n_cams=2)
+    pts = cams.triangulate_detections(EmptyDetector(), ray_length_meters=10.0)
+    assert pts.shape[0] == 0
+
+
+def test_sparse_detection_projection():
+    from geograypher_tpu.cameras.segmentor_set import SegmentorCameraSet
+    from geograypher_tpu.meshes.sparse import (
+        aggregate_index_predictions,
+        normalize_sparse_counts,
+        sparse_argmax,
+    )
+    from geograypher_tpu.predictors.segmentors import Segmentor
+
+    class BoxDetector(Segmentor):
+        """paints detection index k in a box per camera index"""
+
+        def __init__(self):
+            super().__init__(num_classes=4)
+
+        def segment_image(self, image, filename=None, image_scale=1.0,
+                          index=None, **kw):
+            out = np.full((80, 80), np.nan)
+            out[10:30, 10:30] = index * 2  # detections 0 and 2
+            out[50:70, 50:70] = index * 2 + 1  # detections 1 and 3
+            return out
+
+    mesh, cams = make_scene(n=9, n_cams=2)
+    seg_cams = SegmentorCameraSet(cams, BoxDetector())
+    counts, seen = aggregate_index_predictions(
+        mesh, seg_cams, n_classes=4
+    )
+    assert counts.shape == (mesh.n_faces, 4)
+    assert counts.sum() > 0
+    norm = normalize_sparse_counts(counts, seen)
+    row_sums = np.asarray(norm.sum(axis=1)).reshape(-1)
+    nz = row_sums > 0
+    assert np.allclose(row_sums[nz], 1.0)
+    arg = sparse_argmax(counts)
+    vals = set(arg[np.isfinite(arg)].astype(int))
+    assert vals <= {0, 1, 2, 3} and len(vals) >= 2
+
+
+def test_covering_meshes_bound_mesh():
+    mesh, _ = make_scene(n=9)
+    (tv, tf), (bv, bf) = mesh.export_covering_meshes(N=6, z_buffer=(0.5, -0.5))
+    assert tv.shape[1] == 3 and tf.shape[1] == 3
+    assert tv[:, 2].min() >= mesh.verts[:, 2].max() - 1e-6  # above + buffer
+    assert bv[:, 2].max() <= mesh.verts[:, 2].min() + 1e-6
