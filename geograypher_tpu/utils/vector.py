@@ -229,8 +229,13 @@ class VectorData:
         from geograypher_tpu.utils.files import ensure_containing_folder
 
         ensure_containing_folder(path)
+        if path.suffix.lower() == ".gpkg":
+            _write_gpkg(path, self)
+            return
         if path.suffix.lower() not in (".geojson", ".json"):
-            raise ValueError("Writing supports GeoJSON (.geojson/.json) only")
+            raise ValueError(
+                "Writing supports GeoJSON (.geojson/.json) and GeoPackage (.gpkg)"
+            )
         feats = []
         for i, g in enumerate(self.geometries):
             props = {k: _jsonable(v[i]) for k, v in self.attributes.items()}
@@ -395,6 +400,93 @@ def _parse_wkb_into(buf: bytes, off: int, out: list) -> int:
             off = _parse_wkb_into(buf, off, out)
         return off
     raise ValueError(f"Unsupported WKB geometry type {gtype}")
+
+
+def _wkb_geometry(geom) -> bytes:
+    """Serialize a Polygon or point to little-endian WKB."""
+    if isinstance(geom, Polygon):
+        rings = [geom.exterior] + list(geom.holes)
+        out = struct.pack("<BII", 1, 3, len(rings))
+        for ring in rings:
+            ring = np.asarray(ring, dtype=np.float64)
+            if len(ring) and not (ring[0] == ring[-1]).all():
+                ring = np.concatenate([ring, ring[:1]], axis=0)
+            out += struct.pack("<I", len(ring))
+            out += ring.astype("<f8").tobytes()
+        return out
+    pt = np.asarray(geom, dtype=np.float64).reshape(-1)
+    return struct.pack("<BI", 1, 1) + struct.pack("<dd", pt[0], pt[1])
+
+
+def _write_gpkg(path: Path, vd: "VectorData", table: str = "features") -> None:
+    """Write a minimal standards-shaped GeoPackage (sqlite + WKB blobs +
+    the required gpkg_* metadata tables)."""
+    path.unlink(missing_ok=True)
+    srs_id = vd.epsg if vd.epsg is not None else 0
+    is_points = vd.is_points
+    gtype = "POINT" if is_points else "POLYGON"
+    con = sqlite3.connect(str(path))
+    try:
+        con.execute("PRAGMA application_id = 0x47504B47")  # 'GPKG'
+        con.execute("PRAGMA user_version = 10300")
+        con.execute(
+            "CREATE TABLE gpkg_spatial_ref_sys (srs_name TEXT NOT NULL, "
+            "srs_id INTEGER PRIMARY KEY, organization TEXT NOT NULL, "
+            "organization_coordsys_id INTEGER NOT NULL, definition TEXT "
+            "NOT NULL, description TEXT)"
+        )
+        con.execute(
+            "INSERT INTO gpkg_spatial_ref_sys VALUES (?, ?, 'EPSG', ?, "
+            "'', NULL)",
+            (f"EPSG:{srs_id}", srs_id, srs_id),
+        )
+        con.execute(
+            "CREATE TABLE gpkg_contents (table_name TEXT PRIMARY KEY, "
+            "data_type TEXT NOT NULL, identifier TEXT UNIQUE, description "
+            "TEXT DEFAULT '', last_change DATETIME, min_x DOUBLE, min_y "
+            "DOUBLE, max_x DOUBLE, max_y DOUBLE, srs_id INTEGER)"
+        )
+        bounds = vd.total_bounds() if len(vd) else (0, 0, 0, 0)
+        con.execute(
+            "INSERT INTO gpkg_contents VALUES (?, 'features', ?, '', "
+            "datetime('now'), ?, ?, ?, ?, ?)",
+            (table, table, bounds[0], bounds[1], bounds[2], bounds[3], srs_id),
+        )
+        con.execute(
+            "CREATE TABLE gpkg_geometry_columns (table_name TEXT NOT NULL, "
+            "column_name TEXT NOT NULL, geometry_type_name TEXT NOT NULL, "
+            "srs_id INTEGER NOT NULL, z TINYINT NOT NULL, m TINYINT NOT "
+            "NULL, CONSTRAINT pk_geom_cols PRIMARY KEY (table_name, "
+            "column_name))"
+        )
+        con.execute(
+            "INSERT INTO gpkg_geometry_columns VALUES (?, 'geom', ?, ?, 0, 0)",
+            (table, gtype, srs_id),
+        )
+        attr_cols = list(vd.attributes)
+        col_defs = "".join(f', "{c}" TEXT' for c in attr_cols)
+        con.execute(
+            f'CREATE TABLE "{table}" (fid INTEGER PRIMARY KEY '
+            f"AUTOINCREMENT, geom BLOB{col_defs})"
+        )
+        header = b"GP" + bytes([0, 1]) + struct.pack("<i", srs_id)
+        for i, g in enumerate(vd.geometries):
+            blob = header + _wkb_geometry(g)
+            vals = [
+                None if vd.attributes[c][i] is None else str(
+                    _jsonable(vd.attributes[c][i])
+                )
+                for c in attr_cols
+            ]
+            placeholders = ", ".join(["?"] * (1 + len(attr_cols)))
+            con.execute(
+                f'INSERT INTO "{table}" (geom{"".join(", " + chr(34) + c + chr(34) for c in attr_cols)}) '
+                f"VALUES ({placeholders})",
+                [blob] + vals,
+            )
+        con.commit()
+    finally:
+        con.close()
 
 
 # -- raster-assisted polygon ops ---------------------------------------------

@@ -142,3 +142,22 @@ def test_crs_transform_of_vector():
     assert np.allclose(
         back.geometries[0].exterior, vd.geometries[0].exterior, atol=1e-6
     )
+
+
+def test_gpkg_write_read_roundtrip(tmp_path):
+    vd = VectorData(
+        [square(0, 0, 5), Polygon(
+            np.array([[10, 10], [20, 10], [20, 20], [10, 20]], float),
+            [np.array([[12, 12], [15, 12], [15, 15], [12, 15]], float)],
+        )],
+        {"species": ["oak", "pine"], "height": [12.5, 8.0]},
+        epsg=32611,
+    )
+    path = tmp_path / "out.gpkg"
+    vd.to_file(path)
+    back = VectorData.read_file(path)
+    assert back.epsg == 32611
+    assert len(back) == 2
+    assert back["species"] == ["oak", "pine"]
+    assert np.isclose(back.geometries[0].area, 25.0)
+    assert np.isclose(back.geometries[1].area, 100.0 - 9.0)  # hole kept
