@@ -8,24 +8,35 @@ ops/rasterize.py header for the full pipeline):
   BlockSpec index maps; ancestor-level slabs are shared by index-mapping
   many L0 tiles to one parent block (no duplication in HBM, and Pallas
   skips the re-DMA when consecutive grid steps map to the same block).
-* Each candidate contributes FIVE affine planes over the image:
-  3 edge planes, the 1/z depth plane, and a constant "face-id plane", so
-  plane evaluation AND winner identification are a single
-  ``(cand_chunk, 3) x (3, pixels)`` contraction on the MXU.  No gathers or
-  transposes appear anywhere in the kernel.
-* Per-tile candidate counts live in SMEM and bound a dynamic ``fori_loop``
-  over 128-candidate chunks, so compute scales with actual tile occupancy
-  rather than the static capacity.
-* Depth resolve: within a chunk, maximize w = 1/z and break ties toward
-  the lowest face id (candidates are id-sorted by the binning sort);
-  across chunks/levels, strictly-greater keeps the earlier winner.  This
-  exactly matches the XLA reference kernel, which tests assert against.
+* Each candidate contributes affine planes over the image — 3 edge planes,
+  the 1/z depth plane, and constant face-id planes — so plane evaluation
+  AND winner identification are MXU contractions against a (3, pixels)
+  coordinate matrix.  No gathers or transposes appear in the kernel.
+* Per-tile candidate counts live in SMEM (scalar prefetch) and bound a
+  dynamic ``fori_loop`` over 128-candidate chunks, so compute scales with
+  actual tile occupancy rather than the static capacity.
+
+Precision strategy (v5e MXU is bf16-native; f32 "HIGHEST" costs 6 passes):
+
+* **Level 0 (the bulk)**: plane constants are shifted to TILE-LOCAL
+  coordinates in prep, making the pixel matrix exactly bf16-representable
+  (x in [0.5, 127.5] on a 0.5 grid), and each coefficient is split into a
+  bf16 hi/lo pair.  Two DEFAULT-precision dots then reproduce ~f32
+  accuracy (error ~1e-3 px at tile scale) at 1/3 the MXU cost.  Face ids
+  ride as three exact base-256 digit planes (ids to 16.7M).
+* **Levels 1-3 (few candidates)**: parent-tile-local coordinates exceed
+  bf16's exact range, so these keep the 5-plane HIGHEST path.
+
+Depth resolve: within a chunk, maximize w = 1/z and break ties toward the
+lowest face id (candidates are id-sorted by the binning sort); across
+chunks/levels, strictly-greater keeps the earlier winner — matching the
+XLA reference kernel, which tests assert against.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -40,55 +51,93 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _prep_level_slab(cand: jax.Array, planes_ext: jax.Array, n_faces: int):
-    """(T, C) candidate ids -> ((T, 3, 5*Cp) slab, (T, 1) counts).
+def _split_hi_lo(x: jax.Array):
+    hi = x.astype(jnp.bfloat16).astype(jnp.float32)
+    lo = (x - hi).astype(jnp.bfloat16).astype(jnp.float32)
+    return hi, lo
 
-    Slab columns are grouped [e0 | e1 | e2 | w | id] blocks of Cp columns
-    each; rows are the (x, y, 1) coefficients.  Empty slots point at the
-    sentinel plane row (coverage-false).
+
+def _prep_level_slab(
+    cand: jax.Array,
+    planes_ext: jax.Array,
+    n_faces: int,
+    tile_origin: Optional[Tuple[jax.Array, jax.Array]] = None,
+):
+    """(T, C) candidate ids -> (slab, (T, 1) counts).
+
+    With ``tile_origin`` (level 0): tile-local hi/lo 7-plane layout
+    (T, 6, nch*7*CHUNK), plane blocks [e0|e1|e2|w|d0|d1|d2] per chunk,
+    rows 0-2 = bf16-hi coefficients, rows 3-5 = bf16-lo.
+    Without: global-coordinate 5-plane f32 layout (T, 3, nch*5*CHUNK),
+    blocks [e0|e1|e2|w|id].
+    Empty slots point at the sentinel plane row (coverage-false).
     """
     t, c = cand.shape
     cp = _round_up(max(c, CHUNK), CHUNK)
     if cp != c:
         cand = jnp.pad(cand, ((0, 0), (0, cp - c)), constant_values=-1)
     safe_ids = jnp.where(cand >= 0, cand, n_faces)
-    p = planes_ext[safe_ids]  # (T, Cp, 12)
-    id_plane = jnp.stack(
-        [
-            jnp.zeros_like(cand, jnp.float32),
-            jnp.zeros_like(cand, jnp.float32),
-            cand.astype(jnp.float32),
-        ],
-        axis=-1,
-    )  # (T, Cp, 3)
-    full = jnp.concatenate([p, id_plane], axis=-1)  # (T, Cp, 15)
-    # Chunk-interleaved layout: per 128-candidate chunk, plane blocks
-    # [e0|e1|e2|w|id] of 128 columns each, so the kernel evaluates all five
-    # planes of a chunk with a single (3, 640) x (3, npix) contraction.
-    nch = cp // CHUNK
-    slab = (
-        full.reshape(t, nch, CHUNK, 5, 3)
-        .transpose(0, 4, 1, 3, 2)  # (T, coef, chunk, plane, cand)
-        .reshape(t, 3, nch * 5 * CHUNK)
-    )
+    p = planes_ext[safe_ids]  # (T, Cp, 12): 4 planes x (a, b, c)
     counts = jnp.sum(cand >= 0, axis=1, dtype=jnp.int32).reshape(t, 1)
+    nch = cp // CHUNK
+
+    if tile_origin is None:
+        id_plane = jnp.stack(
+            [
+                jnp.zeros_like(cand, jnp.float32),
+                jnp.zeros_like(cand, jnp.float32),
+                cand.astype(jnp.float32),
+            ],
+            axis=-1,
+        )
+        full = jnp.concatenate([p, id_plane], axis=-1)  # (T, Cp, 15)
+        slab = (
+            full.reshape(t, nch, CHUNK, 5, 3)
+            .transpose(0, 4, 1, 3, 2)
+            .reshape(t, 3, nch * 5 * CHUNK)
+        )
+        return slab, counts
+
+    x0, y0 = tile_origin  # (T,) pixel coords of each tile's corner
+    pl4 = p.reshape(t, cp, 4, 3)
+    a, b, cc = pl4[..., 0], pl4[..., 1], pl4[..., 2]  # (T, Cp, 4)
+    c_local = a * x0[:, None, None] + b * y0[:, None, None] + cc
+    ids = jnp.maximum(cand, 0)
+    d0 = (ids % 256).astype(jnp.float32)
+    d1 = ((ids // 256) % 256).astype(jnp.float32)
+    d2 = (ids // 65536).astype(jnp.float32)
+    zeros = jnp.zeros_like(d0)
+    # (T, Cp, 7 planes, 3 coefs)
+    coefs = jnp.concatenate(
+        [
+            jnp.stack([a, b, c_local], axis=-1),  # e0,e1,e2,w shifted
+            jnp.stack(
+                [
+                    jnp.stack([zeros, zeros, d0], axis=-1),
+                    jnp.stack([zeros, zeros, d1], axis=-1),
+                    jnp.stack([zeros, zeros, d2], axis=-1),
+                ],
+                axis=2,
+            ),
+        ],
+        axis=2,
+    )
+    hi, lo = _split_hi_lo(coefs)
+    both = jnp.concatenate([hi, lo], axis=-1)  # (T, Cp, 7, 6)
+    slab = (
+        both.reshape(t, nch, CHUNK, 7, 6)
+        .transpose(0, 4, 1, 3, 2)  # (T, coef6, chunk, plane, cand)
+        .reshape(t, 6, nch * 7 * CHUNK)
+    )
     return slab, counts
 
 
-def _make_kernel(
-    caps_padded: Tuple[int, ...],
-    tile_h: int,
-    tile_w: int,
-    grids,
-    scales,
-):
+def _make_kernel(tile_h: int, tile_w: int, grids, scales):
     npix = tile_h * tile_w
     (nty0, ntx0), (nty1, ntx1), (nty2, ntx2) = grids
     s1_, s2_ = scales[1], scales[2]
 
-    def kernel(
-        c0, c1, c2, c3, s0, s1, s2, s3, out_ref
-    ):
+    def kernel(c0, c1, c2, c3, s0, s1, s2, s3, out_ref):
         ty = pl.program_id(0)
         tx = pl.program_id(1)
         cnt_idx = (
@@ -100,54 +149,90 @@ def _make_kernel(
             0,
         )
         pix = jax.lax.broadcasted_iota(jnp.int32, (1, npix), 1)
-        xs = (pix % tile_w + tx * tile_w).astype(jnp.float32) + 0.5
-        ys = (pix // tile_w + ty * tile_h).astype(jnp.float32) + 0.5
-        pmat = jnp.concatenate(
-            [xs, ys, jnp.ones_like(xs)], axis=0
-        )  # (3, npix)
+        xs_local = (pix % tile_w).astype(jnp.float32) + 0.5
+        ys_local = (pix // tile_w).astype(jnp.float32) + 0.5
+        ones = jnp.ones_like(xs_local)
+        pmat_local = jnp.concatenate([xs_local, ys_local, ones], axis=0)
+        pmat_global = jnp.concatenate(
+            [
+                xs_local + (tx * tile_w).astype(jnp.float32),
+                ys_local + (ty * tile_h).astype(jnp.float32),
+                ones,
+            ],
+            axis=0,
+        )
 
-        def level(slab_ref, cnt_ref, tile_idx, carry):
+        def resolve(e0, e1, e2, wv, idv, carry):
             best_w, best_id = carry
+            emin = jnp.minimum(jnp.minimum(e0, e1), e2)
+            wm = jnp.where(emin >= 0, wv, NEG_INF)
+            cmax = jnp.max(wm, axis=0, keepdims=True)
+            neg_id = jnp.where(wm >= cmax, -idv, NEG_INF)
+            cid = -jnp.max(neg_id, axis=0, keepdims=True)
+            upd = cmax > best_w
+            return (
+                jnp.where(upd, cmax, best_w),
+                jnp.where(upd, cid, best_id),
+            )
+
+        def level0(slab_ref, cnt_ref, tile_idx, carry):
             cnt = cnt_ref[tile_idx]
             n_chunks = (cnt + CHUNK - 1) // CHUNK
 
             def chunk(ci, carry):
-                best_w, best_id = carry
-                off = pl.multiple_of(ci * (5 * CHUNK), 5 * CHUNK)
-                block = slab_ref[0, :, pl.ds(off, 5 * CHUNK)]  # (3, 5*CHUNK)
+                off = pl.multiple_of(ci * (7 * CHUNK), 7 * CHUNK)
+                block = slab_ref[0, :, pl.ds(off, 7 * CHUNK)]  # (6, 896)
+                dims = (((0,), (0,)), ((), ()))
                 vals = jax.lax.dot_general(
-                    block,
-                    pmat,
-                    (((0,), (0,)), ((), ())),
+                    block[0:3], pmat_local, dims,
                     preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
-                )  # (5*CHUNK, npix), plane-major blocks of CHUNK rows
+                ) + jax.lax.dot_general(
+                    block[3:6], pmat_local, dims,
+                    preferred_element_type=jnp.float32,
+                )  # (7*CHUNK, npix)
                 e0 = vals[0 * CHUNK : 1 * CHUNK]
                 e1 = vals[1 * CHUNK : 2 * CHUNK]
                 e2 = vals[2 * CHUNK : 3 * CHUNK]
                 wv = vals[3 * CHUNK : 4 * CHUNK]
-                idv = vals[4 * CHUNK : 5 * CHUNK]
-                # covered iff min(e0, e1, e2) >= 0 (fewer VPU passes than
-                # three compares + two ands)
-                emin = jnp.minimum(jnp.minimum(e0, e1), e2)
-                wm = jnp.where(emin >= 0, wv, NEG_INF)
-                cmax = jnp.max(wm, axis=0, keepdims=True)  # (1, npix)
-                # lowest face id among depth ties within the chunk
-                neg_id = jnp.where(wm >= cmax, -idv, NEG_INF)
-                cid = -jnp.max(neg_id, axis=0, keepdims=True)
-                upd = cmax > best_w
-                return (
-                    jnp.where(upd, cmax, best_w),
-                    jnp.where(upd, cid, best_id),
+                idv = (
+                    vals[4 * CHUNK : 5 * CHUNK]
+                    + 256.0 * vals[5 * CHUNK : 6 * CHUNK]
+                    + 65536.0 * vals[6 * CHUNK : 7 * CHUNK]
+                )
+                return resolve(e0, e1, e2, wv, idv, carry)
+
+            return jax.lax.fori_loop(0, n_chunks, chunk, carry)
+
+        def level(slab_ref, cnt_ref, tile_idx, carry):
+            cnt = cnt_ref[tile_idx]
+            n_chunks = (cnt + CHUNK - 1) // CHUNK
+
+            def chunk(ci, carry):
+                off = pl.multiple_of(ci * (5 * CHUNK), 5 * CHUNK)
+                block = slab_ref[0, :, pl.ds(off, 5 * CHUNK)]  # (3, 640)
+                vals = jax.lax.dot_general(
+                    block,
+                    pmat_global,
+                    (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )  # (5*CHUNK, npix)
+                return resolve(
+                    vals[0 * CHUNK : 1 * CHUNK],
+                    vals[1 * CHUNK : 2 * CHUNK],
+                    vals[2 * CHUNK : 3 * CHUNK],
+                    vals[3 * CHUNK : 4 * CHUNK],
+                    vals[4 * CHUNK : 5 * CHUNK],
+                    carry,
                 )
 
-            return jax.lax.fori_loop(0, n_chunks, chunk, (best_w, best_id))
+            return jax.lax.fori_loop(0, n_chunks, chunk, carry)
 
         carry = (
             jnp.full((1, npix), NEG_INF, jnp.float32),
             jnp.full((1, npix), -1.0, jnp.float32),
         )
-        carry = level(s0, c0, cnt_idx[0], carry)
+        carry = level0(s0, c0, cnt_idx[0], carry)
         carry = level(s1, c1, cnt_idx[1], carry)
         carry = level(s2, c2, cnt_idx[2], carry)
         carry = level(s3, c3, cnt_idx[3], carry)
@@ -175,20 +260,32 @@ def raster_tiles_pallas(
     )
     planes_ext = jnp.concatenate([planes, sentinel[None]], axis=0)
 
-    slabs, counts = [], []
-    for lvl in range(4):
-        s, c = _prep_level_slab(binned.cand[lvl], planes_ext, n_faces)
-        slabs.append(s)
-        counts.append(c)
-
     grids = config.grids(image_h, image_w)
     (nty0, ntx0), (nty1, ntx1), (nty2, ntx2) = grids
     s1_, s2_ = config.level_scales[1], config.level_scales[2]
     th, tw = config.tile_h, config.tile_w
     npix = th * tw
 
+    t0 = binned.cand[0].shape[0]
+    tids = jnp.arange(t0, dtype=jnp.int32)
+    origin = (
+        ((tids % ntx0) * tw).astype(jnp.float32),
+        ((tids // ntx0) * th).astype(jnp.float32),
+    )
+
+    slabs, counts = [], []
+    for lvl in range(4):
+        s, c = _prep_level_slab(
+            binned.cand[lvl],
+            planes_ext,
+            n_faces,
+            tile_origin=origin if lvl == 0 else None,
+        )
+        slabs.append(s)
+        counts.append(c)
+
     def slab_spec(lvl):
-        cp5 = slabs[lvl].shape[-1]
+        rows, cols = slabs[lvl].shape[1:]
         if lvl == 0:
             idx = lambda i, j, *_: (i * ntx0 + j, 0, 0)
         elif lvl == 1:
@@ -207,12 +304,9 @@ def raster_tiles_pallas(
             )
         else:
             idx = lambda i, j, *_: (0, 0, 0)
-        return pl.BlockSpec((1, 3, cp5), idx, memory_space=pltpu.VMEM)
+        return pl.BlockSpec((1, rows, cols), idx, memory_space=pltpu.VMEM)
 
-    caps_padded = tuple(s.shape[-1] // 5 for s in slabs)
-    kernel = _make_kernel(
-        caps_padded, th, tw, grids, config.level_scales
-    )
+    kernel = _make_kernel(th, tw, grids, config.level_scales)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,  # the per-tile count arrays, in SMEM

@@ -129,6 +129,100 @@ def compute_confusion_matrix_from_geospatial(
     raise NotImplementedError("Mixed raster/vector comparison")
 
 
+def plot_geodata(
+    filename: PATH_TYPE,
+    ax=None,
+    raster_downsample_factor: int = 8,
+    class_column: typing.Optional[str] = None,
+    ignore_class: int = 255,
+    vis: bool = False,
+):
+    """Quick-look plot of a raster or vector geofile
+    (reference prediction_metrics.py:37-93), headless matplotlib."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    if ax is None:
+        _, ax = plt.subplots()
+    if check_if_raster(filename):
+        from geograypher_tpu.utils.raster import read_geotiff
+
+        raster = read_geotiff(filename).downsampled(raster_downsample_factor)
+        data = raster.data.astype(float)
+        if data.ndim == 2:
+            data[data == ignore_class] = np.nan
+        x0, y0, x1, y1 = raster.bounds
+        ax.imshow(data, extent=(x0, x1, y0, y1))
+    else:
+        from geograypher_tpu.utils.vector import VectorData, rasterize_polygons
+
+        vd = VectorData.read_file(filename)
+        col = vd.attributes.get(class_column) if class_column else None
+        if col is not None:
+            classes = sorted({v for v in col if v is not None}, key=str)
+            vals = [classes.index(v) if v in classes else -1 for v in col]
+        else:
+            vals = list(range(len(vd)))
+        bounds = vd.total_bounds()
+        img = rasterize_polygons(vd.geometries, vals, bounds, (512, 512))
+        ax.imshow(
+            np.where(img >= 0, img, np.nan),
+            extent=(bounds[0], bounds[2], bounds[1], bounds[3]),
+        )
+    return ax
+
+
+def compute_and_show_cf(
+    pred_labels: np.ndarray,
+    gt_labels: np.ndarray,
+    labels: typing.Optional[list] = None,
+    use_labels_from: str = "both",
+    vis: bool = False,
+    savefile: typing.Optional[PATH_TYPE] = None,
+):
+    """Confusion matrix from per-sample label lists + optional plot
+    (reference prediction_metrics.py:232-291).
+
+    Returns (cf, labels, accuracy)."""
+    pred_labels = np.asarray(pred_labels)
+    gt_labels = np.asarray(gt_labels)
+    if labels is None:
+        if use_labels_from == "pred":
+            labels = sorted(set(pred_labels.tolist()), key=str)
+        elif use_labels_from == "gt":
+            labels = sorted(set(gt_labels.tolist()), key=str)
+        else:
+            labels = sorted(
+                set(pred_labels.tolist()) | set(gt_labels.tolist()), key=str
+            )
+    lut = {l: i for i, l in enumerate(labels)}
+    n = len(labels)
+    cf = np.zeros((n, n), dtype=np.int64)
+    for g, p in zip(gt_labels, pred_labels):
+        if g in lut and p in lut:
+            cf[lut[g], lut[p]] += 1
+    accuracy = np.trace(cf) / max(cf.sum(), 1)
+    if vis or savefile is not None:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig, ax = plt.subplots()
+        im = ax.imshow(cf)
+        ax.set_xticks(range(n), [str(l) for l in labels], rotation=45)
+        ax.set_yticks(range(n), [str(l) for l in labels])
+        ax.set_xlabel("predicted")
+        ax.set_ylabel("true")
+        fig.colorbar(im)
+        if savefile is not None:
+            fig.savefig(savefile, dpi=120, bbox_inches="tight")
+        plt.close(fig)
+    return cf, labels, float(accuracy)
+
+
 def compute_comprehensive_metrics(cf: np.ndarray) -> dict:
     """Accuracy + class-averaged precision/recall from a confusion matrix
     (true on rows, predicted on columns; reference :293-335)."""

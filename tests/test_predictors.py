@@ -188,3 +188,40 @@ def test_equirectangular_sampling():
         # center ray: camera-frame +z rotated by (pitch, yaw)
         assert abs(c_lon - yaw) < 4.0
         assert abs(c_lat - pitch) < 4.0
+
+
+def test_compute_and_show_cf(tmp_path):
+    from geograypher_tpu.utils.prediction_metrics import compute_and_show_cf
+
+    gt = ["a", "a", "b", "b", "c"]
+    pred = ["a", "b", "b", "b", "c"]
+    cf, labels, acc = compute_and_show_cf(
+        pred, gt, savefile=tmp_path / "cf.png"
+    )
+    assert labels == ["a", "b", "c"]
+    assert cf[0, 0] == 1 and cf[0, 1] == 1 and cf[1, 1] == 2 and cf[2, 2] == 1
+    assert np.isclose(acc, 4 / 5)
+    assert (tmp_path / "cf.png").exists()
+
+
+def test_plot_geodata(tmp_path):
+    from geograypher_tpu.utils.prediction_metrics import plot_geodata
+    from geograypher_tpu.utils.raster import Raster, write_geotiff
+    from geograypher_tpu.utils.vector import Polygon, VectorData
+
+    rp = tmp_path / "r.tif"
+    write_geotiff(
+        rp,
+        Raster(np.random.default_rng(0).integers(0, 5, (32, 32)).astype(np.uint8),
+               (1.0, 0, 0.0, 0, -1.0, 32.0), epsg=32611),
+    )
+    ax = plot_geodata(rp)
+    assert ax is not None
+    vp = tmp_path / "v.geojson"
+    VectorData(
+        [Polygon(np.array([[0, 0], [5, 0], [5, 5], [0, 5]], float))],
+        {"cls": ["x"]},
+        epsg=32611,
+    ).to_file(vp)
+    ax = plot_geodata(vp, class_column="cls")
+    assert ax is not None
