@@ -132,35 +132,24 @@ def _prep_level_slab(
     return slab, counts
 
 
-def _make_kernel(tile_h: int, tile_w: int, grids, scales):
+def _make_kernel(tile_h: int, tile_w: int, grids, scales, pair: int, ntx0p: int):
+    """Kernel over grid (tile_rows, tile_cols / pair): each step resolves
+    ``pair`` adjacent L0 tiles from one slab block, halving grid-step and
+    DMA-issue overhead.  ``pair`` divides the L1 scale, so a pair never
+    straddles a parent tile (one parent fetch per step)."""
     npix = tile_h * tile_w
     (nty0, ntx0), (nty1, ntx1), (nty2, ntx2) = grids
     s1_, s2_ = scales[1], scales[2]
 
     def kernel(c0, c1, c2, c3, s0, s1, s2, s3, out_ref):
         ty = pl.program_id(0)
-        tx = pl.program_id(1)
-        cnt_idx = (
-            ty * ntx0 + tx,
-            jnp.minimum(ty // s1_, nty1 - 1) * ntx1
-            + jnp.minimum(tx // s1_, ntx1 - 1),
-            jnp.minimum(ty // s2_, nty2 - 1) * ntx2
-            + jnp.minimum(tx // s2_, ntx2 - 1),
-            0,
-        )
+        txp = pl.program_id(1)  # pair index
+
         pix = jax.lax.broadcasted_iota(jnp.int32, (1, npix), 1)
         xs_local = (pix % tile_w).astype(jnp.float32) + 0.5
         ys_local = (pix // tile_w).astype(jnp.float32) + 0.5
         ones = jnp.ones_like(xs_local)
         pmat_local = jnp.concatenate([xs_local, ys_local, ones], axis=0)
-        pmat_global = jnp.concatenate(
-            [
-                xs_local + (tx * tile_w).astype(jnp.float32),
-                ys_local + (ty * tile_h).astype(jnp.float32),
-                ones,
-            ],
-            axis=0,
-        )
 
         def resolve(e0, e1, e2, wv, idv, carry):
             best_w, best_id = carry
@@ -175,13 +164,13 @@ def _make_kernel(tile_h: int, tile_w: int, grids, scales):
                 jnp.where(upd, cid, best_id),
             )
 
-        def level0(slab_ref, cnt_ref, tile_idx, carry):
+        def level0(slab_ref, sub, cnt_ref, tile_idx, carry):
             cnt = cnt_ref[tile_idx]
             n_chunks = (cnt + CHUNK - 1) // CHUNK
 
             def chunk(ci, carry):
                 off = pl.multiple_of(ci * (7 * CHUNK), 7 * CHUNK)
-                block = slab_ref[0, :, pl.ds(off, 7 * CHUNK)]  # (6, 896)
+                block = slab_ref[sub, :, pl.ds(off, 7 * CHUNK)]  # (6, 896)
                 dims = (((0,), (0,)), ((), ()))
                 vals = jax.lax.dot_general(
                     block[0:3], pmat_local, dims,
@@ -203,7 +192,7 @@ def _make_kernel(tile_h: int, tile_w: int, grids, scales):
 
             return jax.lax.fori_loop(0, n_chunks, chunk, carry)
 
-        def level(slab_ref, cnt_ref, tile_idx, carry):
+        def level(slab_ref, pmat_global, cnt_ref, tile_idx, carry):
             cnt = cnt_ref[tile_idx]
             n_chunks = (cnt + CHUNK - 1) // CHUNK
 
@@ -228,15 +217,35 @@ def _make_kernel(tile_h: int, tile_w: int, grids, scales):
 
             return jax.lax.fori_loop(0, n_chunks, chunk, carry)
 
-        carry = (
-            jnp.full((1, npix), NEG_INF, jnp.float32),
-            jnp.full((1, npix), -1.0, jnp.float32),
-        )
-        carry = level0(s0, c0, cnt_idx[0], carry)
-        carry = level(s1, c1, cnt_idx[1], carry)
-        carry = level(s2, c2, cnt_idx[2], carry)
-        carry = level(s3, c3, cnt_idx[3], carry)
-        out_ref[0, 0] = carry[1].astype(jnp.int32).reshape(tile_h, tile_w)
+        for sub in range(pair):
+            tx = txp * pair + sub
+            cnt_idx = (
+                ty * ntx0p + tx,
+                jnp.minimum(ty // s1_, nty1 - 1) * ntx1
+                + jnp.minimum(tx // s1_, ntx1 - 1),
+                jnp.minimum(ty // s2_, nty2 - 1) * ntx2
+                + jnp.minimum(tx // s2_, ntx2 - 1),
+                0,
+            )
+            pmat_global = jnp.concatenate(
+                [
+                    xs_local + (tx * tile_w).astype(jnp.float32),
+                    ys_local + (ty * tile_h).astype(jnp.float32),
+                    ones,
+                ],
+                axis=0,
+            )
+            carry = (
+                jnp.full((1, npix), NEG_INF, jnp.float32),
+                jnp.full((1, npix), -1.0, jnp.float32),
+            )
+            carry = level0(s0, sub, c0, cnt_idx[0], carry)
+            carry = level(s1, pmat_global, c1, cnt_idx[1], carry)
+            carry = level(s2, pmat_global, c2, cnt_idx[2], carry)
+            carry = level(s3, pmat_global, c3, cnt_idx[3], carry)
+            out_ref[0, sub] = carry[1].astype(jnp.int32).reshape(
+                tile_h, tile_w
+            )
 
     return kernel
 
@@ -266,17 +275,28 @@ def raster_tiles_pallas(
     th, tw = config.tile_h, config.tile_w
     npix = th * tw
 
-    t0 = binned.cand[0].shape[0]
+    # Two L0 tiles per grid step (when the grid allows); pad the tile-column
+    # count to a pair multiple with empty tiles.
+    pair = 2 if (ntx0 > 1 and config.level_scales[1] % 2 == 0) else 1
+    ntx0p = _round_up(ntx0, pair)
+    cand0 = binned.cand[0].reshape(nty0, ntx0, -1)
+    if ntx0p != ntx0:
+        cand0 = jnp.pad(
+            cand0, ((0, 0), (0, ntx0p - ntx0), (0, 0)), constant_values=-1
+        )
+    cand0 = cand0.reshape(nty0 * ntx0p, -1)
+
+    t0 = cand0.shape[0]
     tids = jnp.arange(t0, dtype=jnp.int32)
     origin = (
-        ((tids % ntx0) * tw).astype(jnp.float32),
-        ((tids // ntx0) * th).astype(jnp.float32),
+        ((tids % ntx0p) * tw).astype(jnp.float32),
+        ((tids // ntx0p) * th).astype(jnp.float32),
     )
 
     slabs, counts = [], []
     for lvl in range(4):
         s, c = _prep_level_slab(
-            binned.cand[lvl],
+            cand0 if lvl == 0 else binned.cand[lvl],
             planes_ext,
             n_faces,
             tile_origin=origin if lvl == 0 else None,
@@ -287,18 +307,23 @@ def raster_tiles_pallas(
     def slab_spec(lvl):
         rows, cols = slabs[lvl].shape[1:]
         if lvl == 0:
-            idx = lambda i, j, *_: (i * ntx0 + j, 0, 0)
-        elif lvl == 1:
+            # block = `pair` consecutive tiles; index in block units
+            return pl.BlockSpec(
+                (pair, rows, cols),
+                lambda i, j, *_: (i * (ntx0p // pair) + j, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        if lvl == 1:
             idx = lambda i, j, *_: (
                 jnp.minimum(i // s1_, nty1 - 1) * ntx1
-                + jnp.minimum(j // s1_, ntx1 - 1),
+                + jnp.minimum((j * pair) // s1_, ntx1 - 1),
                 0,
                 0,
             )
         elif lvl == 2:
             idx = lambda i, j, *_: (
                 jnp.minimum(i // s2_, nty2 - 1) * ntx2
-                + jnp.minimum(j // s2_, ntx2 - 1),
+                + jnp.minimum((j * pair) // s2_, ntx2 - 1),
                 0,
                 0,
             )
@@ -306,21 +331,21 @@ def raster_tiles_pallas(
             idx = lambda i, j, *_: (0, 0, 0)
         return pl.BlockSpec((1, rows, cols), idx, memory_space=pltpu.VMEM)
 
-    kernel = _make_kernel(th, tw, grids, config.level_scales)
+    kernel = _make_kernel(th, tw, grids, config.level_scales, pair, ntx0p)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,  # the per-tile count arrays, in SMEM
-        grid=(nty0, ntx0),
+        grid=(nty0, ntx0p // pair),
         in_specs=[slab_spec(lvl) for lvl in range(4)],
         out_specs=pl.BlockSpec(
-            (1, 1, th, tw),
+            (1, pair, th, tw),
             lambda i, j, *_: (i, j, 0, 0),
             memory_space=pltpu.VMEM,
         ),
     )
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((nty0, ntx0, th, tw), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((nty0, ntx0p, th, tw), jnp.int32),
         grid_spec=grid_spec,
         interpret=jax.default_backend() == "cpu",
     )(
@@ -331,5 +356,5 @@ def raster_tiles_pallas(
         *slabs,
     )
 
-    img = out.transpose(0, 2, 1, 3).reshape(nty0 * th, ntx0 * tw)
+    img = out.transpose(0, 2, 1, 3).reshape(nty0 * th, ntx0p * tw)
     return img[:image_h, :image_w]

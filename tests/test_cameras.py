@@ -270,3 +270,48 @@ def test_export_images(tmp_path):
     out = tmp_path / "out"
     cams.export_images(out, copy=True)
     assert (out / "a.jpg").read_bytes() == b"x"
+
+
+def test_rig_cameras_from_equirectangular(tmp_path):
+    from geograypher_tpu.cameras.rig import (
+        create_rig_cameras_from_equirectangular,
+    )
+
+    path = make_metashape_xml(tmp_path)
+    rig_camera = {
+        "f": 100.0, "cx": 0.0, "cy": 0.0,
+        "image_width": 200, "image_height": 200,
+    }
+    orientations = [
+        {"roll_deg": 0.0, "pitch_deg": 0.0, "yaw_deg": y}
+        for y in (0.0, 90.0, 180.0, 270.0)
+    ]
+    rig = create_rig_cameras_from_equirectangular(
+        camera_file=path,
+        original_images="images",
+        perspective_images=tmp_path / "persp",
+        rig_camera=rig_camera,
+        rig_orientations=orientations,
+        perspective_filename_format_str="_yaw{yaw_deg:.0f}",
+    )
+    # 3 aligned base cameras x 4 rig members
+    assert len(rig) == 12
+    names = [f.name for f in rig.image_filenames[:4]]
+    assert names == [
+        "img_0000_yaw0.png", "img_0000_yaw90.png",
+        "img_0000_yaw180.png", "img_0000_yaw270.png",
+    ]
+    # yaw=0 member keeps the base orientation; yaw=180 flips the view axis
+    r0 = rig.cam_to_world_transforms[0][:3, :3]
+    r180 = rig.cam_to_world_transforms[2][:3, :3]
+    z0 = r0 @ np.array([0, 0, 1.0])
+    z180 = r180 @ np.array([0, 0, 1.0])
+    assert np.allclose(z0, -z180, atol=1e-9)
+    # all members share the camera center
+    assert np.allclose(
+        rig.cam_to_world_transforms[0][:3, 3],
+        rig.cam_to_world_transforms[3][:3, 3],
+    )
+    # batch construction works with the synthetic sensor
+    batch = rig.get_camera_batch()
+    assert batch.n_cameras == 12 and batch.image_width == 200
