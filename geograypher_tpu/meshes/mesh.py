@@ -501,6 +501,36 @@ class TexturedMesh:
 
     # -- geospatial sampling ------------------------------------------------
 
+    def get_verts_vector(self, crs: typing.Optional[int] = None) -> VectorData:
+        """Vertices as a point VectorData (reference get_verts_geodataframe,
+        meshes.py:776-801)."""
+        if crs is None and self.CRS is not None:
+            crs = self.get_working_projected_CRS()
+        verts = self.get_vertices_in_CRS(crs)
+        if crs == 4326:
+            pts = [np.array([v[1], v[0]]) for v in verts]  # lon, lat
+        else:
+            pts = [v[:2].copy() for v in verts]
+        return VectorData(pts, {"vert_ID": list(range(len(pts)))}, epsg=crs)
+
+    def get_face_area_ratios(self) -> np.ndarray:
+        """Per-face (2D z-projected area) / (3D area): ~1 for flat ground,
+        ->0 for steep faces (reference meshes.py:881-911); used to
+        down-weight steep faces in polygon-label voting."""
+        from geograypher_tpu.utils.numeric import (
+            compute_3D_triangle_area_vectorized,
+        )
+
+        crs = (
+            self.get_working_projected_CRS() if self.CRS is not None else None
+        )
+        verts = self.get_vertices_in_CRS(crs) if crs else self.verts
+        corners = verts[self.faces].transpose(1, 0, 2)  # (3, F, 3)
+        area3d, area2d = compute_3D_triangle_area_vectorized(corners)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            ratio = area2d / area3d
+        return np.nan_to_num(ratio, nan=0.0)
+
     def get_values_for_verts_from_vector(
         self,
         vector: typing.Union[PATH_TYPE, VectorData],

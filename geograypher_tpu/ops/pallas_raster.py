@@ -164,33 +164,51 @@ def _make_kernel(tile_h: int, tile_w: int, grids, scales, pair: int, ntx0p: int)
                 jnp.where(upd, cid, best_id),
             )
 
-        def level0(slab_ref, sub, cnt_ref, tile_idx, carry):
-            cnt = cnt_ref[tile_idx]
+        def resolve0(vals, base, carry):
+            """Level-0 resolve on a 7-plane row block starting at ``base``."""
+            e0 = vals[base + 0 * CHUNK : base + 1 * CHUNK]
+            e1 = vals[base + 1 * CHUNK : base + 2 * CHUNK]
+            e2 = vals[base + 2 * CHUNK : base + 3 * CHUNK]
+            wv = vals[base + 3 * CHUNK : base + 4 * CHUNK]
+            idv = (
+                vals[base + 4 * CHUNK : base + 5 * CHUNK]
+                + 256.0 * vals[base + 5 * CHUNK : base + 6 * CHUNK]
+                + 65536.0 * vals[base + 6 * CHUNK : base + 7 * CHUNK]
+            )
+            return resolve(e0, e1, e2, wv, idv, carry)
+
+        def level0_all(slab_ref, cnt_ref, tile_ids, carries):
+            """All `pair` sub-tiles share one wide hi/lo dot per chunk.
+
+            The loop runs to the max sub-tile chunk count; a lighter
+            sub-tile's surplus slots hold sentinel planes (coverage-false),
+            so no masking is needed.
+            """
+            cnt = cnt_ref[tile_ids[0]]
+            for t in tile_ids[1:]:
+                cnt = jnp.maximum(cnt, cnt_ref[t])
             n_chunks = (cnt + CHUNK - 1) // CHUNK
 
-            def chunk(ci, carry):
+            def chunk(ci, carries):
                 off = pl.multiple_of(ci * (7 * CHUNK), 7 * CHUNK)
-                block = slab_ref[sub, :, pl.ds(off, 7 * CHUNK)]  # (6, 896)
+                blocks = [
+                    slab_ref[s, :, pl.ds(off, 7 * CHUNK)]  # (6, 896)
+                    for s in range(pair)
+                ]
+                hi = jnp.concatenate([b[0:3] for b in blocks], axis=1)
+                lo = jnp.concatenate([b[3:6] for b in blocks], axis=1)
                 dims = (((0,), (0,)), ((), ()))
                 vals = jax.lax.dot_general(
-                    block[0:3], pmat_local, dims,
-                    preferred_element_type=jnp.float32,
+                    hi, pmat_local, dims, preferred_element_type=jnp.float32
                 ) + jax.lax.dot_general(
-                    block[3:6], pmat_local, dims,
-                    preferred_element_type=jnp.float32,
-                )  # (7*CHUNK, npix)
-                e0 = vals[0 * CHUNK : 1 * CHUNK]
-                e1 = vals[1 * CHUNK : 2 * CHUNK]
-                e2 = vals[2 * CHUNK : 3 * CHUNK]
-                wv = vals[3 * CHUNK : 4 * CHUNK]
-                idv = (
-                    vals[4 * CHUNK : 5 * CHUNK]
-                    + 256.0 * vals[5 * CHUNK : 6 * CHUNK]
-                    + 65536.0 * vals[6 * CHUNK : 7 * CHUNK]
+                    lo, pmat_local, dims, preferred_element_type=jnp.float32
+                )  # (pair*7*CHUNK, npix)
+                return tuple(
+                    resolve0(vals, s * 7 * CHUNK, carries[s])
+                    for s in range(pair)
                 )
-                return resolve(e0, e1, e2, wv, idv, carry)
 
-            return jax.lax.fori_loop(0, n_chunks, chunk, carry)
+            return jax.lax.fori_loop(0, n_chunks, chunk, carries)
 
         def level(slab_ref, pmat_global, cnt_ref, tile_idx, carry):
             cnt = cnt_ref[tile_idx]
@@ -217,10 +235,18 @@ def _make_kernel(tile_h: int, tile_w: int, grids, scales, pair: int, ntx0p: int)
 
             return jax.lax.fori_loop(0, n_chunks, chunk, carry)
 
+        init = (
+            jnp.full((1, npix), NEG_INF, jnp.float32),
+            jnp.full((1, npix), -1.0, jnp.float32),
+        )
+        l0_tile_ids = tuple(
+            ty * ntx0p + txp * pair + s for s in range(pair)
+        )
+        carries = level0_all(s0, c0, l0_tile_ids, (init,) * pair)
+
         for sub in range(pair):
             tx = txp * pair + sub
-            cnt_idx = (
-                ty * ntx0p + tx,
+            parent_idx = (
                 jnp.minimum(ty // s1_, nty1 - 1) * ntx1
                 + jnp.minimum(tx // s1_, ntx1 - 1),
                 jnp.minimum(ty // s2_, nty2 - 1) * ntx2
@@ -235,14 +261,10 @@ def _make_kernel(tile_h: int, tile_w: int, grids, scales, pair: int, ntx0p: int)
                 ],
                 axis=0,
             )
-            carry = (
-                jnp.full((1, npix), NEG_INF, jnp.float32),
-                jnp.full((1, npix), -1.0, jnp.float32),
-            )
-            carry = level0(s0, sub, c0, cnt_idx[0], carry)
-            carry = level(s1, pmat_global, c1, cnt_idx[1], carry)
-            carry = level(s2, pmat_global, c2, cnt_idx[2], carry)
-            carry = level(s3, pmat_global, c3, cnt_idx[3], carry)
+            carry = carries[sub]
+            carry = level(s1, pmat_global, c1, parent_idx[0], carry)
+            carry = level(s2, pmat_global, c2, parent_idx[1], carry)
+            carry = level(s3, pmat_global, c3, parent_idx[2], carry)
             out_ref[0, sub] = carry[1].astype(jnp.int32).reshape(
                 tile_h, tile_w
             )

@@ -229,3 +229,23 @@ def test_pix2face_cache(tmp_path):
     files[0].write_bytes(b"garbage")
     c = mesh.pix2face(cams, save_to_cache=True, cache_folder=tmp_path)
     assert (a == c).all()
+
+
+def test_verts_vector_and_area_ratios():
+    mesh, (e0, n0) = make_geo_mesh(n=5)
+    vd = mesh.get_verts_vector()
+    assert len(vd) == mesh.n_verts
+    assert vd.epsg == SITE_UTM
+    pts = np.stack(vd.geometries)
+    assert abs(pts[:, 0].mean() - e0) < 1.0
+
+    # flat mesh -> ratio ~1 everywhere
+    ratios = mesh.get_face_area_ratios()
+    assert ratios.shape == (mesh.n_faces,)
+    assert np.allclose(ratios, 1.0, atol=1e-3)
+
+    # a steep mesh has lower ratios
+    verts, faces = make_grid_mesh(n=5, size=10.0, z_fn=lambda x, y: 3 * x)
+    steep = TexturedMesh((verts, faces), raster_config=CFG)
+    steep_ratios = steep.get_face_area_ratios()
+    assert (steep_ratios < 0.5).all()
