@@ -34,7 +34,7 @@ import hashlib
 import logging
 from pathlib import Path
 from typing import Callable as typing_Callable
-from typing import Dict, List, Optional, Sequence, Tuple, Union
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

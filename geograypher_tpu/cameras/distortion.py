@@ -24,7 +24,7 @@ equation runs on full-resolution pixel coordinates and results are scaled.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -10,10 +10,6 @@ rasters.
 
 from __future__ import annotations
 
-import typing
-
-import numpy as np
-
 from geograypher_tpu.cameras.core import CameraSet
 from geograypher_tpu.predictors.segmentors import Segmentor
 

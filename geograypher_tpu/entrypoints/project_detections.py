@@ -7,7 +7,6 @@ from __future__ import annotations
 import argparse
 import typing
 
-import numpy as np
 import scipy.sparse
 
 from geograypher_tpu.cameras.metashape import MetashapeCameraSet

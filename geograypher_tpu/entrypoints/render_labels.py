@@ -12,6 +12,7 @@ save them mirroring the image folder tree.
 from __future__ import annotations
 
 import argparse
+from pathlib import Path
 import typing
 
 import numpy as np
@@ -60,11 +61,7 @@ def render_labels(
     # Infer the ROI from the texture's extent when not given
     # (reference render_labels.py:110-116)
     effective_roi = ROI
-    if effective_roi is None and isinstance(texture, (str,)) or (
-        effective_roi is None and hasattr(texture, "__fspath__")
-    ):
-        from pathlib import Path
-
+    if effective_roi is None and isinstance(texture, (str, Path)):
         if Path(texture).suffix.lower() in (".geojson", ".json", ".gpkg"):
             effective_roi = texture
 
@@ -114,8 +111,6 @@ def render_labels(
         from geograypher_tpu.meshes.chunked import render_flat_chunked
 
         import cv2
-
-        from pathlib import Path
 
         from geograypher_tpu.utils.files import ensure_containing_folder
 

@@ -23,7 +23,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from geograypher_tpu.cameras.core import CameraBatch, CameraSet
+from geograypher_tpu.cameras.core import CameraSet
 from geograypher_tpu.cameras.distortion import DistortionEngine
 from geograypher_tpu.constants import (
     CACHE_FOLDER,
@@ -32,7 +32,6 @@ from geograypher_tpu.constants import (
     PATH_TYPE,
 )
 from geograypher_tpu.ops.aggregate import (
-    AggregationState,
     accumulate_view,
     finalize_aggregation,
     init_aggregation,

@@ -18,7 +18,7 @@ views that saw the face, exactly like the reference's nansum/count.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -35,7 +35,6 @@ XLA reference kernel, which tests assert against.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional, Tuple
 
 import jax

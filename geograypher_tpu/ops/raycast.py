@@ -9,8 +9,6 @@ reference meshes.py:2366-2447), so a dense batched Moller-Trumbore over all
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 

@@ -21,7 +21,7 @@ explicitly per-device work, not something to be partitioned op-by-op.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -29,7 +29,6 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from geograypher_tpu.ops.aggregate import (
-    AggregationState,
     accumulate_view,
     init_aggregation,
     project_image_to_faces,

@@ -8,7 +8,7 @@ plus a simple procedural scene generator for end-to-end tests.
 
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

@@ -16,7 +16,6 @@ reference's outputs use.
 from __future__ import annotations
 
 import dataclasses
-from pathlib import Path
 from typing import Optional, Tuple
 
 import numpy as np
@@ -142,7 +141,7 @@ class Raster:
 
 
 def read_geotiff(path: PATH_TYPE) -> Raster:
-    from PIL import Image, TiffTags
+    from PIL import Image
 
     Image.MAX_IMAGE_PIXELS = None
     with Image.open(path) as img:

@@ -51,7 +51,6 @@ def create_composite(
 ) -> np.ndarray:
     """label | RGB | overlay triple-pane composite
     (reference visualization.py:113-206)."""
-    import matplotlib.cm as cm
     import matplotlib.pyplot as plt
 
     rgb = np.asarray(rgb_image, dtype=float)
