@@ -626,6 +626,86 @@ class TexturedMesh:
 
     # -- rasterization / rendering / aggregation -----------------------------
 
+    def _distortion_map_device(
+        self, cameras: CameraSet, index: int, image_scale: float
+    ):
+        """Device-resident warped->ideal sampling map for a camera's sensor
+        (None when the sensor is undistorted)."""
+        sensor = cameras.sensors[cameras.sensor_IDs[index]]
+        dist = sensor.get("distortion_params") or {}
+        if not dist:
+            return None
+        from geograypher_tpu.cameras.core import distortion_dict_to_vector
+
+        vec = distortion_dict_to_vector(dist)
+        key = (
+            "w2i_dev",
+            self.distortion_engine.key(
+                vec,
+                sensor["f"],
+                sensor.get("cx", 0.0),
+                sensor.get("cy", 0.0),
+                sensor["image_width"],
+                sensor["image_height"],
+                image_scale,
+            ),
+        )
+        if key not in self._tri_verts_cache:
+            _, w2i = self.distortion_engine.get_maps(
+                sensor["f"],
+                sensor.get("cx", 0.0),
+                sensor.get("cy", 0.0),
+                sensor["image_width"],
+                sensor["image_height"],
+                vec,
+                image_scale,
+            )
+            self._tri_verts_cache[key] = jnp.asarray(w2i)
+        return self._tri_verts_cache[key]
+
+    def _pix2face_device(
+        self,
+        cameras: CameraSet,
+        index: int,
+        render_img_scale: float = 1.0,
+        apply_distortion: bool = False,
+        config: typing.Optional[RasterConfig] = None,
+        save_to_cache: bool = False,
+        cache_folder: typing.Optional[PATH_TYPE] = None,
+    ) -> jax.Array:
+        """One camera's pix2face as a DEVICE array (no host round trip);
+        distortion warping runs on-device via NN remap.  With caching
+        requested, delegates to the host-side cached path."""
+        if save_to_cache:
+            return jnp.asarray(
+                self.pix2face(
+                    cameras,
+                    [index],
+                    render_img_scale=render_img_scale,
+                    apply_distortion=apply_distortion,
+                    config=config,
+                    save_to_cache=True,
+                    cache_folder=cache_folder,
+                )[0]
+            )
+        config = config or self.raster_config
+        batch = cameras.get_camera_batch([index], image_scale=render_img_scale)
+        tri = self.get_tri_verts_device(cameras)
+        p2f = rasterize_triangles(
+            transform_to_camera(tri, batch.world_to_cam[0]),
+            batch.f[0],
+            image_w=batch.image_width,
+            image_h=batch.image_height,
+            config=config,
+        )
+        if apply_distortion:
+            w2i = self._distortion_map_device(cameras, index, render_img_scale)
+            if w2i is not None:
+                from geograypher_tpu.cameras.distortion import remap_image_jax
+
+                p2f = remap_image_jax(p2f, w2i, fill_value=-1)
+        return p2f
+
     def pix2face(
         self,
         cameras: CameraSet,
@@ -656,55 +736,32 @@ class TexturedMesh:
 
             cache_folder = cache_folder or CACHE_FOLDER
             mesh_hash = self.get_mesh_hash()
-        batch = cameras.get_camera_batch(indices, image_scale=render_img_scale)
-        tri = self.get_tri_verts_device(cameras)
         out = []
-        for k in range(batch.n_cameras):
+        for k, i in enumerate(indices):
             if save_to_cache:
-                cam_hash = cameras.get_subset_cameras(
-                    [indices[k]]
-                ).get_camera_hash()
-                cache_key = [mesh_hash, cam_hash, render_img_scale]
+                cam_hash = cameras.get_subset_cameras([i]).get_camera_hash()
+                cache_key = [
+                    mesh_hash, cam_hash, render_img_scale, apply_distortion
+                ]
                 cached = p2f_cache.load_pix2face(
                     "pix2face", cache_key, cache_folder
                 )
                 if cached is not None:
                     out.append(cached)
                     continue
-            p2f = rasterize_triangles(
-                transform_to_camera(tri, batch.world_to_cam[k]),
-                batch.f[k],
-                image_w=batch.image_width,
-                image_h=batch.image_height,
-                config=config,
+            p2f = np.asarray(
+                self._pix2face_device(
+                    cameras,
+                    i,
+                    render_img_scale=render_img_scale,
+                    apply_distortion=apply_distortion,
+                    config=config,
+                )
             )
-            p2f = np.asarray(p2f)
             if save_to_cache:
                 p2f_cache.save_pix2face(
                     p2f, "pix2face", cache_key, cache_folder
                 )
-            if apply_distortion:
-                i = indices[k]
-                sensor = cameras.sensors[cameras.sensor_IDs[i]]
-                dist = sensor.get("distortion_params") or {}
-                if dist:
-                    from geograypher_tpu.cameras.core import (
-                        distortion_dict_to_vector,
-                    )
-
-                    p2f = self.distortion_engine.warp_dewarp_image(
-                        p2f,
-                        sensor["f"],
-                        sensor.get("cx", 0.0),
-                        sensor.get("cy", 0.0),
-                        sensor["image_width"],
-                        sensor["image_height"],
-                        distortion_dict_to_vector(dist),
-                        warped_to_ideal=False,
-                        fill_value=-1,
-                        interpolation_order=0,
-                        image_scale=render_img_scale,
-                    )
             out.append(p2f)
         return np.stack(out, axis=0)
 
@@ -725,10 +782,11 @@ class TexturedMesh:
             raise ValueError("Mesh has no texture to render")
         tex_dev = jnp.asarray(face_tex, jnp.float32)
         for i in range(len(cameras)):
-            p2f = self.pix2face(
-                cameras, [i], render_img_scale=render_img_scale, **pix2face_kwargs
-            )[0]
-            img = np.asarray(render_texture(jnp.asarray(p2f), tex_dev))
+            p2f = self._pix2face_device(
+                cameras, i, render_img_scale=render_img_scale,
+                **pix2face_kwargs,
+            )
+            img = np.asarray(render_texture(p2f, tex_dev))
             if return_camera:
                 yield img, cameras.get_subset_cameras([i])
             else:
@@ -746,18 +804,20 @@ class TexturedMesh:
         (reference meshes.py:1911-1969; see ops/aggregate.py for the
         deliberate last-pixel-wins -> per-face-mean semantics fix)."""
         for i in range(len(cameras)):
-            p2f = self.pix2face(
-                cameras, [i], render_img_scale=aggregate_img_scale,
-                **pix2face_kwargs,
-            )[0]
             img = cameras.get_image_by_index(i, aggregate_img_scale)
             if check_null_image and not np.any(np.isfinite(img)):
                 yield None
                 continue
-            sums, counts = project_image_to_faces(
-                jnp.asarray(p2f), jnp.asarray(img, jnp.float32), self.n_faces
+            p2f = self._pix2face_device(
+                cameras, i, render_img_scale=aggregate_img_scale,
+                **pix2face_kwargs,
             )
-            yield np.asarray(sums), np.asarray(counts)
+            sums, counts = project_image_to_faces(
+                p2f, jnp.asarray(img, jnp.float32), self.n_faces
+            )
+            # device arrays: downstream accumulation stays on device; callers
+            # wanting numpy can np.asarray (tiny (F, C) transfers)
+            yield sums, counts
 
     def aggregate_projected_images(
         self,
@@ -786,13 +846,12 @@ class TexturedMesh:
             if state is None:
                 n_channels = sums.shape[1]
                 state = init_aggregation(self.n_faces, n_channels)
-            state = accumulate_view(
-                state, jnp.asarray(sums), jnp.asarray(counts)
-            )
+            state = accumulate_view(state, sums, counts)
             if return_all:
+                s, c = np.asarray(sums), np.asarray(counts)
                 with np.errstate(invalid="ignore"):
                     all_projections.append(
-                        np.where(counts > 0, sums / np.maximum(counts, 1), np.nan)
+                        np.where(c > 0, s / np.maximum(c, 1), np.nan)
                     )
         if state is None:
             raise ValueError("No images to aggregate")
