@@ -203,6 +203,7 @@ def remap_image(
     return out
 
 
+@functools.partial(jax.jit, static_argnames=("fill_value",))
 def remap_image_jax(
     image: jax.Array, ijmap: jax.Array, fill_value: float = 0.0
 ) -> jax.Array:

@@ -24,10 +24,11 @@ import jax
 import jax.numpy as jnp
 
 
+@functools.partial(jax.jit, static_argnames=("background",))
 def render_texture(
     pix2face: jax.Array,
     face_texture: jax.Array,
-    background=jnp.nan,
+    background: float = float("nan"),
 ) -> jax.Array:
     """Gather per-face texture into an image.
 
