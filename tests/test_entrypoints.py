@@ -147,3 +147,26 @@ def test_visualize(survey, tmp_path):
         screenshot_filename=shot,
     )
     assert shot.exists() and shot.stat().st_size > 1000
+
+
+def test_render_labels_chunked(survey, tmp_path):
+    """The chunked render path (cluster cameras -> sub-mesh per cluster)."""
+    from geograypher_tpu.entrypoints.render_labels import render_labels
+
+    out = tmp_path / "renders_chunked"
+    render_labels(
+        mesh_file=survey["mesh_file"],
+        cameras_file=survey["cameras_file"],
+        image_folder=survey["image_folder"],
+        texture=survey["labels_vector_file"],
+        texture_column_name="species",
+        render_savefolder=out,
+        n_cameras_per_chunk=2,
+        ROI_buffer_radius_meters=200.0,
+    )
+    files = sorted(out.glob("*.png"))
+    assert len(files) == 4
+    import cv2
+
+    mask = cv2.imread(str(files[0]), cv2.IMREAD_UNCHANGED)
+    assert mask is not None and 255 in np.unique(mask)
