@@ -230,20 +230,36 @@ class TexturedMesh:
         hom = np.concatenate([self.verts, np.ones((len(self.verts), 1))], axis=1)
         return (inv @ hom.T).T[:, :3]
 
+    @staticmethod
+    def _face_bucket(n: int) -> int:
+        """Round a face count up to a shape bucket (1.25x geometric steps)
+        so meshes/chunks of similar size share jit compilations
+        (SURVEY.md §7: pad-to-bucket against ROI-crop recompiles)."""
+        bucket = 1024
+        while bucket < n:
+            bucket = int(bucket * 1.25) // 256 * 256 + 256
+        return bucket
+
     def get_tri_verts_device(
         self, cameras: typing.Union[CameraSet, None]
     ) -> jax.Array:
-        """(F, 3, 3) float32 triangle vertices in the local frame, cached
-        on device per camera frame (the rasterizer's mesh representation)."""
+        """(F_pad, 3, 3) float32 triangle vertices in the local frame,
+        cached on device per camera frame (the rasterizer's mesh
+        representation).  Padded to a shape bucket with behind-camera
+        degenerate triangles, which every view culls."""
         key = None
         if isinstance(cameras, CameraSet):
             t = cameras.get_local_to_epsg_4978_transform()
             key = None if t is None else hashlib.sha256(t.tobytes()).hexdigest()
         if key not in self._tri_verts_cache:
             local = self.get_verts_in_local_frame(cameras)
-            self._tri_verts_cache[key] = jnp.asarray(
-                local[self.faces], jnp.float32
-            )
+            tri = local[self.faces]
+            pad = self._face_bucket(self.n_faces) - self.n_faces
+            if pad:
+                center = local.mean(axis=0) if len(local) else np.zeros(3)
+                filler = np.broadcast_to(center, (pad, 3, 3))
+                tri = np.concatenate([tri, filler], axis=0)
+            self._tri_verts_cache[key] = jnp.asarray(tri, jnp.float32)
         return self._tri_verts_cache[key]
 
     # -- geometry edits ---------------------------------------------------
@@ -812,12 +828,15 @@ class TexturedMesh:
                 cameras, i, render_img_scale=aggregate_img_scale,
                 **pix2face_kwargs,
             )
+            # bucketized segment count shares the jit across mesh chunks
             sums, counts = project_image_to_faces(
-                p2f, jnp.asarray(img, jnp.float32), self.n_faces
+                p2f,
+                jnp.asarray(img, jnp.float32),
+                self._face_bucket(self.n_faces),
             )
             # device arrays: downstream accumulation stays on device; callers
             # wanting numpy can np.asarray (tiny (F, C) transfers)
-            yield sums, counts
+            yield sums[: self.n_faces], counts[: self.n_faces]
 
     def aggregate_projected_images(
         self,
