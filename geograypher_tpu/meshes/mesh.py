@@ -679,6 +679,43 @@ class TexturedMesh:
             self._tri_verts_cache[key] = jnp.asarray(w2i)
         return self._tri_verts_cache[key]
 
+    def check_raster_capacity(
+        self,
+        cameras: CameraSet,
+        index: int = 0,
+        render_img_scale: float = 1.0,
+        config: typing.Optional[RasterConfig] = None,
+    ) -> int:
+        """Number of candidate entries dropped by the rasterizer's static
+        per-tile capacities for one representative view (0 = lossless).
+
+        Run this once per survey configuration; if nonzero, raise the
+        ``caps`` in :class:`RasterConfig` (cost is linear in ``caps[0]``).
+        The rasterizer itself never checks (it would force a device sync
+        per view); capacities are a static contract.
+        """
+        from geograypher_tpu.ops.rasterize import bin_triangles, setup_triangles
+
+        config = config or self.raster_config
+        batch = cameras.get_camera_batch([index], image_scale=render_img_scale)
+        tri = self.get_tri_verts_device(cameras)
+        setup = setup_triangles(
+            transform_to_camera(tri, batch.world_to_cam[0]),
+            batch.f[0],
+            batch.image_width,
+            batch.image_height,
+        )
+        binned = bin_triangles(
+            setup, config, batch.image_height, batch.image_width
+        )
+        overflow = int(binned.overflow)
+        if overflow:
+            logger.warning(
+                "rasterizer capacity overflow: %d candidate entries dropped "
+                "for view %d; increase RasterConfig.caps", overflow, index,
+            )
+        return overflow
+
     def _pix2face_device(
         self,
         cameras: CameraSet,

@@ -249,3 +249,12 @@ def test_verts_vector_and_area_ratios():
     steep = TexturedMesh((verts, faces), raster_config=CFG)
     steep_ratios = steep.get_face_area_ratios()
     assert (steep_ratios < 0.5).all()
+
+
+def test_check_raster_capacity():
+    mesh, _ = make_geo_mesh(n=15)
+    cams = local_camera_set(mesh, n_cams=1, sensor=64, focal=32.0)
+    assert mesh.check_raster_capacity(cams) == 0
+    # absurdly small caps must report overflow
+    tiny = RasterConfig(caps=(8, 8, 8, 8), backend="xla")
+    assert mesh.check_raster_capacity(cams, config=tiny) > 0
