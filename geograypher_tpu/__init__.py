@@ -16,3 +16,25 @@ Layer map (bottom-up):
 """
 
 __version__ = "0.1.0"
+
+_LAZY = {
+    "TexturedMesh": "geograypher_tpu.meshes.mesh",
+    "CameraSet": "geograypher_tpu.cameras.core",
+    "CameraBatch": "geograypher_tpu.cameras.core",
+    "MetashapeCameraSet": "geograypher_tpu.cameras.metashape",
+    "COLMAPCameraSet": "geograypher_tpu.cameras.colmap",
+    "SegmentorCameraSet": "geograypher_tpu.cameras.segmentor_set",
+    "RasterConfig": "geograypher_tpu.ops.rasterize",
+    "VectorData": "geograypher_tpu.utils.vector",
+    "Raster": "geograypher_tpu.utils.raster",
+}
+
+__all__ = list(_LAZY)
+
+
+def __getattr__(name):
+    if name in _LAZY:
+        import importlib
+
+        return getattr(importlib.import_module(_LAZY[name]), name)
+    raise AttributeError(name)
