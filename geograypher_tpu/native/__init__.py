@@ -63,8 +63,43 @@ def get_lib() -> Optional[ctypes.CDLL]:
     ]
     lib.ply_close.restype = None
     lib.ply_close.argtypes = [ctypes.c_int]
+    if hasattr(lib, "class_counts_i32"):
+        lib.class_counts_i32.restype = None
+        lib.class_counts_i32.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int32, ctypes.c_void_p, ctypes.c_int32,
+        ]
     _lib = lib
     return _lib
+
+
+def class_counts_host(
+    pix2face: np.ndarray,
+    labels: np.ndarray,
+    n_faces: int,
+    n_classes: int,
+    n_threads: int = 8,
+) -> Optional[np.ndarray]:
+    """Threaded host-side per-face class-count scatter.
+
+    ~5-20 ms for an 8M-pixel view on a few cores — below the TPU's XLA
+    scatter floor (docs/DESIGN.md) — for flows where the pix2face map is
+    already host-resident (cache hits, post-processing).  Returns
+    (n_faces, n_classes) int32, or None without the native lib.
+    """
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "class_counts_i32"):
+        return None
+    p2f = np.ascontiguousarray(pix2face, dtype=np.int32).reshape(-1)
+    lab = np.ascontiguousarray(labels, dtype=np.int32).reshape(-1)
+    if p2f.size != lab.size:
+        raise ValueError("pix2face and labels must have equal sizes")
+    out = np.zeros((n_faces, n_classes), dtype=np.int32)
+    lib.class_counts_i32(
+        p2f.ctypes.data, lab.ctypes.data, p2f.size,
+        n_faces, n_classes, out.ctypes.data, int(n_threads),
+    )
+    return out
 
 
 def rle_encode(arr: np.ndarray) -> Optional[bytes]:

@@ -268,3 +268,43 @@ void ply_close(int handle) {
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Threaded host-side class-count aggregation.
+//
+// TPU XLA scatters cost ~11 ns/element (see docs/DESIGN.md); a CPU
+// scatter-add runs at memory speed.  When a pix2face map is on the host
+// anyway (cache hits, post-processing), this threaded histogram is the
+// cheapest way to fold a view into per-face class counts.  Each thread
+// owns a face-id range and scans all pixels, so no atomics or merges.
+// ---------------------------------------------------------------------------
+
+#include <thread>
+
+extern "C" {
+
+// p2f: n_pix int32 face ids (-1 = background); labels: n_pix int32 class
+// ids (<0 ignored); out: (n_faces * n_classes) int32, caller-zeroed.
+void class_counts_i32(const int32_t* p2f, const int32_t* labels,
+                      int64_t n_pix, int64_t n_faces, int32_t n_classes,
+                      int32_t* out, int32_t n_threads) {
+  if (n_threads < 1) n_threads = 1;
+  std::vector<std::thread> workers;
+  int64_t faces_per = (n_faces + n_threads - 1) / n_threads;
+  for (int t = 0; t < n_threads; t++) {
+    int64_t lo = t * faces_per;
+    int64_t hi = std::min<int64_t>(n_faces, lo + faces_per);
+    workers.emplace_back([=]() {
+      for (int64_t i = 0; i < n_pix; i++) {
+        int32_t f = p2f[i];
+        int32_t c = labels[i];
+        if (f >= lo && f < hi && c >= 0 && c < n_classes) {
+          out[static_cast<int64_t>(f) * n_classes + c]++;
+        }
+      }
+    });
+  }
+  for (auto& w : workers) w.join();
+}
+
+}  // extern "C"

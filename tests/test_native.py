@@ -55,3 +55,21 @@ def test_fastply_matches_python_reader(lib, tmp_path):
     # load_mesh dispatches to the fast path transparently
     lv, lf, _ = load_mesh(path)
     assert np.allclose(lv, verts)
+
+
+def test_class_counts_host(lib):
+    import time
+
+    rng = np.random.default_rng(1)
+    n_pix, n_faces, n_classes = 500_000, 20_000, 7
+    p2f = rng.integers(-1, n_faces, n_pix).astype(np.int32)
+    labels = rng.integers(-1, n_classes, n_pix).astype(np.int32)
+    out = native.class_counts_host(p2f, labels, n_faces, n_classes)
+    assert out is not None and out.shape == (n_faces, n_classes)
+    # reference: numpy bincount on the flattened valid keys
+    ok = (p2f >= 0) & (labels >= 0)
+    ref = np.bincount(
+        p2f[ok].astype(np.int64) * n_classes + labels[ok],
+        minlength=n_faces * n_classes,
+    ).reshape(n_faces, n_classes)
+    assert (out == ref).all()
