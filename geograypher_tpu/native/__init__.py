@@ -78,15 +78,22 @@ def class_counts_host(
     labels: np.ndarray,
     n_faces: int,
     n_classes: int,
-    n_threads: int = 8,
+    n_threads: int = 0,
 ) -> Optional[np.ndarray]:
     """Threaded host-side per-face class-count scatter.
 
-    ~5-20 ms for an 8M-pixel view on a few cores — below the TPU's XLA
-    scatter floor (docs/DESIGN.md) — for flows where the pix2face map is
-    already host-resident (cache hits, post-processing).  Returns
-    (n_faces, n_classes) int32, or None without the native lib.
+    Each thread owns a face-id RANGE and scans all pixels (no atomics), so
+    speedup requires real cores: ~217 ms single-core for an 8M-pixel view,
+    scaling toward the TPU XLA scatter floor (~89 ms) with ~4+ cores — for
+    flows where the pix2face map is already host-resident (cache hits,
+    post-processing).  ``n_threads=0`` uses the machine's core count.
+    Returns (n_faces, n_classes) int32, or None without the native lib.
     """
+    import os
+
+    if n_threads <= 0:
+        n_threads = os.cpu_count() or 1
+    n_threads = min(n_threads, os.cpu_count() or 1)
     lib = get_lib()
     if lib is None or not hasattr(lib, "class_counts_i32"):
         return None
