@@ -511,13 +511,26 @@ class CameraSet:
         return list(self.lon_lats)
 
     def get_camera_hash(self, include_image_hash: bool = False) -> str:
-        """Content hash of the set's geometry (reference cameras.py:104)."""
+        """Content hash of the set's geometry, INCLUDING distortion
+        parameters (reference cameras.py:104-124 hashes them too): this
+        hash keys the pix2face disk cache, and a distortion-warped map is
+        stale the moment any coefficient changes."""
+
+        def canonical(v):
+            if isinstance(v, dict):
+                return tuple(sorted((k, canonical(x)) for k, x in v.items()))
+            if isinstance(v, (list, tuple, np.ndarray)):
+                return tuple(canonical(x) for x in np.asarray(v).reshape(-1))
+            if isinstance(v, (np.floating, np.integer)):
+                return v.item()
+            return v
+
         hasher = hashlib.sha256()
         for i, t in enumerate(self.cam_to_world_transforms):
             hasher.update(np.ascontiguousarray(t).tobytes())
             sensor = self.sensors[self.sensor_IDs[i]]
             hasher.update(
-                repr(sorted((k, v) for k, v in sensor.items() if k != "distortion_params")).encode()
+                repr(sorted((k, canonical(v)) for k, v in sensor.items())).encode()
             )
             if include_image_hash and self.image_filenames[i] is not None:
                 hasher.update(str(self.image_filenames[i]).encode())

@@ -110,16 +110,16 @@ def aggregate_images(
             aggregate_class_images_distributed,
         )
 
-        counts, totals, views = aggregate_class_images_distributed(
+        frac_sums, views = aggregate_class_images_distributed(
             mesh,
             seg_cameras,
             n_classes=n_classes,
             aggregate_img_scale=aggregate_image_scale,
         )
         with np.errstate(invalid="ignore", divide="ignore"):
-            average_projections = counts / totals[:, None]
+            average_projections = frac_sums / views[:, None]
         average_projections[views == 0] = np.nan
-        info = {"projection_counts": views, "summed_projections": counts}
+        info = {"projection_counts": views, "summed_projections": frac_sums}
     elif n_aggregation_clusters is not None:
         from geograypher_tpu.meshes.chunked import aggregate_images_chunked
 

@@ -944,28 +944,42 @@ class TexturedMesh:
         zmax = verts[:, 2].max()
         span_x = max(x1 - x0, resolution_m)
         span_y = max(y1 - y0, resolution_m)
-        w = min(int(np.ceil(span_x / resolution_m)), max_pixels)
-        h = min(int(np.ceil(span_y / resolution_m)), max_pixels)
-        res_x = span_x / w
-        res_y = span_y / h
+        # One ground resolution for BOTH axes: the camera has a single focal
+        # length, so the rendered pixel is square.  Returned bounds are the
+        # exact footprint of the rendered image (centered on the footprint
+        # centroid), so downstream pixel->CRS mapping via (bounds, shape) is
+        # exact on both axes.
+        res = resolution_m
+        if max(span_x, span_y) / res > max_pixels:
+            res = max(span_x, span_y) / max_pixels
+            logger.warning(
+                "ortho_pix2face: requested %.3g m/px needs %d px; clamped "
+                "to max_pixels=%d -> %.3g m/px",
+                resolution_m,
+                int(np.ceil(max(span_x, span_y) / resolution_m)),
+                max_pixels,
+                res,
+            )
+        w = max(int(np.ceil(span_x / res)), 1)
+        h = max(int(np.ceil(span_y / res)), 1)
+        cx, cy = (x0 + x1) / 2.0, (y0 + y1) / 2.0
         # Nadir camera far above the scene: distance D, f = D / res
         depth_range = zmax - verts[:, 2].min()
         dist = max(span_x, span_y, depth_range) * 40.0
         cam_z = zmax + dist
-        f = dist / max(res_x, res_y)
-        c2w = np.array(
+        f = dist / res
+        tri = jnp.asarray(
+            verts[self.faces] - np.array([[cx, cy, 0.0]]), jnp.float32
+        )
+        # camera in the origin-centered frame to keep f32 precision
+        c2w_local = np.array(
             [
-                [1.0, 0.0, 0.0, (x0 + x1) / 2],
-                [0.0, -1.0, 0.0, (y0 + y1) / 2],
+                [1.0, 0.0, 0.0, 0.0],
+                [0.0, -1.0, 0.0, 0.0],
                 [0.0, 0.0, -1.0, cam_z],
                 [0.0, 0.0, 0.0, 1.0],
             ]
         )
-        tri = jnp.asarray(verts[self.faces] - np.array([[(x0+x1)/2, (y0+y1)/2, 0.0]]), jnp.float32)
-        # shift camera to origin-centered frame to keep f32 precision
-        c2w_local = c2w.copy()
-        c2w_local[0, 3] = 0.0
-        c2w_local[1, 3] = 0.0
         w2c = jnp.asarray(np.linalg.inv(c2w_local), jnp.float32)
         p2f = rasterize_triangles(
             transform_to_camera(tri, w2c),
@@ -974,8 +988,14 @@ class TexturedMesh:
             image_h=h,
             config=self.raster_config,
         )
-        # pixel (0, 0) is top-left = (x0, y1); bounds in CRS coords
-        return np.asarray(p2f), (x0, y0, x0 + res_x * w, y0 + res_y * h), crs
+        # pixel (0, 0) is top-left = (cx - w*res/2, cy + h*res/2)
+        bounds = (
+            cx - w * res / 2.0,
+            cy - h * res / 2.0,
+            cx + w * res / 2.0,
+            cy + h * res / 2.0,
+        )
+        return np.asarray(p2f), bounds, crs
 
     def export_face_labels_vector(
         self,

@@ -114,8 +114,9 @@ int ply_open(const char* path, int64_t* n_verts, int64_t* n_faces,
   std::string current_element;
   int vert_offset = 0;
   bool binary_le = false;
-  int x_off = -1, r_off = -1;
-  int xyz_double = 0;
+  int x_off = -1, y_off = -1, z_off = -1;
+  int r_off = -1, g_off = -1, b_off = -1;
+  int xyz_double = 0, xyz_size = 0;
   while (std::fgets(line, sizeof line, fh)) {
     std::string s(line);
     while (!s.empty() && (s.back() == '\n' || s.back() == '\r')) s.pop_back();
@@ -146,8 +147,13 @@ int ply_open(const char* path, int64_t* n_verts, int64_t* n_faces,
           if (std::strcmp(name, "x") == 0) {
             x_off = vert_offset;
             xyz_double = (sz == 8);
+            xyz_size = sz;
           }
+          if (std::strcmp(name, "y") == 0) y_off = vert_offset;
+          if (std::strcmp(name, "z") == 0) z_off = vert_offset;
           if (std::strcmp(name, "red") == 0 && sz == 1) r_off = vert_offset;
+          if (std::strcmp(name, "green") == 0 && sz == 1) g_off = vert_offset;
+          if (std::strcmp(name, "blue") == 0 && sz == 1) b_off = vert_offset;
           vert_offset += sz;
         }
       } else if (current_element == "face") {
@@ -163,7 +169,14 @@ int ply_open(const char* path, int64_t* n_verts, int64_t* n_faces,
     }
     if (s == "end_header") break;
   }
-  if (!binary_le || x_off < 0 || info.count_size <= 0 ||
+  // The fast readers memcpy x/y/z (and r/g/b) as one contiguous block, so
+  // they are only correct when the properties are adjacent and in order.
+  // Any other layout (e.g. "x nx y ...") must take the Python fallback
+  // rather than silently returning corrupted geometry.
+  bool xyz_contig = x_off >= 0 && y_off == x_off + xyz_size &&
+                    z_off == x_off + 2 * xyz_size;
+  bool rgb_contig = r_off < 0 || (g_off == r_off + 1 && b_off == r_off + 2);
+  if (!binary_le || !xyz_contig || !rgb_contig || info.count_size <= 0 ||
       info.index_size != 4) {
     std::fclose(fh);
     return -4;  // fall back to the Python reader

@@ -8,9 +8,12 @@ floats), and each device in the view-axis mesh rasterizes + aggregates its
 own views, with per-face accumulators psum-combined over ICI at the end.
 
 Semantics match ``TexturedMesh.aggregate_projected_images`` over one-hot
-segmentor images exactly: a view's per-face class fraction (class pixel
-counts / face pixel count) IS the per-view mean of the one-hot image, so
-the final cross-view average is identical (ops/aggregate.py docstring).
+segmentor images exactly: each view contributes its per-face class
+fraction (class pixel counts / face pixel count — the per-view mean of
+the one-hot image), and the cross-view result averages those per-view
+fractions over the views that saw the face (VIEW-weighted, exactly like
+``ops.aggregate.accumulate_view`` / ``finalize_aggregation``), not a
+pixel-weighted pool of raw counts.
 """
 
 from __future__ import annotations
@@ -55,9 +58,11 @@ def aggregate_class_images_distributed(
         aggregate_img_scale: label/raster scale fraction.
         device_mesh: jax device mesh (defaults to all devices).
 
-    Returns (class_counts (F, n_classes), pixel_totals (F,),
-    view_counts (F,)) as numpy arrays; per-face class fractions are
-    ``class_counts / pixel_totals``.
+    Returns (fraction_sums (F, n_classes), view_counts (F,)) as numpy
+    arrays: ``fraction_sums`` is the sum over views of each view's
+    per-face class fraction; the cross-view average is
+    ``fraction_sums / view_counts`` (NaN where ``view_counts == 0``),
+    identical to ``TexturedMesh.aggregate_projected_images``.
     """
     if device_mesh is None:
         device_mesh = make_view_mesh()
@@ -91,7 +96,7 @@ def aggregate_class_images_distributed(
 
             def one(carry, inputs):
                 w2c_k, f_k, valid_k, img_k = inputs
-                counts_acc, totals_acc, views_acc = carry
+                frac_acc, views_acc = carry
                 p2f = rasterize_triangles(
                     transform_to_camera(tri, w2c_k),
                     f_k,
@@ -105,23 +110,20 @@ def aggregate_class_images_distributed(
                 counts = counts * valid_k
                 face_total = jnp.sum(counts, axis=1)
                 seen = (face_total > 0).astype(jnp.float32)
-                return (
-                    counts_acc + counts,
-                    totals_acc + face_total,
-                    views_acc + seen,
-                ), None
+                # per-view class fraction: this view's vote, weighted
+                # equally with every other view that saw the face
+                frac = counts / jnp.maximum(face_total, 1.0)[:, None]
+                return (frac_acc + frac, views_acc + seen), None
 
             init = (
                 jnp.zeros((n_faces, n_classes), jnp.float32),
                 jnp.zeros((n_faces,), jnp.float32),
-                jnp.zeros((n_faces,), jnp.float32),
             )
-            (counts, totals, views), _ = jax.lax.scan(
+            (fracs, views), _ = jax.lax.scan(
                 one, init, (w2c_b, f_b, valid_b, imgs_b)
             )
             return (
-                jax.lax.psum(counts, VIEW_AXIS),
-                jax.lax.psum(totals, VIEW_AXIS),
+                jax.lax.psum(fracs, VIEW_AXIS),
                 jax.lax.psum(views, VIEW_AXIS),
             )
 
@@ -129,7 +131,7 @@ def aggregate_class_images_distributed(
             per_device,
             mesh=device_mesh,
             in_specs=(P(VIEW_AXIS), P(VIEW_AXIS), P(VIEW_AXIS), P(VIEW_AXIS)),
-            out_specs=(P(), P(), P()),
+            out_specs=(P(), P()),
             check_vma=False,
         )(w2c_shard, f_shard, valid_shard, imgs_shard)
 
@@ -140,8 +142,7 @@ def aggregate_class_images_distributed(
     w2c_all = np.asarray(batch.world_to_cam)
     f_all = np.asarray(batch.f)
 
-    total_counts = np.zeros((n_faces, n_classes), np.float32)
-    total_pixels = np.zeros((n_faces,), np.float32)
+    total_fracs = np.zeros((n_faces, n_classes), np.float32)
     total_views = np.zeros((n_faces,), np.float32)
 
     with concurrent.futures.ThreadPoolExecutor(prefetch_workers) as pool:
@@ -161,7 +162,7 @@ def aggregate_class_images_distributed(
                 ensure(j)
             # reshape per-device leading dim: (n_dev, 1, ...) so scan runs
             # once per step per device
-            counts, totals, views = device_step(
+            fracs, views = device_step(
                 tri,
                 jax.device_put(
                     w2c_all[[order[i] for i in idx]][:, None], sharding
@@ -172,7 +173,6 @@ def aggregate_class_images_distributed(
                     jnp.asarray(imgs[:, None], jnp.int32), sharding
                 ),
             )
-            total_counts += np.asarray(counts)
-            total_pixels += np.asarray(totals)
+            total_fracs += np.asarray(fracs)
             total_views += np.asarray(views)
-    return total_counts, total_pixels, total_views
+    return total_fracs, total_views

@@ -195,6 +195,14 @@ def test_camera_set_subset_and_hash(tmp_path):
     h2 = sub.get_camera_hash()
     assert h1 != h2
     assert cams.get_camera_hash() == h1  # stable
+    # distortion params are part of the hash (they key the pix2face cache)
+    import copy
+
+    cams2 = MetashapeCameraSet(path, image_folder=tmp_path / "imgs")
+    cams2.sensors = copy.deepcopy(cams2.sensors)
+    sid = cams2.sensor_IDs[0]
+    cams2.sensors[sid]["distortion_params"]["k1"] = 0.123
+    assert cams2.get_camera_hash() != h1
 
 
 def make_colmap_files(tmp_path):

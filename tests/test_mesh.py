@@ -258,3 +258,49 @@ def test_check_raster_capacity():
     # absurdly small caps must report overflow
     tiny = RasterConfig(caps=(8, 8, 8, 8), backend="xla")
     assert mesh.check_raster_capacity(cams, config=tiny) > 0
+
+
+def _assert_ortho_georef(mesh, crs, resolution_m, max_pixels=8192):
+    """Every rendered pixel's CRS coordinate (via bounds) must match the
+    hit face's true centroid to within a couple of ground pixels."""
+    p2f, bounds, out_crs = mesh.ortho_pix2face(
+        resolution_m=resolution_m, max_pixels=max_pixels
+    )
+    assert out_crs == crs
+    h, w = p2f.shape
+    x0, y0, x1, y1 = bounds
+    res_x = (x1 - x0) / w
+    res_y = (y1 - y0) / h
+    assert np.isclose(res_x, res_y, rtol=1e-6)  # square ground pixels
+    utm = mesh.get_vertices_in_CRS(crs)
+    face_c = utm[mesh.faces].mean(axis=1)
+    ii, jj = np.nonzero(p2f >= 0)
+    sel = slice(None, None, max(1, len(ii) // 500))
+    ii, jj = ii[sel], jj[sel]
+    fid = p2f[ii, jj]
+    px = x0 + (jj + 0.5) * res_x
+    py = y1 - (ii + 0.5) * res_y  # row 0 = top = max y
+    err = np.hypot(px - face_c[fid, 0], py - face_c[fid, 1])
+    # face centroid lies within ~1 face diagonal of any covered pixel
+    face_diag = np.sqrt(2) * (utm[:, 0].max() - utm[:, 0].min()) / 10
+    assert err.max() < face_diag + 2 * res_x, err.max()
+
+
+def test_ortho_pix2face_georeferencing_nonsquare():
+    """Non-square footprint: bounds must match the rendered footprint on
+    both axes (regression: per-axis res scaling misgeoreferenced by up to
+    half the span difference)."""
+    mesh, _ = make_geo_mesh(n=11, size=40.0)
+    # stretch x4 in easting -> strongly non-square 160 x 40 m footprint
+    utm = mesh.get_vertices_in_CRS(SITE_UTM)
+    cx = utm[:, 0].mean()
+    utm[:, 0] = cx + (utm[:, 0] - cx) * 4.0
+    mesh2 = TexturedMesh((utm, mesh.faces), CRS=SITE_UTM, raster_config=CFG)
+    _assert_ortho_georef(mesh2, SITE_UTM, resolution_m=0.5)
+
+
+def test_ortho_pix2face_max_pixels_clamp_keeps_georef():
+    """When max_pixels degrades the resolution, bounds must still be the
+    exact rendered footprint (and a warning is logged)."""
+    mesh, _ = make_geo_mesh(n=11, size=40.0)
+    _assert_ortho_georef(mesh, SITE_UTM, resolution_m=0.05, max_pixels=256)

@@ -73,3 +73,48 @@ def test_class_counts_host(lib):
         minlength=n_faces * n_classes,
     ).reshape(n_faces, n_classes)
     assert (out == ref).all()
+
+
+def test_ply_noncontiguous_properties_fall_back(tmp_path):
+    """A valid PLY with interleaved properties (x nx y ny z nz) must be
+    REJECTED by the fast parser (not silently mis-parsed) and still load
+    correctly through the Python fallback."""
+    import ctypes
+    import struct
+
+    from geograypher_tpu.native import get_lib
+    from geograypher_tpu.utils import meshio
+
+    verts = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
+    hdr = (
+        b"ply\nformat binary_little_endian 1.0\n"
+        b"element vertex 3\n"
+        b"property float x\nproperty float nx\n"
+        b"property float y\nproperty float ny\n"
+        b"property float z\nproperty float nz\n"
+        b"element face 1\n"
+        b"property list uchar int vertex_indices\nend_header\n"
+    )
+    body = b""
+    for v in verts:
+        body += struct.pack("<6f", v[0], 0.0, v[1], 0.0, v[2], 0.0)
+    body += struct.pack("<B3i", 3, 0, 1, 2)
+    path = tmp_path / "interleaved.ply"
+    path.write_bytes(hdr + body)
+
+    lib = get_lib()
+    if lib is not None:
+        nv, nf = ctypes.c_int64(), ctypes.c_int64()
+        rgb, dbl = ctypes.c_int(), ctypes.c_int()
+        h = lib.ply_open(
+            str(path).encode(),
+            ctypes.byref(nv),
+            ctypes.byref(nf),
+            ctypes.byref(rgb),
+            ctypes.byref(dbl),
+        )
+        assert h < 0  # refused -> fallback, never corrupt geometry
+
+    v2, f2, _ = meshio.load_mesh(path)
+    assert np.allclose(v2, verts)
+    assert f2.shape == (1, 3)

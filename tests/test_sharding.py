@@ -95,16 +95,16 @@ def test_distributed_pipeline_matches_single_device():
     renders = [r[..., 0] for r in mesh.render_flat(cams)]
     seg_cams = SegmentorCameraSet(cams, ArraySegmentor(renders, num_classes=3))
 
-    counts, totals, views = aggregate_class_images_distributed(
+    frac_sums, views = aggregate_class_images_distributed(
         mesh, seg_cams, n_classes=3
     )
-    # single-device reference
+    # single-device reference: averages per-view fractions, view-weighted
     avg, info = mesh.aggregate_projected_images(seg_cams)
     observed = info["projection_counts"] > 0
     assert np.allclose(views[observed], info["projection_counts"][observed])
     with np.errstate(invalid="ignore"):
-        frac = counts / totals[:, None]
+        frac = frac_sums / views[:, None]
     assert np.allclose(frac[observed], avg[observed], atol=1e-5, equal_nan=True)
     # and the argmax recovers the labels
-    pred = np.argmax(counts, axis=1)
+    pred = np.argmax(frac_sums, axis=1)
     assert (pred[observed] == labels[observed]).all()
