@@ -642,6 +642,20 @@ class TexturedMesh:
 
     # -- rasterization / rendering / aggregation -----------------------------
 
+    def _resolve_distortion(
+        self,
+        cameras: CameraSet,
+        index: int,
+        apply_distortion: typing.Optional[bool],
+    ) -> bool:
+        """None = auto: warp whenever the camera's sensor carries distortion
+        parameters, matching the reference's always-on post-warp for
+        calibrated sensors (meshes.py:1805-1821)."""
+        if apply_distortion is not None:
+            return apply_distortion
+        sensor = cameras.sensors[cameras.sensor_IDs[index]]
+        return bool(sensor.get("distortion_params"))
+
     def _distortion_map_device(
         self, cameras: CameraSet, index: int, image_scale: float
     ):
@@ -721,14 +735,18 @@ class TexturedMesh:
         cameras: CameraSet,
         index: int,
         render_img_scale: float = 1.0,
-        apply_distortion: bool = False,
+        apply_distortion: typing.Optional[bool] = None,
         config: typing.Optional[RasterConfig] = None,
         save_to_cache: bool = False,
         cache_folder: typing.Optional[PATH_TYPE] = None,
     ) -> jax.Array:
         """One camera's pix2face as a DEVICE array (no host round trip);
-        distortion warping runs on-device via NN remap.  With caching
-        requested, delegates to the host-side cached path."""
+        distortion warping runs on-device via NN remap (default: whenever
+        the sensor is calibrated with distortion, like the reference).
+        With caching requested, delegates to the host-side cached path."""
+        apply_distortion = self._resolve_distortion(
+            cameras, index, apply_distortion
+        )
         if save_to_cache:
             return jnp.asarray(
                 self.pix2face(
@@ -764,7 +782,7 @@ class TexturedMesh:
         cameras: CameraSet,
         indices: typing.Optional[typing.Sequence[int]] = None,
         render_img_scale: float = 1.0,
-        apply_distortion: bool = False,
+        apply_distortion: typing.Optional[bool] = None,
         config: typing.Optional[RasterConfig] = None,
         save_to_cache: bool = False,
         cache_folder: typing.Optional[PATH_TYPE] = None,
@@ -772,10 +790,12 @@ class TexturedMesh:
         """(N, H, W) pixel->face-id maps for the given cameras (reference
         meshes.py:1645-1823, minus the VTK color-encoding hack).
 
-        With ``apply_distortion``, the pinhole map is warped to the real
-        (distorted) image geometry with nearest-neighbor resampling,
-        exactly like the reference's pix2face post-warp
-        (meshes.py:1809-1821).  ``save_to_cache`` persists maps keyed by
+        ``apply_distortion=None`` (the default) warps whenever the sensor
+        carries distortion parameters; True/False force it.  The warp maps
+        the pinhole render to the real (distorted) image geometry with
+        nearest-neighbor resampling, exactly like the reference's pix2face
+        post-warp (meshes.py:1809-1821).  ``save_to_cache`` persists maps
+        keyed by
         (mesh hash, camera hash, scale) like the reference's ubelt cache
         (meshes.py:1726-1737), RLE-compressed.
         """
@@ -791,10 +811,11 @@ class TexturedMesh:
             mesh_hash = self.get_mesh_hash()
         out = []
         for k, i in enumerate(indices):
+            distort_i = self._resolve_distortion(cameras, i, apply_distortion)
             if save_to_cache:
                 cam_hash = cameras.get_subset_cameras([i]).get_camera_hash()
                 cache_key = [
-                    mesh_hash, cam_hash, render_img_scale, apply_distortion
+                    mesh_hash, cam_hash, render_img_scale, distort_i
                 ]
                 cached = p2f_cache.load_pix2face(
                     "pix2face", cache_key, cache_folder
@@ -807,7 +828,7 @@ class TexturedMesh:
                     cameras,
                     i,
                     render_img_scale=render_img_scale,
-                    apply_distortion=apply_distortion,
+                    apply_distortion=distort_i,
                     config=config,
                 )
             )

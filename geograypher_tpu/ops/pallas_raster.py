@@ -277,6 +277,7 @@ def raster_tiles_pallas(
     config,
     image_h: int,
     image_w: int,
+    return_tiles: bool = False,
 ) -> jax.Array:
     """Pallas counterpart of ops.rasterize._raster_tiles_xla.
 
@@ -377,5 +378,8 @@ def raster_tiles_pallas(
         *slabs,
     )
 
+    if return_tiles:
+        # (nty0, ntx0p, th*tw) tile-major layout, as fed to agg_tiled
+        return out.reshape(nty0, ntx0p, th * tw)
     img = out.transpose(0, 2, 1, 3).reshape(nty0 * th, ntx0p * tw)
     return img[:image_h, :image_w]

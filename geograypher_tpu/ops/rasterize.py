@@ -323,6 +323,7 @@ def _raster_tiles_xla(
     config: RasterConfig,
     image_h: int,
     image_w: int,
+    return_tiles: bool = False,
 ) -> jax.Array:
     """Evaluate per-tile candidates and z-resolve: XLA reference kernel.
 
@@ -385,6 +386,8 @@ def _raster_tiles_xla(
     (best_w, best_face), _ = jax.lax.scan(
         step, init, cand.reshape(n_tiles, n_chunks, chunk).transpose(1, 0, 2)
     )
+    if return_tiles:
+        return best_face.reshape(nty, ntx, th * tw)
     face_img = best_face.reshape(nty, ntx, th, tw).transpose(0, 2, 1, 3)
     face_img = face_img.reshape(nty * th, ntx * tw)
     return face_img[:image_h, :image_w]
@@ -395,18 +398,28 @@ def rasterize_setup(
     config: RasterConfig,
     image_h: int,
     image_w: int,
+    return_tiles: bool = False,
 ):
-    """Bin + rasterize prepared triangles -> (pix2face, diagnostics)."""
+    """Bin + rasterize prepared triangles -> (pix2face, diagnostics).
+
+    With ``return_tiles`` the pix2face comes back in the rasterizer's
+    native tile-major layout ``(nty0, ntx0x, tile_h*tile_w)`` (no image
+    reshape), which feeds :mod:`geograypher_tpu.ops.agg_tiled` directly.
+    """
     binned = bin_triangles(setup, config, image_h, image_w)
     if config.backend == "pallas":
         from geograypher_tpu.ops.pallas_raster import raster_tiles_pallas
 
         pix2face = raster_tiles_pallas(
-            binned, setup.planes, config, image_h, image_w
+            binned, setup.planes, config, image_h, image_w,
+            return_tiles=return_tiles,
         )
     else:
         cand = concat_candidates_for_tiles(binned, config, image_h, image_w)
-        pix2face = _raster_tiles_xla(cand, setup.planes, config, image_h, image_w)
+        pix2face = _raster_tiles_xla(
+            cand, setup.planes, config, image_h, image_w,
+            return_tiles=return_tiles,
+        )
     return pix2face, binned
 
 

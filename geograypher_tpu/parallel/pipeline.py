@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from geograypher_tpu.cameras.distortion import remap_image_jax
 from geograypher_tpu.ops.aggregate import project_image_class_counts
 from geograypher_tpu.ops.rasterize import (
     RasterConfig,
@@ -45,6 +46,7 @@ def aggregate_class_images_distributed(
     device_mesh: typing.Optional[Mesh] = None,
     prefetch_workers: int = 4,
     config: typing.Optional[RasterConfig] = None,
+    apply_distortion: typing.Optional[bool] = None,
 ):
     """Aggregate per-view class images onto mesh faces across all devices.
 
@@ -57,6 +59,10 @@ def aggregate_class_images_distributed(
             ``cameras.get_image_by_index`` (segmentor one-hots).
         aggregate_img_scale: label/raster scale fraction.
         device_mesh: jax device mesh (defaults to all devices).
+        apply_distortion: None (default) warps each view's pix2face to the
+            sensor's distorted geometry whenever the sensor is calibrated
+            with distortion (on-device NN remap, matching the single-device
+            path and reference meshes.py:1805-1821); False disables.
 
     Returns (fraction_sums (F, n_classes), view_counts (F,)) as numpy
     arrays: ``fraction_sums`` is the sum over views of each view's
@@ -84,18 +90,50 @@ def aggregate_class_images_distributed(
             return np.nan_to_num(img, nan=-1).astype(np.int32)
 
     sharding = NamedSharding(device_mesh, P(VIEW_AXIS))
+    replicated = NamedSharding(device_mesh, P())
+
+    # Per-sensor warped->ideal distortion maps (None disables the remap for
+    # a sensor-less/undistorted view).  Map index -1 = identity.
+    n = len(cameras)
+    map_idx_all = np.full(n, -1, np.int32)
+    w2i_list: typing.List[np.ndarray] = []
+    if apply_distortion is None or apply_distortion:
+        sensor_to_map: dict = {}
+        for i in range(n):
+            sid = cameras.sensor_IDs[i]
+            if sid not in sensor_to_map:
+                m = mesh._distortion_map_device(
+                    cameras, i, aggregate_img_scale
+                )
+                if m is None:
+                    sensor_to_map[sid] = -1
+                else:
+                    sensor_to_map[sid] = len(w2i_list)
+                    w2i_list.append(np.asarray(m))
+            map_idx_all[i] = sensor_to_map[sid]
+    if w2i_list:
+        w2i_maps = jax.device_put(
+            jnp.asarray(np.stack(w2i_list, axis=0), jnp.float32), replicated
+        )
+    else:
+        w2i_maps = jax.device_put(
+            jnp.zeros((1, 2, h, w), jnp.float32), replicated
+        )
 
     @jax.jit
-    def device_step(tri, w2c_shard, f_shard, valid_shard, imgs_shard):
-        def per_device(w2c_b, f_b, valid_b, imgs_b):
+    def device_step(
+        tri, w2i_maps, w2c_shard, f_shard, valid_shard, imgs_shard, midx_shard
+    ):
+        def per_device(tri, w2i_maps, w2c_b, f_b, valid_b, imgs_b, midx_b):
             # collapse the (local-shard=1, steps) leading axes
             w2c_b = w2c_b.reshape(-1, 4, 4)
             f_b = f_b.reshape(-1)
             valid_b = valid_b.reshape(-1)
             imgs_b = imgs_b.reshape((-1,) + imgs_b.shape[2:])
+            midx_b = midx_b.reshape(-1)
 
             def one(carry, inputs):
-                w2c_k, f_k, valid_k, img_k = inputs
+                w2c_k, f_k, valid_k, img_k, midx_k = inputs
                 frac_acc, views_acc = carry
                 p2f = rasterize_triangles(
                     transform_to_camera(tri, w2c_k),
@@ -103,6 +141,14 @@ def aggregate_class_images_distributed(
                     image_w=w,
                     image_h=h,
                     config=config,
+                )
+                p2f = jax.lax.cond(
+                    midx_k >= 0,
+                    lambda p: remap_image_jax(
+                        p, w2i_maps[jnp.maximum(midx_k, 0)], fill_value=-1
+                    ),
+                    lambda p: p,
+                    p2f,
                 )
                 counts = project_image_class_counts(
                     p2f, img_k, n_faces=n_faces, n_classes=n_classes
@@ -120,7 +166,7 @@ def aggregate_class_images_distributed(
                 jnp.zeros((n_faces,), jnp.float32),
             )
             (fracs, views), _ = jax.lax.scan(
-                one, init, (w2c_b, f_b, valid_b, imgs_b)
+                one, init, (w2c_b, f_b, valid_b, imgs_b, midx_b)
             )
             return (
                 jax.lax.psum(fracs, VIEW_AXIS),
@@ -130,12 +176,15 @@ def aggregate_class_images_distributed(
         return jax.shard_map(
             per_device,
             mesh=device_mesh,
-            in_specs=(P(VIEW_AXIS), P(VIEW_AXIS), P(VIEW_AXIS), P(VIEW_AXIS)),
+            in_specs=(
+                P(), P(), P(VIEW_AXIS), P(VIEW_AXIS), P(VIEW_AXIS),
+                P(VIEW_AXIS), P(VIEW_AXIS),
+            ),
             out_specs=(P(), P()),
             check_vma=False,
-        )(w2c_shard, f_shard, valid_shard, imgs_shard)
+        )(tri, w2i_maps, w2c_shard, f_shard, valid_shard, imgs_shard,
+          midx_shard)
 
-    n = len(cameras)
     n_pad = -(-n // n_dev) * n_dev
     order = list(range(n)) + [0] * (n_pad - n)
     valid = np.array([1.0] * n + [0.0] * (n_pad - n), np.float32)
@@ -164,6 +213,7 @@ def aggregate_class_images_distributed(
             # once per step per device
             fracs, views = device_step(
                 tri,
+                w2i_maps,
                 jax.device_put(
                     w2c_all[[order[i] for i in idx]][:, None], sharding
                 ),
@@ -171,6 +221,9 @@ def aggregate_class_images_distributed(
                 jax.device_put(valid[idx][:, None], sharding),
                 jax.device_put(
                     jnp.asarray(imgs[:, None], jnp.int32), sharding
+                ),
+                jax.device_put(
+                    map_idx_all[[order[i] for i in idx]][:, None], sharding
                 ),
             )
             total_fracs += np.asarray(fracs)

@@ -18,14 +18,24 @@ import numpy as np
 def create_ramped_weighting(
     rectangle_shape: typing.Tuple[int, int], ramp_dist_frac: float
 ) -> np.ndarray:
-    """Weight mask that ramps 0->1 within ``ramp_dist_frac`` of each edge
-    (reference numeric.py:14-36); used to downweight tile borders when
-    assembling orthomosaic predictions."""
-    i_ramp = np.clip(np.linspace(0, 1 / ramp_dist_frac, num=rectangle_shape[0]), 0, 1)
-    j_ramp = np.clip(np.linspace(0, 1 / ramp_dist_frac, num=rectangle_shape[1]), 0, 1)
-    i_ramp = np.minimum(i_ramp, np.flip(i_ramp))
-    j_ramp = np.minimum(j_ramp, np.flip(j_ramp))
-    return np.minimum(i_ramp[:, None], j_ramp[None, :])
+    """Weight mask rising linearly from 0 at each edge to 1 at
+    ``ramp_dist_frac`` of the axis length in; used to blend overlapping
+    orthomosaic tiles (same weighting as reference numeric.py:14-36).
+
+    Formulated as normalized distance-to-nearest-edge per axis, combined
+    with a min (so corners ramp along both axes).
+    """
+
+    def edge_ramp(n: int) -> np.ndarray:
+        idx = np.arange(n, dtype=np.float64)
+        dist = np.minimum(idx, (n - 1) - idx)  # pixels to the closer edge
+        ramp_len = ramp_dist_frac * (n - 1)
+        if ramp_len <= 0:
+            return np.ones(n)
+        return np.minimum(dist / ramp_len, 1.0)
+
+    rows, cols = rectangle_shape
+    return np.minimum(edge_ramp(rows)[:, None], edge_ramp(cols)[None, :])
 
 
 def quaternion_wxyz_to_matrix(q) -> np.ndarray:
@@ -140,18 +150,24 @@ def fair_mode_non_nan(
     ``seed=None`` for reference-style unseeded behavior.
     """
     values = np.asarray(values, dtype=float)
-    if values.size == 0 or np.all(np.isnan(values)):
-        return np.full((values.shape[0],), fill_value=np.nan)
-    max_val = int(np.nanmax(values))
-    counts = np.stack(
-        [np.sum(values == i, axis=1) for i in range(max_val + 1)], axis=1
-    ).astype(float)
-    zeros_mask = np.all(counts == 0, axis=1)
+    out = np.full(values.shape[0], np.nan)
+    countable = np.isfinite(values) & (values >= 0)
+    if not countable.any():
+        return out
+    n_bins = int(values[countable].max()) + 1
+
+    # per-row histogram in one pass (no per-class scan)
+    hist = np.zeros((values.shape[0], n_bins))
+    rows, cols = np.nonzero(countable)
+    np.add.at(hist, (rows, values[rows, cols].astype(np.intp)), 1.0)
+
+    voted = hist.any(axis=1)
+    # sub-unit random jitter promotes a uniformly random winner among tied
+    # top counts without ever crossing count levels
     rng = np.random.default_rng(seed) if seed is not None else np.random
-    counts = counts + rng.random(counts.shape) * 0.5
-    mode = np.argmax(counts, axis=1).astype(float)
-    mode[zeros_mask] = np.nan
-    return mode
+    winner = np.argmax(hist + 0.5 * rng.random(hist.shape), axis=1)
+    out[voted] = winner[voted]
+    return out
 
 
 def intersection_average(starts: np.ndarray, ends: np.ndarray) -> np.ndarray:

@@ -51,23 +51,39 @@ def extract_epsg(crs_text: typing.Optional[str]) -> typing.Optional[int]:
     return None
 
 
+def assemble_transform(
+    rotation: np.ndarray, translation: np.ndarray, scale: float = 1.0
+) -> np.ndarray:
+    """Homogeneous 4x4 from a rotation, translation and uniform scale.
+
+    The rotation must be special-orthogonal (|det - 1| <= 1e-8); scale is
+    folded into the linear block.  Behavior matches the transform the
+    reference builds from Metashape XML (parsing.py:44-69), expressed over
+    arrays rather than strings.
+    """
+    linear = np.asarray(rotation, dtype=np.float64).reshape(3, 3)
+    det = float(np.linalg.det(linear))
+    if abs(det - 1.0) > 1e-8:
+        raise ValueError(
+            f"rotation block is not special-orthogonal (det={det!r})"
+        )
+    out = np.zeros((4, 4), dtype=np.float64)
+    out[:3, :3] = linear * float(scale)
+    out[:3, 3] = np.asarray(translation, dtype=np.float64).reshape(3)
+    out[3, 3] = 1.0
+    return out
+
+
 def make_4x4_transform(
     rotation_str: str, translation_str: str, scale_str: str = "1"
 ) -> np.ndarray:
-    """4x4 transform from Metashape's string triplet (reference parsing.py:44-69).
-
-    Validates the rotation determinant like the reference (parsing.py:58).
-    """
-    rotation_np = np.fromstring(rotation_str, sep=" ").reshape(3, 3)
-    det = np.linalg.det(rotation_np)
-    if not np.isclose(det, 1.0, atol=1e-8, rtol=0):
-        raise ValueError(f"Improper rotation matrix with determinant {det}")
-    translation_np = np.fromstring(translation_str, sep=" ")
-    scale = float(scale_str)
-    transform = np.eye(4)
-    transform[:3, :3] = rotation_np * scale
-    transform[:3, 3] = translation_np
-    return transform
+    """String-triplet adapter for Metashape XML fields (row-major rotation,
+    translation, uniform scale) -> :func:`assemble_transform`."""
+    return assemble_transform(
+        np.fromstring(rotation_str, sep=" "),
+        np.fromstring(translation_str, sep=" "),
+        float(scale_str),
+    )
 
 
 def parse_transform_metashape(camera_file) -> typing.Optional[np.ndarray]:
@@ -87,43 +103,59 @@ def parse_transform_metashape(camera_file) -> typing.Optional[np.ndarray]:
     return make_4x4_transform(rotation, translation, scale)
 
 
+_NON_DISTORTION_TAGS = frozenset({"resolution", "f", "cx", "cy"})
+
+
+def _parse_one_sensor(
+    sensor, defaults: typing.Optional[dict]
+) -> typing.Optional[dict]:
+    """Intrinsics dict for a single <sensor> element, or None if the sensor
+    is unusable (no adjusted calibration and no defaults to fall back on).
+    """
+    resolution = sensor[0]
+    size = {
+        "image_width": int(resolution.get("width")),
+        "image_height": int(resolution.get("height")),
+    }
+
+    calibration = sensor.find("calibration[@class='adjusted']")
+    if calibration is None:
+        # Unadjusted sensor: usable only when caller-supplied defaults
+        # stand in for the missing calibration.
+        return {**size, **defaults} if defaults is not None else None
+
+    params: typing.Dict[str, typing.Any] = {
+        **size,
+        "f": float(calibration.find("f").text),
+        "distortion_params": {
+            el.tag: float(el.text)
+            for el in calibration
+            if el.tag not in _NON_DISTORTION_TAGS
+        },
+    }
+    # Principal point offsets may be omitted from the XML; fall back to the
+    # defaults, and reject the sensor if neither source provides them.
+    for key in ("cx", "cy"):
+        el = calibration.find(key)
+        if el is not None:
+            params[key] = float(el.text)
+        elif defaults is not None and key in defaults:
+            params[key] = defaults[key]
+        else:
+            return None
+    return params
+
+
 def parse_sensors(
     sensors, default_sensor_dict: typing.Optional[dict] = None
 ) -> typing.Dict[int, typing.Optional[dict]]:
-    """Per-sensor intrinsics dicts from the <sensors> XML element
-    (reference parsing.py:91-134).
+    """Per-sensor-id intrinsics dicts from a Metashape <sensors> element.
 
-    A sensor without an adjusted calibration gets the default params if
-    provided, else None (its cameras are later dropped).
+    Same accept/reject semantics as the reference parser
+    (parsing.py:91-134): sensors that cannot be calibrated map to None and
+    their cameras are dropped downstream.
     """
-    sensors_dict: typing.Dict[int, typing.Optional[dict]] = {}
-    for sensor in sensors:
-        sensor_dict: typing.Optional[dict] = {}
-        sensor_dict["image_width"] = int(sensor[0].get("width"))
-        sensor_dict["image_height"] = int(sensor[0].get("height"))
-        calibration = sensor.find("calibration[@class='adjusted']")
-        if calibration is None:
-            if default_sensor_dict is not None:
-                sensor_dict.update(default_sensor_dict)
-            else:
-                sensor_dict = None
-        else:
-            sensor_dict["f"] = float(calibration.find("f").text)
-            cx = calibration.find("cx")
-            cy = calibration.find("cy")
-            try:
-                sensor_dict["cx"] = (
-                    float(cx.text) if cx is not None else default_sensor_dict["cx"]
-                )
-                sensor_dict["cy"] = (
-                    float(cy.text) if cy is not None else default_sensor_dict["cy"]
-                )
-                sensor_dict["distortion_params"] = {
-                    el.tag: float(el.text)
-                    for el in calibration
-                    if el.tag not in ("resolution", "f", "cx", "cy")
-                }
-            except (KeyError, TypeError):
-                sensor_dict = None
-        sensors_dict[int(sensor.get("id"))] = sensor_dict
-    return sensors_dict
+    return {
+        int(sensor.get("id")): _parse_one_sensor(sensor, default_sensor_dict)
+        for sensor in sensors
+    }

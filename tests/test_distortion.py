@@ -138,3 +138,66 @@ def test_remap_jax_matches_cv2_nn():
     )
     # cv2 and jnp.round may differ on exact .5 boundaries; random reals won't
     assert (a == b).mean() > 0.999
+
+
+def test_distortion_auto_applied_end_to_end():
+    """Production-path parity with k1 != 0 (reference meshes.py:1805-1821):
+    a calibrated sensor's distortion map is applied by DEFAULT in
+    render_flat -> segment -> aggregate, and the round trip recovers the
+    per-face labels exactly on observed faces — on both the single-device
+    and the distributed (shard_map) paths."""
+    from geograypher_tpu.cameras.core import CameraSet
+    from geograypher_tpu.cameras.segmentor_set import SegmentorCameraSet
+    from geograypher_tpu.meshes.mesh import TexturedMesh
+    from geograypher_tpu.ops.rasterize import RasterConfig
+    from geograypher_tpu.parallel.pipeline import (
+        aggregate_class_images_distributed,
+    )
+    from geograypher_tpu.predictors.segmentors import ArraySegmentor
+    from geograypher_tpu.utils.fixtures import make_grid_mesh, nadir_camera
+
+    cfg = RasterConfig(caps=(256, 64, 32, 16))
+    rng = np.random.default_rng(7)
+    verts, faces = make_grid_mesh(n=13, size=4.0)
+    mesh = TexturedMesh((verts, faces), raster_config=cfg)
+    labels = rng.integers(0, 3, mesh.n_faces).astype(float)
+    mesh.set_texture(labels, is_vertex=False)
+
+    sensor = {
+        "f": 40.0, "cx": 0.0, "cy": 0.0,
+        "image_width": 80, "image_height": 80,
+        "distortion_params": {"k1": 0.12},
+    }
+    c2ws = []
+    for k in range(5):
+        c2w = nadir_camera(4.0, 40.0, 80)
+        c2w[0, 3] += 0.15 * k
+        c2ws.append(c2w)
+    cams = CameraSet(c2ws, {0: sensor})
+
+    # distortion must change the rendered geometry vs the forced-off render
+    r_auto = next(iter(mesh.render_flat(cams)))
+    r_off = next(iter(mesh.render_flat(cams, apply_distortion=False)))
+    assert not np.array_equal(
+        np.nan_to_num(r_auto, nan=-1), np.nan_to_num(r_off, nan=-1)
+    )
+
+    renders = [r[..., 0] for r in mesh.render_flat(cams)]
+    seg_cams = SegmentorCameraSet(cams, ArraySegmentor(renders, num_classes=3))
+
+    avg, info = mesh.aggregate_projected_images(seg_cams)
+    observed = info["projection_counts"] > 0
+    assert observed.sum() > mesh.n_faces * 0.4
+    pred = np.argmax(np.nan_to_num(avg), axis=1)
+    assert (pred[observed] == labels[observed]).all()
+
+    frac_sums, views = aggregate_class_images_distributed(
+        mesh, seg_cams, n_classes=3
+    )
+    dist_observed = views > 0
+    assert (dist_observed == observed).all()
+    pred_dist = np.argmax(frac_sums, axis=1)
+    assert (pred_dist[dist_observed] == labels[dist_observed]).all()
+    with np.errstate(invalid="ignore"):
+        frac = frac_sums / views[:, None]
+    assert np.allclose(frac[observed], avg[observed], atol=1e-5)
