@@ -29,6 +29,7 @@ Conventions (matching the reference):
 
 from __future__ import annotations
 
+import collections
 import dataclasses
 import hashlib
 import logging
@@ -42,6 +43,10 @@ import numpy as np
 
 from geograypher_tpu.constants import PATH_TYPE
 from geograypher_tpu.utils import crs as crs_utils
+from geograypher_tpu.utils.geometric import (
+    angle_between,
+    projection_onto_spanned_plane,
+)
 
 # Distortion parameter vector layout (Brown-Conrady, Metashape order).
 # COLMAP SIMPLE_RADIAL's single k maps onto slot "k1" after rescaling, see
@@ -443,7 +448,6 @@ class CameraSet:
         Geospatial ROIs are compared against camera lon/lats in the ROI's
         projected CRS; non-geospatial ROIs against local-frame locations.
         """
-        from geograypher_tpu.utils import crs as crs_utils
         from geograypher_tpu.utils.vector import (
             Polygon,
             VectorData,
@@ -509,6 +513,60 @@ class CameraSet:
         lat, lon, _ = crs_utils.ecef_to_lla(ecef[:, 0], ecef[:, 1], ecef[:, 2])
         self.lon_lats = list(zip(lon, lat))
         return list(self.lon_lats)
+
+    def get_camera_view_angles(
+        self,
+        indices: Optional[Sequence[int]] = None,
+        in_deg: bool = True,
+    ) -> np.ndarray:
+        """(N, 2) off-nadir (pitch, yaw) angles per camera, computed
+        geometrically from the photogrammetry result (reference
+        cameras.py:244-326, vectorized over the whole set).
+
+        Pitch is the view vector's tilt from nadir within the camera's
+        up/nadir plane, yaw within the right/nadir plane, both measured in
+        a local ENU-aligned projected (UTM) frame.  Requires a
+        georeferenced set (local->ECEF transform).
+        """
+        if self.local_to_epsg_4978_transform is None:
+            raise ValueError(
+                "View angles need a georeferenced camera set "
+                "(local_to_epsg_4978_transform is None)"
+            )
+        if indices is None:
+            indices = range(len(self))
+        # origin, one unit along view (+Z), up (-Y) and right (+X)
+        probes = np.array(
+            [[0, 0, 0, 1], [0, 0, 1, 1], [0, -1, 0, 1], [1, 0, 0, 1]],
+            dtype=np.float64,
+        ).T
+        c2w = np.stack(
+            [self.cam_to_world_transforms[i] for i in indices], axis=0
+        )
+        ecef = np.einsum(
+            "ij,njk->nik", self.local_to_epsg_4978_transform, c2w @ probes
+        )
+        ecef = ecef[:, :3].transpose(0, 2, 1).reshape(-1, 3)  # (N*4, 3)
+        lat, lon, alt = crs_utils.ecef_to_lla(
+            ecef[:, 0], ecef[:, 1], ecef[:, 2]
+        )
+        utm = crs_utils.utm_epsg_for(np.mean(lat), np.mean(lon))
+        enu = crs_utils.transform_points(
+            np.stack([lat, lon, alt], axis=1), 4326, utm
+        ).reshape(-1, 4, 3)
+
+        view = enu[:, 1] - enu[:, 0]
+        up = enu[:, 2] - enu[:, 0]
+        right = enu[:, 3] - enu[:, 0]
+        nadir = np.array([0.0, 0.0, -1.0])
+        pitch = angle_between(
+            projection_onto_spanned_plane(view, up, nadir), nadir
+        )
+        yaw = angle_between(
+            projection_onto_spanned_plane(view, right, nadir), nadir
+        )
+        out = np.stack([pitch, yaw], axis=1)
+        return np.rad2deg(out) if in_deg else out
 
     def get_camera_hash(self, include_image_hash: bool = False) -> str:
         """Content hash of the set's geometry, INCLUDING distortion
@@ -770,14 +828,35 @@ class CameraSet:
 
     # -- images -----------------------------------------------------------
 
+    #: raw images kept in memory per set (reference cameras.py:154-177
+    #: caches per camera); bounded so survey-scale sets stay in RAM
+    image_cache_size: int = 16
+
     def get_image_by_index(self, index: int, image_scale: float = 1.0) -> np.ndarray:
-        """Load the image for camera ``index`` (reference cameras.py:154-198)."""
+        """Load the image for camera ``index`` (reference cameras.py:154-198).
+
+        Raw (unscaled) images are LRU-cached per set so aggregation passes
+        touching each view repeatedly pay one disk read; resizing is done
+        per call (never cached), like the reference.
+        """
         from geograypher_tpu.utils.io import read_image_or_numpy
 
         fname = self.get_image_filename(index)
         if fname is None:
             raise FileNotFoundError(f"Camera {index} has no image filename")
-        img = read_image_or_numpy(fname)
+        cache = getattr(self, "_image_cache", None)
+        if cache is None:
+            cache = self._image_cache = collections.OrderedDict()
+        key = str(fname)
+        if key in cache:
+            cache.move_to_end(key)
+            img = cache[key]
+        else:
+            img = read_image_or_numpy(fname)
+            if self.image_cache_size > 0:
+                cache[key] = img
+                while len(cache) > self.image_cache_size:
+                    cache.popitem(last=False)
         if image_scale != 1.0:
             import cv2
 

@@ -62,7 +62,7 @@ def render_labels(
     # (reference render_labels.py:110-116)
     effective_roi = ROI
     if effective_roi is None and isinstance(texture, (str, Path)):
-        if Path(texture).suffix.lower() in (".geojson", ".json", ".gpkg"):
+        if Path(texture).suffix.lower() in (".geojson", ".json", ".gpkg", ".shp"):
             effective_roi = texture
 
     if effective_roi is not None:

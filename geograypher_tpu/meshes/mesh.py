@@ -120,6 +120,9 @@ class TexturedMesh:
 
             self.verts, self.faces, attrs = load_mesh(mesh)
             self.CRS = CRS
+            # keep named per-vertex scalars for load_texture's
+            # texture-on-the-mesh fallback (reference meshes.py:589-596)
+            self._mesh_attrs = dict(attrs)
             if "colors" in attrs:
                 self.vertex_texture = attrs["colors"].astype(np.float64)
 
@@ -485,15 +488,25 @@ class TexturedMesh:
         texture_column_name: typing.Optional[str] = None,
     ):
         """Texture loading fallback chain (reference meshes.py:532-643):
-        array -> .npy -> vector file -> raster file."""
+        array -> named mesh scalar -> .npy -> vector file -> raster file."""
         if isinstance(texture, np.ndarray):
             self.set_texture(texture)
+            return
+        # a named per-vertex scalar already on the mesh (e.g. a PLY
+        # property), like the reference's pyvista_mesh[texture] branch
+        mesh_attrs = getattr(self, "_mesh_attrs", None) or {}
+        if str(texture) in mesh_attrs:
+            vals = np.asarray(mesh_attrs[str(texture)], dtype=np.float64)
+            if vals.shape[0] == self.n_verts:
+                self.set_texture(vals, is_vertex=True)
+            else:
+                self.set_texture(vals, is_vertex=False)
             return
         path = Path(texture)
         suffix = path.suffix.lower()
         if suffix == ".npy":
             self.set_texture(np.load(path))
-        elif suffix in (".geojson", ".json", ".gpkg"):
+        elif suffix in (".geojson", ".json", ".gpkg", ".shp"):
             labels, ids_to_labels = self.get_values_for_verts_from_vector(
                 path, texture_column_name
             )

@@ -225,7 +225,7 @@ class RegionDetectionSegmentor(Segmentor):
         self.files = {}
         det_index = 0
         for f in sorted(Path(detection_folder).glob("*")):
-            if f.suffix.lower() in (".geojson", ".json", ".gpkg"):
+            if f.suffix.lower() in (".geojson", ".json", ".gpkg", ".shp"):
                 vd = VectorData.read_file(f)
                 self.files[f.stem] = (vd, det_index)
                 det_index += len(vd)

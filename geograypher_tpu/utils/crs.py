@@ -6,10 +6,22 @@ The reference delegates all CRS work to pyproj/PROJ (e.g.
 this environment, so we implement the subset of transforms geograypher
 actually uses, in vectorized numpy (float64, host side):
 
-* WGS84 geodetic (EPSG:4326, lat/lon/alt) <-> ECEF (EPSG:4978)
-* WGS84 geodetic <-> UTM zones (EPSG:326xx north / 327xx south) via
-  Karney's 6th-order transverse-Mercator series (sub-millimeter accuracy)
+* Geographic lat/lon/alt: WGS84 (EPSG:4326), NAD83 (4269), ETRS89 (4258)
+* Geocentric ECEF (EPSG:4978)
+* Transverse-Mercator projected families via Karney's 6th-order series
+  (sub-millimeter accuracy): WGS84 UTM (326xx N / 327xx S), NAD83 UTM
+  (269xx, zones 1-23 N), ETRS89 UTM (258xx, zones 28-38)
+* Web Mercator / pseudo-Mercator (EPSG:3857)
 * UTM zone selection from lat/lon (reference geospatial.py:51-58)
+
+Datum note: NAD83/ETRS89 use the GRS80 ellipsoid, whose flattening differs
+from WGS84's by ~1e-10 (semi-minor axes differ by 0.1 mm); the series
+coefficients are shared.  Datum SHIFTS between WGS84 and NAD83/ETRS89
+(~1-2 m, time-dependent) are NOT applied — the identity ("ballpark") datum
+mapping matches what pyproj does without an explicit transformation
+pipeline for most survey exports, and is well under the scale of the
+meshes' own georeferencing error.  Unsupported EPSG codes raise ValueError
+naming the supported families.
 
 Axis conventions follow the reference's pyproj usage
 (``convert_CRS_3D_points`` geospatial.py:60-72, which calls
@@ -116,18 +128,60 @@ def utm_epsg_for(lat, lon, assume_western_hem: bool = False) -> int:
     return int(32700 - round((45 + lat) / 90) * 100 + round((183 + lon) / 6))
 
 
+# Geographic (lat, lon, alt) codes sharing the identity datum mapping
+GEOGRAPHIC_EPSG = frozenset({4326, 4269, 4258})
+WEB_MERCATOR_EPSG = 3857
+_SUPPORTED_FAMILIES = (
+    "4326/4269/4258 (geographic lat/lon), 4978 (ECEF), 3857 (Web Mercator), "
+    "326xx/327xx (WGS84 UTM), 269xx (NAD83 UTM), 258xx (ETRS89 UTM)"
+)
+
+
 def _utm_zone_params(epsg: int):
+    """(lon0_rad, false_northing) for any supported UTM family code."""
     epsg = int(epsg)
-    if 32601 <= epsg <= 32660:
-        zone = epsg - 32600
-        north = True
-    elif 32701 <= epsg <= 32760:
-        zone = epsg - 32700
-        north = False
+    if 32601 <= epsg <= 32660:  # WGS84 north
+        zone, north = epsg - 32600, True
+    elif 32701 <= epsg <= 32760:  # WGS84 south
+        zone, north = epsg - 32700, False
+    elif 26901 <= epsg <= 26923:  # NAD83 north (GRS80; shared series)
+        zone, north = epsg - 26900, True
+    elif 25828 <= epsg <= 25838:  # ETRS89 north (GRS80; shared series)
+        zone, north = epsg - 25800, True
     else:
-        raise ValueError(f"EPSG:{epsg} is not a UTM code")
+        raise ValueError(
+            f"EPSG:{epsg} is not a supported projected code; supported "
+            f"families: {_SUPPORTED_FAMILIES}"
+        )
     lon0 = np.deg2rad(zone * 6.0 - 183.0)
     return lon0, (0.0 if north else UTM_FALSE_NORTHING_SOUTH)
+
+
+def _is_utm(epsg: int) -> bool:
+    try:
+        _utm_zone_params(epsg)
+        return True
+    except ValueError:
+        return False
+
+
+def web_mercator_from_lla(lat_deg, lon_deg):
+    """WGS84 geodetic -> EPSG:3857 (spherical pseudo-Mercator; geodetic
+    latitude used directly, per the 3857 definition)."""
+    lat = np.deg2rad(np.asarray(lat_deg, dtype=np.float64))
+    lon = np.deg2rad(np.asarray(lon_deg, dtype=np.float64))
+    x = WGS84_A * lon
+    y = WGS84_A * np.log(np.tan(np.pi / 4.0 + lat / 2.0))
+    return x, y
+
+
+def lla_from_web_mercator(x, y):
+    """EPSG:3857 -> WGS84 geodetic (lat_deg, lon_deg)."""
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    lon = np.rad2deg(x / WGS84_A)
+    lat = np.rad2deg(2.0 * np.arctan(np.exp(y / WGS84_A)) - np.pi / 2.0)
+    return lat, lon
 
 
 def lla_to_tm(lat_deg, lon_deg, lon0_rad, k0, false_e, false_n):
@@ -186,10 +240,18 @@ def tm_to_lla(easting, northing, lon0_rad, k0, false_e, false_n):
 
 
 def crs_is_projected(epsg: int) -> bool:
+    """True for supported projected codes, False for geographic/geocentric;
+    ValueError (naming the supported families) otherwise — matching how
+    reference code relies on pyproj's CRS.is_projected."""
     epsg = int(epsg)
-    if epsg in (4326,):
+    if epsg in GEOGRAPHIC_EPSG or epsg == 4978:
         return False
-    return True
+    if epsg == WEB_MERCATOR_EPSG or _is_utm(epsg):
+        return True
+    raise ValueError(
+        f"EPSG:{epsg} is not supported; supported families: "
+        f"{_SUPPORTED_FAMILIES}"
+    )
 
 
 def crs_is_geocentric(epsg: int) -> bool:
@@ -214,10 +276,13 @@ def transform_points(points: np.ndarray, input_epsg: int, output_epsg: int):
         return out[0] if squeeze else out
 
     # Stage 1: to geodetic (lat, lon, alt)
-    if input_epsg == 4326:
+    if input_epsg in GEOGRAPHIC_EPSG:
         lat, lon, alt = points[:, 0], points[:, 1], points[:, 2]
     elif input_epsg == 4978:
         lat, lon, alt = ecef_to_lla(points[:, 0], points[:, 1], points[:, 2])
+    elif input_epsg == WEB_MERCATOR_EPSG:
+        lat, lon = lla_from_web_mercator(points[:, 0], points[:, 1])
+        alt = points[:, 2]
     else:
         lon0, fn = _utm_zone_params(input_epsg)
         lat, lon = tm_to_lla(
@@ -226,11 +291,14 @@ def transform_points(points: np.ndarray, input_epsg: int, output_epsg: int):
         alt = points[:, 2]
 
     # Stage 2: from geodetic to target
-    if output_epsg == 4326:
+    if output_epsg in GEOGRAPHIC_EPSG:
         out = np.stack([lat, lon, alt], axis=1)
     elif output_epsg == 4978:
         x, y, z = lla_to_ecef(lat, lon, alt)
         out = np.stack([x, y, z], axis=1)
+    elif output_epsg == WEB_MERCATOR_EPSG:
+        x, y = web_mercator_from_lla(lat, lon)
+        out = np.stack([x, y, alt], axis=1)
     else:
         lon0, fn = _utm_zone_params(output_epsg)
         e, n = lla_to_tm(lat, lon, lon0, UTM_K0, UTM_FALSE_EASTING, fn)

@@ -41,3 +41,13 @@ def projection_onto_plane(v: np.ndarray, normal: np.ndarray) -> np.ndarray:
     """Component of v in the plane with the given normal
     (reference geometric.py:136-142)."""
     return np.asarray(v, dtype=np.float64) - orthogonal_projection(v, normal)
+
+
+def projection_onto_spanned_plane(
+    v: np.ndarray, e1: np.ndarray, e2: np.ndarray
+) -> np.ndarray:
+    """Component of v in the plane SPANNED by e1 and e2 (the reference's
+    projection convention, geometric.py:136-142); vectorized over leading
+    dims."""
+    normal = np.cross(np.asarray(e1, np.float64), np.asarray(e2, np.float64))
+    return projection_onto_plane(v, normal)

@@ -176,7 +176,13 @@ class VectorData:
     def ensure_projected(self) -> "VectorData":
         """Project geographic data to the local UTM zone
         (reference geospatial.py:27-48)."""
-        if self.epsg is None or crs_utils.crs_is_projected(self.epsg):
+        if self.epsg is None:
+            return self
+        try:
+            if crs_utils.crs_is_projected(self.epsg):
+                return self
+        except ValueError:
+            # unknown EPSG: can't transform it anyway; pass through
             return self
         g0 = self.geometries[0]
         if isinstance(g0, Polygon):
@@ -220,8 +226,11 @@ class VectorData:
             return _read_geojson(path)
         if suffix == ".gpkg":
             return _read_gpkg(path)
+        if suffix == ".shp":
+            return _read_shapefile(path)
         raise ValueError(
-            f"Unsupported vector format {suffix}; supported: .geojson/.json/.gpkg"
+            f"Unsupported vector format {suffix}; "
+            "supported: .geojson/.json/.gpkg/.shp"
         )
 
     def to_file(self, path: PATH_TYPE) -> None:
@@ -319,6 +328,151 @@ def _append_attrs(attrs: Dict[str, list], props: dict, n: int):
 
 
 # -- GeoPackage (sqlite + WKB) ------------------------------------------------
+
+
+def _read_dbf(path: Path) -> List[dict]:
+    """Per-record attribute dicts from a dBase III (.dbf) sidecar.
+
+    Minimal parser for the subset shapefile writers emit: C (text),
+    N/F (numeric), L (logical), D (date-as-text) field types.
+    """
+    buf = path.read_bytes()
+    n_records = struct.unpack_from("<I", buf, 4)[0]
+    header_size, record_size = struct.unpack_from("<HH", buf, 8)
+    fields = []
+    pos = 32
+    while pos < header_size - 1 and buf[pos] != 0x0D:
+        name = buf[pos:pos + 11].split(b"\x00")[0].decode("ascii", "replace")
+        ftype = chr(buf[pos + 11])
+        flen = buf[pos + 16]
+        fdec = buf[pos + 17]
+        fields.append((name, ftype, flen, fdec))
+        pos += 32
+
+    def convert(raw: bytes, ftype: str, fdec: int):
+        text = raw.decode("latin-1").strip()
+        if ftype in ("N", "F"):
+            if not text:
+                return None
+            try:
+                return float(text) if (fdec or ftype == "F") else int(text)
+            except ValueError:
+                return None
+        if ftype == "L":
+            return text.upper() in ("T", "Y")
+        return text
+
+    records = []
+    pos = header_size
+    for _ in range(n_records):
+        if pos + record_size > len(buf):
+            break
+        if buf[pos:pos + 1] == b"*":  # deleted record
+            pos += record_size
+            continue
+        rec, off = {}, pos + 1
+        for name, ftype, flen, fdec in fields:
+            rec[name] = convert(buf[off:off + flen], ftype, fdec)
+            off += flen
+        records.append(rec)
+        pos += record_size
+    return records
+
+
+def _shp_rings_to_polygons(
+    parts: List[np.ndarray],
+) -> List[Polygon]:
+    """ESRI ring convention: exterior rings wind clockwise (negative
+    shoelace area in y-up coords); holes counter-clockwise, following
+    their exterior."""
+
+    def signed_area(r):
+        x, y = r[:, 0], r[:, 1]
+        return 0.5 * float(
+            np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y)
+        )
+
+    polys: List[Polygon] = []
+    current_ext, current_holes = None, []
+    for ring in parts:
+        if signed_area(ring) <= 0 or current_ext is None:  # exterior
+            if current_ext is not None:
+                polys.append(Polygon(current_ext, current_holes))
+            current_ext, current_holes = ring, []
+        else:
+            current_holes.append(ring)
+    if current_ext is not None:
+        polys.append(Polygon(current_ext, current_holes))
+    return polys
+
+
+def _read_shapefile(path: Path) -> VectorData:
+    """Minimal ESRI Shapefile reader (.shp + optional .dbf/.prj sidecars),
+    covering the shape types geograypher workflows encounter: Point(Z/M),
+    MultiPoint, Polygon(Z/M).  Same format role as the reference's
+    geopandas read (e.g. predictors/derived_segmentors.py:361)."""
+    buf = Path(path).read_bytes()
+    if struct.unpack_from(">i", buf, 0)[0] != 9994:
+        raise ValueError(f"{path} is not an ESRI shapefile")
+
+    geoms_per_record: List[list] = []
+    pos = 100
+    while pos + 8 <= len(buf):
+        content_words = struct.unpack_from(">i", buf, pos + 4)[0]
+        rec = buf[pos + 8:pos + 8 + content_words * 2]
+        pos += 8 + content_words * 2
+        stype = struct.unpack_from("<i", rec, 0)[0]
+        base = stype % 10  # Z (x5 offsets 11/13/15/18) and M types share layout
+        if stype == 0:  # null shape
+            geoms_per_record.append([])
+        elif base == 1 and stype in (1, 11, 21):  # Point / PointZ / PointM
+            x, y = struct.unpack_from("<2d", rec, 4)
+            pt = [x, y]
+            if stype == 11:
+                pt.append(struct.unpack_from("<d", rec, 20)[0])
+            geoms_per_record.append([np.asarray(pt, np.float64)])
+        elif base == 8:  # MultiPoint(Z/M)
+            n_pts = struct.unpack_from("<i", rec, 36)[0]
+            pts = np.frombuffer(rec, "<f8", 2 * n_pts, 40).reshape(-1, 2)
+            geoms_per_record.append([p.copy() for p in pts])
+        elif base in (3, 5):  # PolyLine/Polygon (Z/M)
+            n_parts, n_pts = struct.unpack_from("<2i", rec, 36)
+            part_idx = list(
+                struct.unpack_from(f"<{n_parts}i", rec, 44)
+            ) + [n_pts]
+            pts = np.frombuffer(
+                rec, "<f8", 2 * n_pts, 44 + 4 * n_parts
+            ).reshape(-1, 2)
+            rings = [
+                pts[part_idx[i]:part_idx[i + 1]].copy()
+                for i in range(n_parts)
+                if part_idx[i + 1] - part_idx[i] >= (4 if base == 5 else 2)
+            ]
+            if base == 5:
+                geoms_per_record.append(_shp_rings_to_polygons(rings))
+            else:
+                # polylines are stored as open vertex arrays
+                geoms_per_record.append(list(rings))
+        else:
+            raise ValueError(f"Unsupported shapefile shape type {stype}")
+
+    dbf = Path(path).with_suffix(".dbf")
+    records = _read_dbf(dbf) if dbf.exists() else [{}] * len(geoms_per_record)
+
+    epsg = None
+    prj = Path(path).with_suffix(".prj")
+    if prj.exists():
+        from geograypher_tpu.utils.parsing import extract_epsg
+
+        epsg = extract_epsg(prj.read_text())
+
+    geoms: List[Union[Polygon, np.ndarray]] = []
+    attrs: Dict[str, list] = {}
+    for rec_geoms, rec_attrs in zip(geoms_per_record, records):
+        for g in rec_geoms:
+            geoms.append(g)
+            _append_attrs(attrs, rec_attrs, len(geoms))
+    return VectorData(geoms, attrs, epsg)
 
 
 def _read_gpkg(path: Path) -> VectorData:

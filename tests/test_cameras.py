@@ -323,3 +323,86 @@ def test_rig_cameras_from_equirectangular(tmp_path):
     # batch construction works with the synthetic sensor
     batch = rig.get_camera_batch()
     assert batch.n_cameras == 12 and batch.image_width == 200
+
+
+def _enu_to_ecef_transform(lat_deg, lon_deg, alt=0.0):
+    from geograypher_tpu.utils import crs
+
+    lat, lon = np.deg2rad(lat_deg), np.deg2rad(lon_deg)
+    e = np.array([-np.sin(lon), np.cos(lon), 0.0])
+    n = np.array(
+        [-np.sin(lat) * np.cos(lon), -np.sin(lat) * np.sin(lon), np.cos(lat)]
+    )
+    u = np.array(
+        [np.cos(lat) * np.cos(lon), np.cos(lat) * np.sin(lon), np.sin(lat)]
+    )
+    x, y, z = crs.lla_to_ecef(lat_deg, lon_deg, alt)
+    t = np.eye(4)
+    t[:3, :3] = np.stack([e, n, u], axis=1)
+    t[:3, 3] = [x, y, z]
+    return t
+
+
+def test_camera_view_angles_recover_constructed_tilt():
+    """Off-nadir pitch/yaw (reference cameras.py:244-326): cameras built
+    with known tilts in a local ENU frame must report those tilts."""
+    from geograypher_tpu.cameras.core import CameraSet
+
+    def rx(a):
+        a = np.deg2rad(a)
+        return np.array(
+            [[1, 0, 0], [0, np.cos(a), -np.sin(a)], [0, np.sin(a), np.cos(a)]]
+        )
+
+    def ry(a):
+        a = np.deg2rad(a)
+        return np.array(
+            [[np.cos(a), 0, np.sin(a)], [0, 1, 0], [-np.sin(a), 0, np.cos(a)]]
+        )
+
+    nadir = np.diag([1.0, -1.0, -1.0])  # cam x=east, y=south, z=down (ENU)
+    cases = [(0.0, 0.0), (10.0, 0.0), (0.0, 25.0), (7.0, 3.0)]
+    c2ws = []
+    for pitch, yaw in cases:
+        c2w = np.eye(4)
+        c2w[:3, :3] = nadir @ ry(yaw) @ rx(pitch)
+        c2w[2, 3] = 100.0
+        c2ws.append(c2w)
+    cams = CameraSet(
+        c2ws,
+        {0: {"f": 100.0, "cx": 0.0, "cy": 0.0,
+             "image_width": 100, "image_height": 100}},
+        local_to_epsg_4978_transform=_enu_to_ecef_transform(40.0, -120.0),
+    )
+    angles = cams.get_camera_view_angles()
+    for (pitch, yaw), (got_p, got_y) in zip(cases, angles):
+        assert abs(got_p - pitch) < 0.05, (pitch, yaw, got_p, got_y)
+        assert abs(got_y - yaw) < 0.05, (pitch, yaw, got_p, got_y)
+
+
+def test_image_cache_one_read_per_file(tmp_path, monkeypatch):
+    """Aggregation loops must pay one disk read per image
+    (reference cameras.py:154-177 caching)."""
+    from geograypher_tpu.cameras.core import CameraSet
+    from geograypher_tpu.utils import io as io_utils
+
+    img_file = tmp_path / "view.npy"
+    np.save(img_file, np.zeros((8, 8, 3), np.float32))
+    reads = []
+    orig = io_utils.read_image_or_numpy
+
+    def counting(fname):
+        reads.append(str(fname))
+        return orig(fname)
+
+    monkeypatch.setattr(io_utils, "read_image_or_numpy", counting)
+    cams = CameraSet(
+        [np.eye(4)] * 2,
+        {0: {"f": 10.0, "cx": 0.0, "cy": 0.0,
+             "image_width": 8, "image_height": 8}},
+        image_filenames=[img_file, img_file],
+    )
+    for _ in range(3):
+        cams.get_image_by_index(0)
+        cams.get_image_by_index(1, image_scale=0.5)
+    assert len(reads) == 1

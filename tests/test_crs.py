@@ -87,3 +87,55 @@ def test_ecef_to_utm_composition():
     utm_via = crs.transform_points(lla, 4326, 32611)
     assert np.allclose(utm_direct, utm_via, atol=1e-6)
     assert np.isclose(utm_direct[0, 2], alt, atol=1e-5)
+
+
+def test_nad83_utm_matches_wgs84_utm():
+    """NAD83 UTM (269xx, GRS80) and WGS84 UTM (326xx) differ only by the
+    ellipsoid's 0.1 mm semi-minor-axis delta under the identity-datum
+    convention; transforms must agree to sub-mm and round-trip exactly."""
+    pts = np.array(
+        [[40.5, -123.5, 100.0], [39.0, -121.1, 0.0], [47.9, -119.9, 55.0]]
+    )
+    wgs = crs.transform_points(pts, 4326, 32610)
+    nad = crs.transform_points(pts, 4326, 26910)
+    assert np.allclose(wgs, nad, atol=1e-3)
+    back = crs.transform_points(nad, 26910, 4326)
+    assert np.allclose(back, pts, atol=1e-9)
+
+
+def test_etrs89_utm_roundtrip():
+    pts = np.array([[48.0, 7.85, 250.0], [50.9, 6.96, 40.0]])
+    proj = crs.transform_points(pts, 4326, 25832)
+    back = crs.transform_points(proj, 25832, 4326)
+    assert np.allclose(back, pts, atol=1e-9)
+    # zone 32 central meridian is 9E; Freiburg (7.85E) must be west of it
+    assert proj[0, 0] < 500000
+
+
+def test_web_mercator_known_points():
+    """EPSG:3857 control points: x at lon=90E is a quarter circumference;
+    y at lat=45N is the textbook 5,621,521.49 m."""
+    out = crs.transform_points(np.array([[45.0, 90.0, 0.0]]), 4326, 3857)
+    assert np.isclose(out[0, 0], 10018754.171394622, atol=1e-3)
+    assert np.isclose(out[0, 1], 5621521.486192823, atol=1e-3)
+    back = crs.transform_points(out, 3857, 4326)
+    assert np.allclose(back[0, :2], [45.0, 90.0], atol=1e-12)
+
+
+def test_nad83_geographic_identity_datum():
+    pts = np.array([[40.0, -120.0, 10.0]])
+    assert np.allclose(crs.transform_points(pts, 4269, 4326), pts)
+    # and through a projection both geographic datums agree (ballpark datum)
+    a = crs.transform_points(pts, 4269, 26911)
+    b = crs.transform_points(pts, 4326, 26911)
+    assert np.allclose(a, b)
+
+
+def test_unsupported_epsg_raises_with_families():
+    with pytest.raises(ValueError, match="supported families"):
+        crs.transform_points(np.zeros((1, 3)), 4326, 2227)  # state plane
+    with pytest.raises(ValueError, match="supported families"):
+        crs.crs_is_projected(9999)
+    assert crs.crs_is_projected(3857)
+    assert crs.crs_is_projected(26910)
+    assert not crs.crs_is_projected(4269)

@@ -304,3 +304,33 @@ def test_ortho_pix2face_max_pixels_clamp_keeps_georef():
     exact rendered footprint (and a warning is logged)."""
     mesh, _ = make_geo_mesh(n=11, size=40.0)
     _assert_ortho_georef(mesh, SITE_UTM, resolution_m=0.05, max_pixels=256)
+
+
+def test_load_texture_from_named_mesh_scalar(tmp_path):
+    """load_texture('<scalar name>') pulls a per-vertex property stored in
+    the mesh file (reference meshes.py:589-596 pyvista scalar branch)."""
+    import struct
+
+    from geograypher_tpu.meshes.mesh import TexturedMesh
+
+    verts, faces = make_grid_mesh(n=5, size=2.0)
+    labels = (np.arange(len(verts)) % 3).astype(np.float32)
+    # ascii PLY with an extra per-vertex property
+    lines = [
+        "ply", "format ascii 1.0",
+        f"element vertex {len(verts)}",
+        "property float x", "property float y", "property float z",
+        "property float treeclass",
+        f"element face {len(faces)}",
+        "property list uchar int vertex_indices", "end_header",
+    ]
+    for v, c in zip(verts, labels):
+        lines.append(f"{v[0]} {v[1]} {v[2]} {c}")
+    for f in faces:
+        lines.append(f"3 {f[0]} {f[1]} {f[2]}")
+    ply = tmp_path / "scalar.ply"
+    ply.write_text("\n".join(lines) + "\n")
+
+    mesh = TexturedMesh(ply, texture="treeclass")
+    tex = mesh.get_texture(request_vertex_texture=True)
+    assert np.allclose(tex[:, 0], labels)

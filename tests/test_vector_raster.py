@@ -161,3 +161,66 @@ def test_gpkg_write_read_roundtrip(tmp_path):
     assert back["species"] == ["oak", "pine"]
     assert np.isclose(back.geometries[0].area, 25.0)
     assert np.isclose(back.geometries[1].area, 100.0 - 9.0)  # hole kept
+
+
+def _write_test_shapefile(base):
+    """Hand-rolled minimal shapefile: one polygon (with hole) + one point."""
+    import struct
+
+    def shp_record(num, content):
+        return struct.pack(">2i", num, len(content) // 2) + content
+
+    # record 1: polygon, exterior CW + hole CCW
+    ext = [(0, 0), (0, 4), (4, 4), (4, 0), (0, 0)]  # CW in y-up
+    hole = [(1, 1), (2, 1), (2, 2), (1, 2), (1, 1)]  # CCW
+    pts = ext + hole
+    content = struct.pack("<i", 5)
+    content += struct.pack("<4d", 0, 0, 4, 4)
+    content += struct.pack("<2i", 2, len(pts))
+    content += struct.pack("<2i", 0, len(ext))
+    for x, y in pts:
+        content += struct.pack("<2d", x, y)
+    rec1 = shp_record(1, content)
+    # record 2: point
+    rec2 = shp_record(2, struct.pack("<i2d", 1, 7.5, 8.5))
+    body = rec1 + rec2
+    header = struct.pack(">i5i", 9994, 0, 0, 0, 0, 0)
+    header += struct.pack(">i", (100 + len(body)) // 2)
+    header += struct.pack("<2i", 1000, 5)
+    header += struct.pack("<8d", 0, 0, 8, 9, 0, 0, 0, 0)
+    (base.with_suffix(".shp")).write_bytes(header + body)
+
+    # dbf: fields NAME (C,8), AREA (N,10,2)
+    fields = [(b"NAME", "C", 8, 0), (b"AREA", "N", 10, 2)]
+    fdesc = b""
+    for name, ftype, flen, fdec in fields:
+        fdesc += name.ljust(11, b"\x00") + ftype.encode()
+        fdesc += b"\x00" * 4 + bytes([flen, fdec]) + b"\x00" * 14
+    rec_size = 1 + sum(f[2] for f in fields)
+    header_size = 32 + len(fdesc) + 1
+    dbf_header = struct.pack(
+        "<4BIHH20x", 3, 24, 1, 1, 2, header_size, rec_size
+    )
+    recs = b" " + b"plot    " + b"     14.50"
+    recs += b" " + b"tree    " + b"      0.25"
+    (base.with_suffix(".dbf")).write_bytes(dbf_header + fdesc + b"\x0d" + recs)
+    (base.with_suffix(".prj")).write_text(
+        'PROJCS["NAD83 / UTM zone 10N",AUTHORITY["EPSG","26910"]]'
+    )
+
+
+def test_read_shapefile(tmp_path):
+    base = tmp_path / "detections.shp"
+    _write_test_shapefile(base)
+    vd = VectorData.read_file(base)
+    assert vd.epsg == 26910
+    assert len(vd) == 2
+    poly = vd.geometries[0]
+    assert isinstance(poly, Polygon)
+    assert len(poly.holes) == 1
+    # shoelace: 16 outer - 1 hole
+    assert np.isclose(poly.area, 15.0)
+    pt = np.asarray(vd.geometries[1])
+    assert np.allclose(pt, [7.5, 8.5])
+    assert vd.attributes["NAME"] == ["plot", "tree"]
+    assert vd.attributes["AREA"] == [14.5, 0.25]
