@@ -199,6 +199,43 @@ class TexturedMesh:
         hasher.update(np.ascontiguousarray(self.faces).tobytes())
         return hasher.hexdigest()
 
+    def spatial_sort_faces(self) -> np.ndarray:
+        """Reorder faces by the Morton code of their ground-plane centroid.
+
+        Spatially coherent face ids make each raster tile's candidate list
+        a narrow id band, which the scatter-free aggregation
+        (ops/agg_tiled.py) exploits for compact face-block windows.  Mesh
+        files from photogrammetry pipelines usually have some locality
+        already; this makes it a guarantee.  Per-face textures are
+        permuted consistently; face INDICES visible to callers change
+        (the mesh hash changes with them, invalidating pix2face caches).
+
+        Returns the permutation applied (new_order[i] = old face index).
+        """
+        try:
+            crs = self.get_working_projected_CRS()
+            verts2d = self.get_vertices_in_CRS(crs)[:, :2]
+        except ValueError:
+            verts2d = self.verts[:, :2]
+        cent = verts2d[self.faces].mean(axis=1)
+        lo = cent.min(axis=0)
+        span = np.maximum(cent.max(axis=0) - lo, 1e-9)
+        q = ((cent - lo) / span * 65535.0).astype(np.uint64)
+
+        def spread(v):  # interleave zeros between the 16 bits
+            v = (v | (v << 8)) & 0x00FF00FF
+            v = (v | (v << 4)) & 0x0F0F0F0F
+            v = (v | (v << 2)) & 0x33333333
+            return (v | (v << 1)) & 0x55555555
+
+        code = spread(q[:, 0]) | (spread(q[:, 1]) << 1)
+        order = np.argsort(code, kind="stable")
+        self.faces = self.faces[order]
+        if self.face_texture is not None:
+            self.face_texture = self.face_texture[order]
+        self._tri_verts_cache.clear()
+        return order
+
     def get_vertices_in_CRS(self, output_CRS: typing.Optional[int]) -> np.ndarray:
         """Vertices in the requested CRS (reference meshes.py:751-774)."""
         if output_CRS is None or self.CRS is None or output_CRS == self.CRS:

@@ -107,13 +107,25 @@ def normalize_sparse_counts(
 
 
 def sparse_argmax(counts: scipy.sparse.csr_array) -> np.ndarray:
-    """Per-face argmax class over a CSR count matrix; NaN for empty rows."""
+    """Per-face argmax class over a CSR count matrix; NaN for empty rows.
+
+    Fully vectorized (segmented reduceat over the CSR structure) — this
+    runs at survey scale (1M+ faces) on the project_detections path.  Ties
+    break toward the first stored (lowest) class index, like np.argmax.
+    """
     counts = counts.tocsr()
     out = np.full(counts.shape[0], np.nan)
-    indptr = counts.indptr
-    for f in range(counts.shape[0]):
-        s, e = indptr[f], indptr[f + 1]
-        if e > s:
-            seg = counts.data[s:e]
-            out[f] = counts.indices[s:e][np.argmax(seg)]
+    row_nnz = np.diff(counts.indptr)
+    rows = np.nonzero(row_nnz > 0)[0]
+    if rows.size == 0:
+        return out
+    starts = counts.indptr[rows]
+    row_max = np.maximum.reduceat(counts.data, starts)
+    # first position per row whose value equals the row max
+    pos = np.arange(counts.data.size)
+    pos = np.where(
+        counts.data == np.repeat(row_max, row_nnz[rows]), pos, counts.data.size
+    )
+    first = np.minimum.reduceat(pos, starts)
+    out[rows] = counts.indices[first]
     return out

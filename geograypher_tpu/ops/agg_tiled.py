@@ -213,6 +213,11 @@ def tile_class_counts(
         )
         for l in range(4)
     ]
+    # barrier: see pallas_raster.raster_tiles_pallas — operands produced
+    # inside the same jit must be materialized before a Mosaic call
+    p2f, cls_tiles, c0, c1, c2, c3 = jax.lax.optimization_barrier(
+        (row4(p2f), row4(cls_tiles), row4(c0), c1, c2, c3)
+    )
     outs = pl.pallas_call(
         kernel,
         grid=(nty0g,),
@@ -239,7 +244,7 @@ def tile_class_counts(
         out_shape=out_shapes,
         out_specs=out_specs,
         interpret=_interpret(),
-    )(row4(p2f), row4(cls_tiles), row4(c0), c1, c2, c3)
+    )(p2f, cls_tiles, c0, c1, c2, c3)
     return outs, kp
 
 
@@ -396,12 +401,16 @@ def face_counts_from_tiles(
             pltpu.SemaphoreType.DMA((n_slots, 2)),
         ],
     )
+    # barrier: see pallas_raster.raster_tiles_pallas
+    operands = jax.lax.optimization_barrier(
+        (win.order, win.win_start, win.win_len, counts, ids.reshape(t, 1, s))
+    )
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nb, block, kp), jnp.float32),
         interpret=_interpret(),
-    )(win.order, win.win_start, win.win_len, counts, ids.reshape(t, 1, s))
+    )(*operands)
     return out.reshape(nb * block, kp)
 
 

@@ -365,18 +365,27 @@ def raster_tiles_pallas(
             memory_space=pltpu.VMEM,
         ),
     )
+    # optimization_barrier: when XLA fuses the slab/count producers into
+    # the Mosaic custom call's operands, the kernel observes corrupted
+    # operands (measured on v5e: zero scalar-prefetch counts -> empty
+    # output at bench scale, while the same call with materialized
+    # operands is correct).  The barrier forces materialization in the
+    # default layout before the call.
+    operands = jax.lax.optimization_barrier(
+        (
+            counts[0].reshape(-1),
+            counts[1].reshape(-1),
+            counts[2].reshape(-1),
+            counts[3].reshape(-1),
+            *slabs,
+        )
+    )
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((nty0, ntx0p, th, tw), jnp.int32),
         grid_spec=grid_spec,
         interpret=jax.default_backend() == "cpu",
-    )(
-        counts[0].reshape(-1),
-        counts[1].reshape(-1),
-        counts[2].reshape(-1),
-        counts[3].reshape(-1),
-        *slabs,
-    )
+    )(*operands)
 
     if return_tiles:
         # (nty0, ntx0p, th*tw) tile-major layout, as fed to agg_tiled

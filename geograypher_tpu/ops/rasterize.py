@@ -113,6 +113,12 @@ def setup_triangles(
     coefficients (A, B, C) x 3 normalized to positive orientation;
     ``planes[:, 9:12]`` is the affine 1/z plane (WA, WB, WC).  Coverage of
     pixel (i, j) means ``E_k(j+0.5, i+0.5) >= 0`` for all k.
+
+    Deviation from the reference's VTK renderer: triangles STRADDLING the
+    near plane (some vertices behind the camera) are dropped rather than
+    clipped into sub-triangles.  Aerial-survey cameras never intersect the
+    terrain, so this only affects degenerate oblique captures; triangles
+    fully in front are unaffected.
     """
     ftype = tri_verts_cam.dtype
     z = tri_verts_cam[..., 2]

@@ -334,3 +334,35 @@ def test_load_texture_from_named_mesh_scalar(tmp_path):
     mesh = TexturedMesh(ply, texture="treeclass")
     tex = mesh.get_texture(request_vertex_texture=True)
     assert np.allclose(tex[:, 0], labels)
+
+
+def test_spatial_sort_faces_morton_locality():
+    """Morton reorder permutes faces + per-face texture consistently and
+    improves id locality for tile-band aggregation windows."""
+    from geograypher_tpu.meshes.mesh import TexturedMesh
+
+    rng = np.random.default_rng(0)
+    verts, faces = make_grid_mesh(n=21, size=4.0)
+    # scramble face order to simulate an incoherent mesh file
+    perm = rng.permutation(len(faces))
+    mesh = TexturedMesh((verts, faces[perm]))
+    tex = rng.integers(0, 9, (mesh.n_faces, 1)).astype(float)
+    mesh.set_texture(tex, is_vertex=False)
+
+    centroids_before = {
+        tuple(np.round(verts[f].mean(axis=0), 6)): float(t)
+        for f, t in zip(mesh.faces, tex[:, 0])
+    }
+    order = mesh.spatial_sort_faces()
+    assert sorted(order) == list(range(mesh.n_faces))
+    tex_after = mesh.get_texture(request_vertex_texture=False)
+    # texture still attached to the same physical triangle
+    for f, t in zip(mesh.faces, tex_after[:, 0]):
+        key = tuple(np.round(verts[f].mean(axis=0), 6))
+        assert centroids_before[key] == float(t)
+
+    # locality: consecutive faces are spatial neighbors on average
+    cent = verts[mesh.faces].mean(axis=1)
+    step = np.linalg.norm(np.diff(cent[:, :2], axis=0), axis=1)
+    cell = 4.0 / 20
+    assert np.median(step) < 2 * cell

@@ -225,3 +225,25 @@ def test_plot_geodata(tmp_path):
     ).to_file(vp)
     ax = plot_geodata(vp, class_column="cls")
     assert ax is not None
+
+
+def test_sparse_argmax_vectorized_matches_naive():
+    import scipy.sparse
+
+    from geograypher_tpu.meshes.sparse import sparse_argmax
+
+    rng = np.random.default_rng(3)
+    n_rows, n_cols = 500, 12
+    dense = rng.integers(0, 5, (n_rows, n_cols)).astype(float)
+    dense[rng.random((n_rows, n_cols)) < 0.8] = 0
+    dense[::7] = 0  # empty rows
+    m = scipy.sparse.csr_array(dense)
+    got = sparse_argmax(m)
+    for f in range(n_rows):
+        row = dense[f]
+        if row.sum() == 0 and (m.indptr[f + 1] == m.indptr[f]):
+            assert np.isnan(got[f])
+        elif m.indptr[f + 1] > m.indptr[f]:
+            seg = m.data[m.indptr[f]:m.indptr[f + 1]]
+            exp = m.indices[m.indptr[f]:m.indptr[f + 1]][np.argmax(seg)]
+            assert got[f] == exp, f
