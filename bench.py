@@ -92,9 +92,18 @@ def main():
         )
         return acc
 
-    # compile + warm up
+    # compile + warm up — and refuse to time a silently-empty pipeline
+    # (a runtime upgrade once corrupted Mosaic outputs to all-background;
+    # see docs/DESIGN.md "Mosaic operand-fusion hazard")
     acc = all_views(tri, w2c, labels)
-    np.asarray(jnp.sum(acc))
+    warm_sum = float(np.asarray(jnp.sum(acc)))
+    expected_min = 0.5 * n_views * H * W  # >=50% pixel coverage
+    if not warm_sum >= expected_min:
+        raise RuntimeError(
+            f"benchmark pipeline produced near-empty output "
+            f"(sum={warm_sum}, expected >= {expected_min}); refusing to "
+            "report a timing for broken compute"
+        )
 
     t0 = time.perf_counter()
     total = all_views(tri, w2c, labels)

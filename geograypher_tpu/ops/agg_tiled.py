@@ -2,35 +2,41 @@
 
 Replaces the flat XLA ``segment_sum`` in
 :func:`geograypher_tpu.ops.aggregate.project_image_class_counts` on the hot
-path (reference behavior: meshes.py:1961-1968 + 2016-2051).  The XLA scatter
-is index-processing-bound at ~11 ns/element — ~89 ms for one 4K view into
-1M faces x 10 classes — and no scatter mode improves it (docs/DESIGN.md).
-This module computes identical integer counts with zero scatters:
+path (reference behavior: meshes.py:1961-1968 + 2016-2051).  The XLA
+scatter is index-processing-bound at ~11 ns/element — ~89 ms for one 4K
+view into 1M faces x 10 classes — and no scatter mode improves it
+(docs/DESIGN.md); worse, scatters consuming Mosaic-kernel outputs corrupt
+inside lax.scan on the current runtime.  This module computes identical
+integer counts with ZERO scatters:
 
 Stage 1 — per-tile match counts (MXU):
     The rasterizer already partitions every pixel's winning face into the
     pixel's (8 x 128) L0 tile candidate list or one of its ancestor lists
     (L1/L2/global).  For each tile, the (pixel, slot) equality matrix
     ``M[p, s] = (pix2face[p] == cand_ids[s])`` is produced WITHOUT any
-    cross-lane transpose by a rank-2 matmul: ``D = [p2f; 1]^T @ [1; -ids]``
-    gives ``D[p, s] = p2f[p] - ids[s]`` with both operands in their natural
-    lane-major layouts, and ``M = (|D| < 0.5)``.  Per-tile per-class counts
-    are then one one-hot matmul ``onehot(class) @ M`` — 0/1 operands are
-    exact in bf16 with f32 accumulation, so counts are exact integers.
+    cross-lane transpose by one DEFAULT-precision matmul:
+    ``D[p, s] = p2f[p] - ids[s]`` comes from contracting
+    ``[a1 a2 a3 1 1 1]^T`` with ``[1 1 1 -b1 -b2 -b3]`` where ``a = Σ a_j``
+    is an exact 3-plane bf16 digit split (ids < 2^24) — all products and
+    the f32 accumulation are exact, one MXU pass (no 6-pass HIGHEST).
+    ``M = (|D| < 0.5)``, and per-tile per-class counts are one one-hot
+    matmul ``onehot(class) @ M`` (0/1 bf16 operands, exact).
 
 Stage 2 — output-stationary face-block accumulation:
-    Per-level (tile, slot, class) counts are folded into the dense
-    (faces, classes) array by a kernel over face blocks.  Spatially ordered
-    face ids (any roughly-coherent mesh ordering; see meshes Morton sort)
-    make each tile's candidate ids a narrow band, so each face block only
-    intersects a small window of tiles once tiles are sorted by their
-    minimum candidate id.  The kernel walks that window with manually
-    pipelined HBM->VMEM DMAs and adds each tile's contribution via the same
+    Spatially ordered face ids (any roughly-coherent mesh ordering; see
+    TexturedMesh.spatial_sort_faces) make each tile's candidate ids a
+    narrow band, so each face block intersects only a small window of
+    tiles.  EXACT per-block windows are computed on the XLA side
+    (min-sorted spans filtered by max), the windowed tiles' counts/ids are
+    consolidated into contiguous (block, w_cap, ...) buffers by one XLA
+    gather, and a Pallas kernel with plain BlockSpec pipelining folds each
+    block's window into its dense (block, classes) slice via the same
     matmul-match trick — the "scatter" is a matrix product on the MXU.
-    Counts ride as exact bf16 pairs (q = c // 128, r = c % 128).
+    Counts ride as exact base-128 bf16 digit planes (``planes`` of them:
+    2 cover counts < 16512, 4 cover anything < 2^24).
 
-L2/global slots are few (couple hundred); they go through one tiny XLA
-segment-sum instead of a third kernel variant.
+All four binning levels go through the same stage-2 kernel (the L2/global
+levels with more digit planes); nothing in this module scatters.
 """
 
 from __future__ import annotations
@@ -43,7 +49,6 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-HIGHEST = jax.lax.Precision.HIGHEST
 _EMPTY_ID = -2  # empty candidate slots; never equals any pix2face value
 _BIG = 1 << 30
 
@@ -56,67 +61,92 @@ def _interpret() -> bool:
     return jax.default_backend() == "cpu"
 
 
+def _digit3(x: jax.Array):
+    """Exact 3-plane bf16 split of integer-valued f32 (< 2^24): each plane
+    is bf16-representable and their f32 sum reproduces x exactly."""
+    p1 = x.astype(jnp.bfloat16).astype(jnp.float32)
+    r = x - p1
+    p2 = r.astype(jnp.bfloat16).astype(jnp.float32)
+    p3 = r - p2
+    return p1, p2, p3
+
+
+def _match_rows(vals: jax.Array):
+    """(1, n) f32 integer values -> (6, n) bf16 lhs rows for the exact
+    difference dot (digit planes + ones)."""
+    p1, p2, p3 = _digit3(vals)
+    ones = jnp.ones_like(vals)
+    return jnp.concatenate([p1, p2, p3, ones, ones, ones], axis=0).astype(
+        jnp.bfloat16
+    )
+
+
+def _match_cols(ids: jax.Array):
+    """(1, n) f32 integer ids -> (6, n) bf16 rhs rows (ones + negated
+    digit planes)."""
+    p1, p2, p3 = _digit3(ids)
+    ones = jnp.ones_like(ids)
+    return jnp.concatenate([ones, ones, ones, -p1, -p2, -p3], axis=0).astype(
+        jnp.bfloat16
+    )
+
+
+_DIFF_DIMS = (((0,), (0,)), ((), ()))
+
+
 # ---------------------------------------------------------------------------
-# Stage 1: per-tile (slot, class) counts
+# Stage 1: per-tile (class, slot) counts
 # ---------------------------------------------------------------------------
 
 
-def _stage1_kernel(
-    kp: int,
-    caps: Tuple[int, int, int, int],
-    ntx0g: int,
-    s1_sc: int,
-    s2_sc: int,
-):
-    """Kernel over full rows of L0 tiles (grid = tile rows; blocks span the
-    whole row so the trailing dims satisfy Mosaic's (8, 128) tiling rule).
+def _stage1_kernel(kp: int, caps: Tuple[int, int, int, int], gx: int):
+    """Kernel over (1, gx)-tile patches of the row-image pix2face.
 
-    Per tile: one rank-2 HIGHEST dot builds the (pixel, slot) difference
-    matrix against the concatenation of all four levels' candidate ids, one
-    bf16 dot against the class one-hot yields (class, slot) counts, sliced
-    back out per level (slice offsets are 128-aligned by construction).
+    Ancestor levels whose candidate list is empty (leading id < 0) are
+    skipped per step — zeros are written first, then overwritten under
+    ``pl.when`` when the level has candidates.
     """
-    s0, s1, s2, s3 = caps
 
     def kernel(p2f_ref, cls_ref, c0_ref, c1_ref, c2_ref, c3_ref,
                o0_ref, o1_ref, o2_ref, o3_ref):
-        npix = p2f_ref.shape[3]
+        th = p2f_ref.shape[1]
+        tw = p2f_ref.shape[2] // gx
+        npix = th * tw
         cls_iota = jax.lax.broadcasted_iota(jnp.int32, (kp, npix), 0)
+        upper = (
+            (c1_ref, o1_ref, caps[1]),
+            (c2_ref, o2_ref, caps[2]),
+            (c3_ref, o3_ref, caps[3]),
+        )
 
-        def tile(b, _):
-            # all dynamic tile indices are on leading (untiled) dims
-            p2f = p2f_ref[0, b].astype(jnp.float32)  # (1, npix)
-            cls = cls_ref[0, b]
-            ids = jnp.concatenate(
-                [
-                    c0_ref[0, b],
-                    c1_ref[0, b // s1_sc],
-                    c2_ref[0, b // s2_sc],
-                    c3_ref[0, 0],
-                ],
-                axis=1,
-            ).astype(jnp.float32)  # (1, stot)
-            # D[p, s] = p2f[p] - ids[s]; exact via HIGHEST (f32 ids) —
-            # the rank-2 dot acts as a transpose-free outer difference.
-            lhs = jnp.concatenate([p2f, jnp.ones_like(p2f)], axis=0)
-            rhs = jnp.concatenate([jnp.ones_like(ids), -ids], axis=0)
-            d = jax.lax.dot_general(
-                lhs, rhs, (((0,), (0,)), ((), ())),
-                precision=HIGHEST, preferred_element_type=jnp.float32,
-            )  # (npix, stot)
-            match = (jnp.abs(d) < 0.5).astype(jnp.bfloat16)
+        for g in range(gx):
+            p2f = (
+                p2f_ref[0, :, g * tw:(g + 1) * tw]
+                .reshape(1, npix)
+                .astype(jnp.float32)
+            )
+            cls = cls_ref[0, :, g * tw:(g + 1) * tw].reshape(1, npix)
+            lhs = _match_rows(p2f)  # (6, npix)
             onehot = (cls_iota == cls).astype(jnp.bfloat16)  # (kp, npix)
-            counts = jax.lax.dot_general(
-                onehot, match, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # (kp, stot): exact (0/1 bf16 operands, f32 accumulate)
-            o0_ref[0, b] = counts[:, :s0]
-            o1_ref[0, b] = counts[:, s0:s0 + s1]
-            o2_ref[0, b] = counts[:, s0 + s1:s0 + s1 + s2]
-            o3_ref[0, b] = counts[:, s0 + s1 + s2:]
-            return 0
 
-        jax.lax.fori_loop(0, ntx0g, tile, 0)
+            def level_counts(ids_i32):
+                rhs = _match_cols(ids_i32.astype(jnp.float32))
+                d = jax.lax.dot_general(
+                    lhs, rhs, _DIFF_DIMS, preferred_element_type=jnp.float32
+                )  # (npix, s_l) = p2f - id, exactly
+                m = (jnp.abs(d) < 0.5).astype(jnp.bfloat16)
+                return jax.lax.dot_general(
+                    onehot, m, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (kp, s_l) exact integer counts
+
+            o0_ref[0, g] = level_counts(c0_ref[0, g])
+            for c_ref, o_ref, cap in upper:
+                o_ref[0, g] = jnp.zeros((kp, cap), jnp.float32)
+
+                @pl.when(c_ref[0, 0, 0, 0] >= 0)
+                def _(c_ref=c_ref, o_ref=o_ref):
+                    o_ref[0, g] = level_counts(c_ref[0, 0])
 
     return kernel
 
@@ -133,17 +163,17 @@ def tile_class_counts(
     """Per-tile per-level (class, slot) pixel counts.
 
     Args:
-        p2f_tiles: (nty0, ntx0x, th*tw) int32 tile-major pix2face (the raw
-            rasterizer tile layout; ntx0x >= ntx0 columns, extras ignored).
+        p2f_tiles: (nty0, th, ntx0x*tw) int32 row-image pix2face (the raw
+            rasterizer layout from ``return_tiles``; ntx0x >= ntx0 tile
+            columns, extras ignored).
         class_image: (H, W) int32 class labels (<0 = ignore).
-        cand: the four per-level candidate-id lists from binning
-            ((nty0*ntx0, s0), (T1, s1), (T2, s2), (1, s3)).
+        cand: the four per-level candidate-id lists from binning.
         config: RasterConfig (tile geometry + caps).
 
     Returns:
-        (out0, out1, out2, out3, kp): per-level f32 count arrays
-        out0/out1/... of shape (nty0g, ntx0g, kp, s_l) where the L0 grid is
-        padded to the L1 grid times its scale, plus the padded class count.
+        ((out0..out3), kp): per-level f32 count arrays, each
+        (nty0g, ntx0g, kp, caps[l]) with the L0 grid padded to the L1 grid
+        times its scale, plus the padded class count kp.
     """
     th, tw = config.tile_h, config.tile_w
     grids = config.grids(image_h, image_w)
@@ -153,34 +183,32 @@ def tile_class_counts(
     # pad the L0 grid so child->parent reductions are pure reshapes
     nty0g = nty1 * s1_sc
     ntx0g = ntx1 * s1_sc
-    npix = th * tw
     kp = _round_up(max(n_classes, 1), 16)
 
-    # tile-major pix2face, padded with background; pixels beyond the true
-    # image extent (partial edge tiles) are masked out
-    p2f = jnp.full((nty0g, ntx0g, npix), -1, jnp.int32)
-    p2f = p2f.at[:nty0, :ntx0].set(p2f_tiles[:, :ntx0].astype(jnp.int32))
+    # row-image pix2face padded with background; pixels beyond the true
+    # image extent (partial edge tiles) are masked out.  Only
+    # reshape/pad/where ops touch it (docs/DESIGN.md Mosaic hazard).
+    wx = min(p2f_tiles.shape[2], ntx0g * tw)
+    p2f = jnp.full((nty0g, th, ntx0g * tw), -1, jnp.int32)
+    p2f = p2f.at[:nty0, :, :wx].set(p2f_tiles[:, :, :wx].astype(jnp.int32))
     ty = jnp.arange(nty0g, dtype=jnp.int32)[:, None, None]
-    tx = jnp.arange(ntx0g, dtype=jnp.int32)[None, :, None]
-    pix = jnp.arange(npix, dtype=jnp.int32)[None, None, :]
-    in_bounds = (ty * th + pix // tw < image_h) & (tx * tw + pix % tw < image_w)
+    ry = jnp.arange(th, dtype=jnp.int32)[None, :, None]
+    cx = jnp.arange(ntx0g * tw, dtype=jnp.int32)[None, None, :]
+    in_bounds = (ty * th + ry < image_h) & (cx < image_w)
     p2f = jnp.where(in_bounds, p2f, -1)
 
+    # the row-image layout IS the padded image grouped by th rows
     cls_pad = jnp.full((nty0g * th, ntx0g * tw), -1, jnp.int32)
     cls_pad = cls_pad.at[:image_h, :image_w].set(
         class_image.astype(jnp.int32)[:image_h, :image_w]
     )
-    cls_tiles = (
-        cls_pad.reshape(nty0g, th, ntx0g, tw)
-        .transpose(0, 2, 1, 3)
-        .reshape(nty0g, ntx0g, npix)
-    )
+    cls_rows = cls_pad.reshape(nty0g, th, ntx0g * tw)
 
     # candidate lists: empty (-1) -> -2 so background pixels never match
-    c0 = jnp.full((nty0g, ntx0g, config.caps[0]), _EMPTY_ID, jnp.int32)
+    c0 = jnp.full((nty0g, ntx0g, 1, config.caps[0]), _EMPTY_ID, jnp.int32)
     c0 = c0.at[:nty0, :ntx0].set(
         jnp.where(cand[0] >= 0, cand[0], _EMPTY_ID).reshape(
-            nty0, ntx0, config.caps[0]
+            nty0, ntx0, 1, config.caps[0]
         )
     )
     c1 = jnp.where(cand[1] >= 0, cand[1], _EMPTY_ID).reshape(
@@ -193,15 +221,9 @@ def tile_class_counts(
         1, 1, 1, config.caps[3]
     )
 
-    kernel = _stage1_kernel(kp, config.caps, ntx0g, s1_sc, s2_sc)
+    gx = min(4, s1_sc)
+    kernel = _stage1_kernel(kp, config.caps, gx)
     specs = dict(memory_space=pltpu.VMEM)
-
-    # Grid = one step per row of L0 tiles; every block spans its full row.
-    # Inputs carry a dummy axis so in-kernel dynamic tile indices stay on
-    # leading (untiled) dims and trailing block dims equal the array dims
-    # (Mosaic tiling rule).
-    def row4(a):
-        return a.reshape(a.shape[0], a.shape[1], 1, a.shape[2])
 
     out_shapes = [
         jax.ShapeDtypeStruct((nty0g, ntx0g, kp, config.caps[l]), jnp.float32)
@@ -209,42 +231,46 @@ def tile_class_counts(
     ]
     out_specs = [
         pl.BlockSpec(
-            (1, ntx0g, kp, config.caps[l]), lambda i: (i, 0, 0, 0), **specs
+            (1, gx, kp, config.caps[l]), lambda i, j: (i, j, 0, 0), **specs
         )
         for l in range(4)
     ]
-    # barrier: see pallas_raster.raster_tiles_pallas — operands produced
-    # inside the same jit must be materialized before a Mosaic call
-    p2f, cls_tiles, c0, c1, c2, c3 = jax.lax.optimization_barrier(
-        (row4(p2f), row4(cls_tiles), row4(c0), c1, c2, c3)
+    # barriers on operands and results: see pallas_raster + DESIGN.md
+    p2f, cls_rows, c0, c1, c2, c3 = jax.lax.optimization_barrier(
+        (p2f, cls_rows, c0, c1, c2, c3)
     )
     outs = pl.pallas_call(
         kernel,
-        grid=(nty0g,),
+        grid=(nty0g, ntx0g // gx),
         in_specs=[
-            pl.BlockSpec((1, ntx0g, 1, npix), lambda i: (i, 0, 0, 0), **specs),
-            pl.BlockSpec((1, ntx0g, 1, npix), lambda i: (i, 0, 0, 0), **specs),
+            pl.BlockSpec((1, th, gx * tw), lambda i, j: (i, 0, j), **specs),
+            pl.BlockSpec((1, th, gx * tw), lambda i, j: (i, 0, j), **specs),
             pl.BlockSpec(
-                (1, ntx0g, 1, config.caps[0]), lambda i: (i, 0, 0, 0), **specs
-            ),
-            pl.BlockSpec(
-                (1, ntx1, 1, config.caps[1]),
-                lambda i: (i // s1_sc, 0, 0, 0),
+                (1, gx, 1, config.caps[0]),
+                lambda i, j: (i, j, 0, 0),
                 **specs,
             ),
             pl.BlockSpec(
-                (1, ntx2, 1, config.caps[2]),
-                lambda i: (i // s2_sc, 0, 0, 0),
+                (1, 1, 1, config.caps[1]),
+                lambda i, j: (i // s1_sc, (j * gx) // s1_sc, 0, 0),
                 **specs,
             ),
             pl.BlockSpec(
-                (1, 1, 1, config.caps[3]), lambda i: (0, 0, 0, 0), **specs
+                (1, 1, 1, config.caps[2]),
+                lambda i, j: (i // s2_sc, (j * gx) // s2_sc, 0, 0),
+                **specs,
+            ),
+            pl.BlockSpec(
+                (1, 1, 1, config.caps[3]),
+                lambda i, j: (0, 0, 0, 0),
+                **specs,
             ),
         ],
         out_shape=out_shapes,
         out_specs=out_specs,
         interpret=_interpret(),
-    )(p2f, cls_tiles, c0, c1, c2, c3)
+    )(p2f, cls_rows, c0, c1, c2, c3)
+    outs = jax.lax.optimization_barrier(tuple(outs))
     return outs, kp
 
 
@@ -254,126 +280,183 @@ def tile_class_counts(
 
 
 class _Windows(NamedTuple):
-    order: jax.Array  # (T,) tiles sorted by min candidate id
-    win_start: jax.Array  # (NB,)
+    table: jax.Array  # (NB, w_cap) tile indices intersecting each block
     win_len: jax.Array  # (NB,)
+    overflow: jax.Array  # () tiles dropped by w_cap (0 when sized right)
 
 
-def _block_windows(tmin: jax.Array, tmax: jax.Array, n_blocks: int, block: int):
-    """Per face-block window [start, start+len) into the tmin-sorted tiles
-    that can intersect the block (two tiny searchsorteds)."""
+def _block_windows(
+    tmin: jax.Array,
+    tmax: jax.Array,
+    n_blocks: int,
+    block: int,
+    w_cap: int,
+    span_cap: int = 512,
+):
+    """EXACT per-face-block tile tables.
+
+    Tiles sorted by min id; each block's candidates live in the contiguous
+    tmin-span [b0 - maxrange, b0 + block), which is filtered by
+    tmax >= b0 and compacted to at most ``w_cap`` entries per block
+    (vmapped sort of a fixed ``span_cap`` slice).
+    """
+    t = tmin.shape[0]
     order = jnp.argsort(tmin).astype(jnp.int32)
     tmin_sorted = tmin[order]
+    tmax_sorted = tmax[order]
     valid = tmax >= 0
     maxrange = jnp.max(jnp.where(valid, tmax - tmin, 0))
     b0 = jnp.arange(n_blocks, dtype=jnp.int32) * block
-    hi = jnp.searchsorted(tmin_sorted, b0 + block, side="left")
-    lo = jnp.searchsorted(tmin_sorted, b0 - maxrange, side="left")
+    hi = jnp.searchsorted(tmin_sorted, b0 + block, side="left").astype(
+        jnp.int32
+    )
+    lo = jnp.searchsorted(tmin_sorted, b0 - maxrange, side="left").astype(
+        jnp.int32
+    )
+
+    span = jnp.arange(span_cap, dtype=jnp.int32)
+
+    def one_block(lo_b, hi_b, b0_b):
+        idx = jnp.minimum(lo_b + span, t - 1)
+        in_span = lo_b + span < hi_b
+        ok = in_span & (tmax_sorted[idx] >= b0_b)
+        key = jnp.where(ok, span, span_cap)
+        topk = jnp.sort(key)[:w_cap]
+        entries = order[
+            jnp.minimum(lo_b + jnp.minimum(topk, span_cap - 1), t - 1)
+        ]
+        n_ok = jnp.sum(ok)
+        over = jnp.maximum(n_ok - w_cap, 0) + jnp.maximum(
+            hi_b - lo_b - span_cap, 0
+        )
+        return (
+            jnp.where(topk < span_cap, entries, 0),
+            jnp.minimum(n_ok, w_cap).astype(jnp.int32),
+            over,
+        )
+
+    table, lens, over = jax.vmap(one_block)(lo, hi, b0)
     return _Windows(
-        order=order,
-        win_start=lo.astype(jnp.int32),
-        win_len=(hi - lo).astype(jnp.int32),
+        table=table, win_len=lens, overflow=jnp.sum(over).astype(jnp.int32)
     )
 
 
-def _stage2_kernel(block: int, kp: int, s: int, n_slots: int):
-    """Grid over face blocks; each step accumulates its window of tiles.
+def _stage2_kernel(block: int, kp: int, s: int, w_cap: int, planes: int):
+    """Grid over face blocks; each step folds its window of tiles into the
+    block's dense slice.
 
-    DMAs for (counts, ids) are issued ``n_slots`` iterations ahead so HBM
-    latency hides behind the matmuls.  A tile whose id band misses the
-    block still flows through (its match matrix is all zero), keeping the
-    DMA pipeline branch-free.
+    The whole window's (counts, ids) DMAs are issued up front (window-deep
+    scratch), so HBM latency amortizes across the window instead of
+    serializing per tile; consumption then overlaps the in-flight tail.
+    Counts ride the MXU as ``planes`` exact base-128 bf16 digit planes.
     """
 
-    def kernel(order_ref, ws_ref, wl_ref, cnt_hbm, ids_hbm, out_ref,
-               cnt_buf, ids_buf, sems):
+    def kernel(table_ref, wl_ref, cnt_hbm, ids_hbm, out_ref,
+               cnt_buf, ids_buf, acc_ref, sems):
         b = pl.program_id(0)
-        b0 = (b * block).astype(jnp.float32)
         wl = wl_ref[b]
-        ws = ws_ref[b]
-
         blk = (
             jax.lax.broadcasted_iota(jnp.int32, (1, block), 1).astype(
                 jnp.float32
             )
-            + b0
+            + (b * block).astype(jnp.float32)
         )
-        lhs = jnp.concatenate([blk, jnp.ones_like(blk)], axis=0)  # (2, block)
+        lhs = _match_rows(blk)  # (6, block)
 
-        def dmas(w, slot):
-            t = order_ref[ws + w]
+        def dmas(w):
+            t = table_ref[b, w]
             return (
                 pltpu.make_async_copy(
-                    cnt_hbm.at[t], cnt_buf.at[slot], sems.at[slot, 0]
+                    cnt_hbm.at[t], cnt_buf.at[w], sems.at[w, 0]
                 ),
                 pltpu.make_async_copy(
-                    ids_hbm.at[t], ids_buf.at[slot], sems.at[slot, 1]
+                    ids_hbm.at[t], ids_buf.at[w], sems.at[w, 1]
                 ),
             )
 
-        for k in range(n_slots):
-            @pl.when(k < wl)
-            def _():
-                for dma in dmas(k, k):
-                    dma.start()
+        def issue(w, z):
+            for dma in dmas(w):
+                dma.start()
+            return z
 
-        def body(w, acc):
-            slot = jax.lax.rem(w, n_slots)
-            for dma in dmas(w, slot):
+        jax.lax.fori_loop(0, wl, issue, 0)
+        acc_ref[...] = jnp.zeros((block, kp), jnp.float32)
+
+        # Small (BB, SP) match pieces keep the difference matrix out of
+        # VMEM round-trips (the full (block, s) materialization was the
+        # measured bottleneck); slot pieces whose sorted-id band misses
+        # the block are skipped.
+        bb_sz = min(512, block)
+        sp_sz = min(128, s)
+        b0i = b * block
+        dims = (((1,), (1,)), ((), ()))
+
+        def consume(w, z):
+            for dma in dmas(w):
                 dma.wait()
-            ids = ids_buf[slot].astype(jnp.float32)  # (1, s)
-            cnt = cnt_buf[slot]  # (kp, s)
+            ids_row = ids_buf[w]  # (1, s) int32
+            for sp in range(s // sp_sz):
+                piece = ids_row[:, sp * sp_sz:(sp + 1) * sp_sz]
+                hit = jnp.any((piece >= b0i) & (piece < b0i + block))
 
-            rhs = jnp.concatenate([jnp.ones_like(ids), -ids], axis=0)
-            d = jax.lax.dot_general(
-                lhs, rhs, (((0,), (0,)), ((), ())),
-                precision=HIGHEST, preferred_element_type=jnp.float32,
-            )  # (block, s): face - id
-            m = (jnp.abs(d) < 0.5).astype(jnp.bfloat16)
-            # exact bf16 split: c = 128q + r with q <= 128, r <= 127
-            q = jnp.floor(cnt * (1.0 / 128.0))
-            r = (cnt - 128.0 * q).astype(jnp.bfloat16)
-            q = q.astype(jnp.bfloat16)
-            dims = (((1,), (1,)), ((), ()))
-            acc = (
-                acc
-                + 128.0
-                * jax.lax.dot_general(
-                    m, q, dims, preferred_element_type=jnp.float32
-                )
-                + jax.lax.dot_general(
-                    m, r, dims, preferred_element_type=jnp.float32
-                )
-            )
+                @pl.when(hit)
+                def _(sp=sp, piece=piece):
+                    rhs = _match_cols(piece.astype(jnp.float32))  # (6, SP)
+                    cnt = cnt_buf[w, :, sp * sp_sz:(sp + 1) * sp_sz]
+                    qs = []
+                    c = cnt
+                    for j in range(planes):
+                        if j + 1 < planes:
+                            hi_q = jnp.floor(c * (1.0 / 128.0))
+                            qs.append((c - 128.0 * hi_q).astype(jnp.bfloat16))
+                            c = hi_q
+                        else:
+                            qs.append(c.astype(jnp.bfloat16))
+                    for bb in range(block // bb_sz):
+                        d = jax.lax.dot_general(
+                            lhs[:, bb * bb_sz:(bb + 1) * bb_sz], rhs,
+                            _DIFF_DIMS,
+                            preferred_element_type=jnp.float32,
+                        )  # (BB, SP) = face - id, exact f32 accumulation
+                        m = (jnp.abs(d) < 0.5).astype(jnp.bfloat16)
+                        add = jnp.zeros((bb_sz, kp), jnp.float32)
+                        for j, q in enumerate(qs):
+                            add = add + float(128**j) * jax.lax.dot_general(
+                                m, q, dims,
+                                preferred_element_type=jnp.float32,
+                            )
+                        acc_ref[bb * bb_sz:(bb + 1) * bb_sz] += add
+            return z
 
-            @pl.when(w + n_slots < wl)
-            def _():
-                for dma in dmas(w + n_slots, slot):
-                    dma.start()
-
-            return acc
-
-        out_ref[0] = jax.lax.fori_loop(
-            0, wl, body, jnp.zeros((block, kp), jnp.float32)
-        )
+        jax.lax.fori_loop(0, wl, consume, 0)
+        out_ref[0] = acc_ref[...]
 
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("n_faces", "block", "n_slots"))
+@functools.partial(
+    jax.jit, static_argnames=("n_faces", "block", "planes", "w_cap")
+)
 def face_counts_from_tiles(
     counts: jax.Array,
     ids: jax.Array,
     n_faces: int,
     block: int = 1024,
-    n_slots: int = 4,
+    planes: int = 2,
+    w_cap: int = 96,
 ) -> jax.Array:
     """Dense (n_faces_padded, kp) face-class counts from per-tile counts.
 
     Args:
-        counts: (T, kp, S) f32 per-tile per-slot class counts
-            (values must be < 16513 so the bf16 q/r split stays exact).
+        counts: (T, kp, S) f32 per-tile per-slot class counts; values must
+            be < 128**(planes-1) * 129 for the bf16 digit planes to stay
+            exact (planes=2 -> 16512, planes=4 -> any count < 2^24).
         ids: (T, S) int32 slot face ids (< 0 = empty slot).
+        w_cap: max tiles whose id band can overlap one face block; windows
+            beyond it are truncated (counted in _Windows.overflow — size it
+            generously, DMA for unused entries is skipped via win_len...
+            entries are also id-masked so truncation never corrupts, only
+            drops).
 
     Returns (NB*block, kp) f32 with NB = ceil(n_faces / block).
     """
@@ -382,11 +465,12 @@ def face_counts_from_tiles(
     valid = ids >= 0
     tmin = jnp.min(jnp.where(valid, ids, _BIG), axis=1).astype(jnp.int32)
     tmax = jnp.max(jnp.where(valid, ids, -1), axis=1).astype(jnp.int32)
-    win = _block_windows(tmin, tmax, nb, block)
+    w_cap = min(_round_up(max(w_cap, 1), 8), _round_up(max(t, 8), 8))
+    win = _block_windows(tmin, tmax, nb, block, w_cap)
 
-    kernel = _stage2_kernel(block, kp, s, n_slots)
+    kernel = _stage2_kernel(block, kp, s, w_cap, planes)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=2,
         grid=(nb,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
@@ -396,14 +480,14 @@ def face_counts_from_tiles(
             (1, block, kp), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((n_slots, kp, s), jnp.float32),
-            pltpu.VMEM((n_slots, 1, s), jnp.int32),
-            pltpu.SemaphoreType.DMA((n_slots, 2)),
+            pltpu.VMEM((w_cap, kp, s), jnp.float32),
+            pltpu.VMEM((w_cap, 1, s), jnp.int32),
+            pltpu.VMEM((block, kp), jnp.float32),
+            pltpu.SemaphoreType.DMA((w_cap, 2)),
         ],
     )
-    # barrier: see pallas_raster.raster_tiles_pallas
     operands = jax.lax.optimization_barrier(
-        (win.order, win.win_start, win.win_len, counts, ids.reshape(t, 1, s))
+        (win.table, win.win_len, counts, ids.reshape(t, 1, s))
     )
     out = pl.pallas_call(
         kernel,
@@ -411,6 +495,7 @@ def face_counts_from_tiles(
         out_shape=jax.ShapeDtypeStruct((nb, block, kp), jnp.float32),
         interpret=_interpret(),
     )(*operands)
+    out = jax.lax.optimization_barrier(out)
     return out.reshape(nb * block, kp)
 
 
@@ -444,8 +529,8 @@ def project_image_class_counts_tiled(
     """Per-face per-class pixel counts, scatter-free (see module docstring).
 
     Drop-in numerical equal of
-    :func:`geograypher_tpu.ops.aggregate.project_image_class_counts`, taking
-    the rasterizer's tile-major pix2face plus its binning lists.
+    :func:`geograypher_tpu.ops.aggregate.project_image_class_counts`,
+    taking the rasterizer's row-image pix2face plus its binning lists.
 
     Returns (n_faces, n_classes) float32 counts.
     """
@@ -475,7 +560,7 @@ def project_image_class_counts_tiled(
     )
 
     # L1: sum each parent's children first (counts <= 16*1024 stay exact
-    # through the kernel's q/r split), then the same face-block kernel
+    # through the kernel's 2-plane split), then the same kernel
     c1 = _child_sum(o1, s1_sc, s1_sc)  # (nty1p, ntx1p, kp, s1)
     nty1p, ntx1p = c1.shape[:2]
     ids1 = binned.cand[1].reshape(nty1, ntx1, -1)
@@ -490,7 +575,7 @@ def project_image_class_counts_tiled(
         n_faces=n_faces,
     )
 
-    # L2 + global: a few hundred slots -> one tiny segment sum
+    # L2: 3 digit planes (counts <= 256*1024)
     c2 = jnp.pad(
         o2,
         (
@@ -501,24 +586,19 @@ def project_image_class_counts_tiled(
         ),
     )
     c2 = _child_sum(c2, s2_sc, s2_sc)  # (nty2, ntx2, kp, s2)
+    dense = dense + face_counts_from_tiles(
+        c2.reshape(nty2 * ntx2, kp, config.caps[2]),
+        binned.cand[2].reshape(nty2 * ntx2, -1),
+        n_faces=n_faces,
+        planes=3,
+    )
+
+    # global list: one "tile" whose counts sum the whole image (< 2^24)
     c3 = o3.sum(axis=(0, 1))  # (kp, s3)
-
-    small_vals = jnp.concatenate(
-        [
-            c2.transpose(0, 1, 3, 2).reshape(-1, kp),
-            c3.transpose(1, 0).reshape(-1, kp),
-        ],
-        axis=0,
-    )
-    small_ids = jnp.concatenate(
-        [binned.cand[2].reshape(-1), binned.cand[3].reshape(-1)]
-    )
-    seg = jnp.where(small_ids >= 0, small_ids, n_faces)
-    small = jax.ops.segment_sum(
-        small_vals, seg, num_segments=_round_up(n_faces, 1024) + 1
-    )[:-1]
-
-    dense = dense + jnp.pad(
-        small, ((0, dense.shape[0] - small.shape[0]), (0, 0))
+    dense = dense + face_counts_from_tiles(
+        c3.reshape(1, kp, config.caps[3]),
+        binned.cand[3].reshape(1, -1),
+        n_faces=n_faces,
+        planes=4,
     )
     return dense[:n_faces, :n_classes]

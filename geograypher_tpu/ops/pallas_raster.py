@@ -264,8 +264,11 @@ def _make_kernel(tile_h: int, tile_w: int, grids, scales, pair: int, ntx0p: int)
             carry = level(s1, pmat_global, c1, parent_idx[0], carry)
             carry = level(s2, pmat_global, c2, parent_idx[1], carry)
             carry = level(s3, pmat_global, c3, parent_idx[2], carry)
-            out_ref[0, sub] = carry[1].astype(jnp.int32).reshape(
-                tile_h, tile_w
+            # write into the IMAGE layout (rows of tiles side by side) so
+            # the caller needs only reshapes, never a transpose, on the
+            # custom-call result (see DESIGN.md Mosaic fusion hazard)
+            out_ref[0, :, sub * tile_w:(sub + 1) * tile_w] = (
+                carry[1].astype(jnp.int32).reshape(tile_h, tile_w)
             )
 
     return kernel
@@ -360,8 +363,8 @@ def raster_tiles_pallas(
         grid=(nty0, ntx0p // pair),
         in_specs=[slab_spec(lvl) for lvl in range(4)],
         out_specs=pl.BlockSpec(
-            (1, pair, th, tw),
-            lambda i, j, *_: (i, j, 0, 0),
+            (1, th, pair * tw),
+            lambda i, j, *_: (i, 0, j),
             memory_space=pltpu.VMEM,
         ),
     )
@@ -382,13 +385,13 @@ def raster_tiles_pallas(
     )
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((nty0, ntx0p, th, tw), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((nty0, th, ntx0p * tw), jnp.int32),
         grid_spec=grid_spec,
         interpret=jax.default_backend() == "cpu",
     )(*operands)
 
+    out = jax.lax.optimization_barrier(out)
     if return_tiles:
-        # (nty0, ntx0p, th*tw) tile-major layout, as fed to agg_tiled
-        return out.reshape(nty0, ntx0p, th * tw)
-    img = out.transpose(0, 2, 1, 3).reshape(nty0 * th, ntx0p * tw)
-    return img[:image_h, :image_w]
+        # (nty0, th, ntx0p*tw) row-image layout, as fed to agg_tiled
+        return out
+    return out.reshape(nty0 * th, ntx0p * tw)[:image_h, :image_w]

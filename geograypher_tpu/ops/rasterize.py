@@ -393,7 +393,12 @@ def _raster_tiles_xla(
         step, init, cand.reshape(n_tiles, n_chunks, chunk).transpose(1, 0, 2)
     )
     if return_tiles:
-        return best_face.reshape(nty, ntx, th * tw)
+        # same (nty, th, ntx*tw) row-image layout as the pallas backend
+        return (
+            best_face.reshape(nty, ntx, th, tw)
+            .transpose(0, 2, 1, 3)
+            .reshape(nty, th, ntx * tw)
+        )
     face_img = best_face.reshape(nty, ntx, th, tw).transpose(0, 2, 1, 3)
     face_img = face_img.reshape(nty * th, ntx * tw)
     return face_img[:image_h, :image_w]
@@ -409,8 +414,9 @@ def rasterize_setup(
     """Bin + rasterize prepared triangles -> (pix2face, diagnostics).
 
     With ``return_tiles`` the pix2face comes back in the rasterizer's
-    native tile-major layout ``(nty0, ntx0x, tile_h*tile_w)`` (no image
-    reshape), which feeds :mod:`geograypher_tpu.ops.agg_tiled` directly.
+    native row-image layout ``(nty0, tile_h, ntx0x*tile_w)`` (rows of
+    tiles side by side; reshape-only from the kernel output), which feeds
+    :mod:`geograypher_tpu.ops.agg_tiled` directly.
     """
     binned = bin_triangles(setup, config, image_h, image_w)
     if config.backend == "pallas":

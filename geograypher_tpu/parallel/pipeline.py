@@ -165,7 +165,9 @@ def aggregate_class_images_distributed(
                 jnp.zeros((n_faces, n_classes), jnp.float32),
                 jnp.zeros((n_faces,), jnp.float32),
             )
-            (fracs, views), _ = jax.lax.scan(
+            from geograypher_tpu.parallel.sharding import unrolled_view_scan
+
+            (fracs, views), _ = unrolled_view_scan(
                 one, init, (w2c_b, f_b, valid_b, imgs_b, midx_b)
             )
             return (

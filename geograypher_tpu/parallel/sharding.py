@@ -110,7 +110,7 @@ def sharded_render_aggregate(
             return accumulate_view(state, sums, counts), None
 
         state = init_aggregation(n_faces, face_texture.shape[1])
-        state, _ = jax.lax.scan(
+        state, _ = unrolled_view_scan(
             state_scan_fix(per_view), state, (w2c_shard, f_shard, valid_shard)
         )
         value_sum = jax.lax.psum(state.value_sum, VIEW_AXIS)
@@ -133,6 +133,22 @@ def state_scan_fix(fn):
         return fn(carry, x)
 
     return wrapped
+
+
+def unrolled_view_scan(f, init, xs):
+    """``lax.scan`` stand-in, python-unrolled over the leading axis.
+
+    Mosaic (pallas) kernels inside a ``lax.scan`` body yield corrupted
+    large per-iteration outputs on the current TPU runtime (measured;
+    docs/DESIGN.md "Mosaic operand-fusion hazard") while the identical
+    unrolled program is correct.  Per-device view loops are short, so
+    unrolling costs only compile time.
+    """
+    n = jax.tree_util.tree_leaves(xs)[0].shape[0]
+    carry = init
+    for i in range(n):
+        carry, _ = f(carry, jax.tree_util.tree_map(lambda a: a[i], xs))
+    return carry, None
 
 
 def shard_views_for_mesh(
