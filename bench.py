@@ -71,8 +71,11 @@ def main():
     fl = jnp.float32(focal)
     labels = jnp.asarray(rng.integers(0, n_classes, (H, W)), jnp.int32)
 
-    # All views inside one dispatch (lax.map) — amortizes the host->device
-    # dispatch latency (~6 ms/view through this runtime).
+    # All views inside one dispatch — amortizes the host->device dispatch
+    # latency (~6 ms/view through this runtime).  The view loop is
+    # python-unrolled, NOT lax.scan: Mosaic kernels inside a scan body
+    # yield corrupted (empty) outputs on the current TPU runtime
+    # (docs/DESIGN.md "Mosaic operand-fusion hazard").
     @jax.jit
     def all_views(tri, w2cs_, labels):
         def one(w2c_k):
@@ -84,12 +87,9 @@ def main():
                 p2f, labels, n_faces=n_faces, n_classes=n_classes
             )
 
-        def step(acc, w2c_k):
-            return acc + one(w2c_k), None
-
-        acc, _ = jax.lax.scan(
-            step, jnp.zeros((n_faces, n_classes), jnp.float32), w2cs_
-        )
+        acc = jnp.zeros((n_faces, n_classes), jnp.float32)
+        for k in range(n_views):
+            acc = acc + one(w2cs_[k])
         return acc
 
     # compile + warm up — and refuse to time a silently-empty pipeline
