@@ -200,7 +200,7 @@ class TexturedMesh:
         return hasher.hexdigest()
 
     def spatial_sort_faces(self) -> np.ndarray:
-        """Reorder faces by the Morton code of their ground-plane centroid.
+        """Reorder faces along a Hilbert curve over ground-plane centroids.
 
         Spatially coherent face ids make each raster tile's candidate list
         a narrow id band, which the scatter-free aggregation
@@ -212,24 +212,15 @@ class TexturedMesh:
 
         Returns the permutation applied (new_order[i] = old face index).
         """
+        from geograypher_tpu.utils.numeric import hilbert_argsort_2d
+
         try:
             crs = self.get_working_projected_CRS()
             verts2d = self.get_vertices_in_CRS(crs)[:, :2]
         except ValueError:
             verts2d = self.verts[:, :2]
         cent = verts2d[self.faces].mean(axis=1)
-        lo = cent.min(axis=0)
-        span = np.maximum(cent.max(axis=0) - lo, 1e-9)
-        q = ((cent - lo) / span * 65535.0).astype(np.uint64)
-
-        def spread(v):  # interleave zeros between the 16 bits
-            v = (v | (v << 8)) & 0x00FF00FF
-            v = (v | (v << 4)) & 0x0F0F0F0F
-            v = (v | (v << 2)) & 0x33333333
-            return (v | (v << 1)) & 0x55555555
-
-        code = spread(q[:, 0]) | (spread(q[:, 1]) << 1)
-        order = np.argsort(code, kind="stable")
+        order = hilbert_argsort_2d(cent)
         self.faces = self.faces[order]
         if self.face_texture is not None:
             self.face_texture = self.face_texture[order]

@@ -384,9 +384,13 @@ def _stage2_kernel(block: int, kp: int, s: int, w_cap: int, planes: int):
 
         # Small (BB, SP) match pieces keep the difference matrix out of
         # VMEM round-trips (the full (block, s) materialization was the
-        # measured bottleneck); slot pieces whose sorted-id band misses
-        # the block are skipped.
-        bb_sz = min(512, block)
+        # measured bottleneck).  Slots are id-sorted (binning stable
+        # sort), so each slot piece spans a narrow id band: pieces whose
+        # band misses the block — and face sub-blocks outside a hit
+        # piece's band — are skipped entirely.  With a Hilbert/Morton
+        # face order the band is O(slots), making the match work nearly
+        # proportional to the true (face, tile) incidence count.
+        bb_sz = min(256, block)
         sp_sz = min(128, s)
         b0i = b * block
         dims = (((1,), (1,)), ((), ()))
@@ -397,10 +401,13 @@ def _stage2_kernel(block: int, kp: int, s: int, w_cap: int, planes: int):
             ids_row = ids_buf[w]  # (1, s) int32
             for sp in range(s // sp_sz):
                 piece = ids_row[:, sp * sp_sz:(sp + 1) * sp_sz]
-                hit = jnp.any((piece >= b0i) & (piece < b0i + block))
+                valid_p = piece >= 0
+                pmin = jnp.min(jnp.where(valid_p, piece, _BIG))
+                pmax = jnp.max(piece)  # empty slots are negative
+                hit = (pmax >= b0i) & (pmin < b0i + block)
 
                 @pl.when(hit)
-                def _(sp=sp, piece=piece):
+                def _(sp=sp, piece=piece, pmin=pmin, pmax=pmax):
                     rhs = _match_cols(piece.astype(jnp.float32))  # (6, SP)
                     cnt = cnt_buf[w, :, sp * sp_sz:(sp + 1) * sp_sz]
                     qs = []
@@ -413,19 +420,28 @@ def _stage2_kernel(block: int, kp: int, s: int, w_cap: int, planes: int):
                         else:
                             qs.append(c.astype(jnp.bfloat16))
                     for bb in range(block // bb_sz):
-                        d = jax.lax.dot_general(
-                            lhs[:, bb * bb_sz:(bb + 1) * bb_sz], rhs,
-                            _DIFF_DIMS,
-                            preferred_element_type=jnp.float32,
-                        )  # (BB, SP) = face - id, exact f32 accumulation
-                        m = (jnp.abs(d) < 0.5).astype(jnp.bfloat16)
-                        add = jnp.zeros((bb_sz, kp), jnp.float32)
-                        for j, q in enumerate(qs):
-                            add = add + float(128**j) * jax.lax.dot_general(
-                                m, q, dims,
+                        lo = b0i + bb * bb_sz
+                        hit_bb = (pmax >= lo) & (pmin < lo + bb_sz)
+
+                        @pl.when(hit_bb)
+                        def _(bb=bb, rhs=rhs, qs=qs):
+                            d = jax.lax.dot_general(
+                                lhs[:, bb * bb_sz:(bb + 1) * bb_sz], rhs,
+                                _DIFF_DIMS,
                                 preferred_element_type=jnp.float32,
-                            )
-                        acc_ref[bb * bb_sz:(bb + 1) * bb_sz] += add
+                            )  # (BB, SP) = face - id, exact f32
+                            m = (jnp.abs(d) < 0.5).astype(jnp.bfloat16)
+                            add = jnp.zeros((bb_sz, kp), jnp.float32)
+                            for j, q in enumerate(qs):
+                                add = add + float(
+                                    128**j
+                                ) * jax.lax.dot_general(
+                                    m, q, dims,
+                                    preferred_element_type=jnp.float32,
+                                )
+                            acc_ref[
+                                bb * bb_sz:(bb + 1) * bb_sz
+                            ] += add
             return z
 
         jax.lax.fori_loop(0, wl, consume, 0)

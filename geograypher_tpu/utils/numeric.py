@@ -116,6 +116,44 @@ def format_graph_edges(
     ]
 
 
+def hilbert_argsort_2d(points: np.ndarray, bits: int = 16) -> np.ndarray:
+    """Order that sorts 2D points along a Hilbert curve.
+
+    Spatially coherent orderings make every raster tile's candidate face
+    ids a narrow band, which the scatter-free aggregation
+    (ops/agg_tiled.py) and the rasterizer's windowed folds exploit.  The
+    Hilbert curve bounds the id band of a w x h query box by O(w * h)
+    with a small constant — unlike raw row-major order (band ~ h * row
+    stride) or Morton order (band ~ enclosing power-of-two square).
+
+    Args:
+        points: (N, 2) float coordinates (any units).
+        bits: quantization bits per axis.
+
+    Returns (N,) int64 argsort permutation.
+    """
+    lo = points.min(axis=0)
+    span = np.maximum(points.max(axis=0) - lo, 1e-12)
+    side = (1 << bits) - 1
+    q = ((points - lo) / span * side).astype(np.uint64)
+    x, y = q[:, 0].copy(), q[:, 1].copy()
+    d = np.zeros(len(points), np.uint64)
+    s = np.uint64(1) << np.uint64(bits - 1)
+    one = np.uint64(1)
+    while s > 0:
+        rx = ((x & s) > 0).astype(np.uint64)
+        ry = ((y & s) > 0).astype(np.uint64)
+        d += s * s * ((np.uint64(3) * rx) ^ ry)
+        # rotate quadrant so the curve stays continuous
+        flip = (ry == 0) & (rx == 1)
+        x = np.where(flip, s - one - x, x)
+        y = np.where(flip, s - one - y, y)
+        swap = ry == 0
+        x, y = np.where(swap, y, x), np.where(swap, x, y)
+        s >>= one
+    return np.argsort(d, kind="stable")
+
+
 def compute_3D_triangle_area_vectorized(
     corners: np.ndarray, return_z_proj_area: bool = True
 ):

@@ -141,3 +141,29 @@ def test_overlap_vector_and_raster(tmp_path):
     a0, a1 = fixed.geometries[0].area, fixed.geometries[1].area
     assert abs(a1 - 16) / 16 < 0.15  # small square intact
     assert a0 < 100  # big square lost the overlap
+
+
+def test_hilbert_argsort_locality():
+    """Hilbert order visits each point once and keeps a w x h box's index
+    band O(w * h) — far tighter than row-major order's band."""
+    from geograypher_tpu.utils.numeric import hilbert_argsort_2d
+
+    n = 64
+    yy, xx = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    pts = np.stack([xx.reshape(-1), yy.reshape(-1)], axis=1).astype(float)
+    order = hilbert_argsort_2d(pts)
+    assert sorted(order) == list(range(n * n))
+
+    # index of each point along the curve
+    rank = np.empty(n * n, np.int64)
+    rank[order] = np.arange(n * n)
+    # a wide, short query box (raster-tile shaped): 16 x 2 cells
+    box = (pts[:, 0] < 16) & (pts[:, 1] < 2)
+    band = rank[box].max() - rank[box].min()
+    # row-major band would be ~n * (h - 1) + w = 80; hilbert stays near
+    # the enclosing aligned square (16 x 16 = 256) at worst
+    assert band <= 3 * 16 * 16
+    # consecutive curve steps are unit neighbors on a grid
+    cent = pts[order]
+    step = np.linalg.norm(np.diff(cent, axis=0), axis=1)
+    assert np.max(step) <= np.sqrt(2) + 1e-9
