@@ -200,27 +200,38 @@ class TexturedMesh:
         return hasher.hexdigest()
 
     def spatial_sort_faces(self) -> np.ndarray:
-        """Reorder faces along a Hilbert curve over ground-plane centroids.
+        """Reorder faces in scanline (y-then-x) order over ground-plane
+        centroids.
 
         Spatially coherent face ids make each raster tile's candidate list
         a narrow id band, which the scatter-free aggregation
-        (ops/agg_tiled.py) exploits for compact face-block windows.  Mesh
-        files from photogrammetry pipelines usually have some locality
-        already; this makes it a guarantee.  Per-face textures are
-        permuted consistently; face INDICES visible to callers change
-        (the mesh hash changes with them, invalidating pix2face caches).
+        (ops/agg_tiled.py) exploits for compact face-block windows.  Raster
+        tiles are wide and short (128 x 8 px), so scanline order bounds
+        every tile's id band by ~(rows spanned) x (faces per row) —
+        UNIFORMLY, unlike Hilbert/Morton orders whose bands explode for
+        tiles straddling top-level curve boundaries (measured: mean band
+        28k/max 799k Hilbert vs mean 2.8k row-major on the 1M-face bench
+        mesh).  Per-face textures are permuted consistently; face INDICES
+        visible to callers change (the mesh hash changes with them,
+        invalidating pix2face caches).
 
         Returns the permutation applied (new_order[i] = old face index).
         """
-        from geograypher_tpu.utils.numeric import hilbert_argsort_2d
-
         try:
             crs = self.get_working_projected_CRS()
             verts2d = self.get_vertices_in_CRS(crs)[:, :2]
         except ValueError:
             verts2d = self.verts[:, :2]
         cent = verts2d[self.faces].mean(axis=1)
-        order = hilbert_argsort_2d(cent)
+        # quantize y to ~sqrt(F) scanlines, then sort (y_bin, x)
+        n_bins = max(int(np.sqrt(len(cent))), 1)
+        lo = cent.min(axis=0)
+        span = np.maximum(cent.max(axis=0) - lo, 1e-12)
+        y_bin = np.minimum(
+            ((cent[:, 1] - lo[1]) / span[1] * n_bins).astype(np.int64),
+            n_bins - 1,
+        )
+        order = np.lexsort((cent[:, 0], y_bin))
         self.faces = self.faces[order]
         if self.face_texture is not None:
             self.face_texture = self.face_texture[order]

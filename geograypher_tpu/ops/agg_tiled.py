@@ -528,13 +528,8 @@ def _child_sum(level_counts: jax.Array, scale_y: int, scale_x: int):
     ).sum(axis=(1, 3))
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("config", "image_h", "image_w", "n_faces", "n_classes"),
-)
-def project_image_class_counts_tiled(
-    p2f_tiles: jax.Array,
-    class_image: jax.Array,
+def fold_tile_counts(
+    outs,
     binned,
     config,
     image_h: int,
@@ -542,27 +537,29 @@ def project_image_class_counts_tiled(
     n_faces: int,
     n_classes: int,
 ) -> jax.Array:
-    """Per-face per-class pixel counts, scatter-free (see module docstring).
+    """Fold per-tile per-level (class, slot) counts into (F, C) counts.
 
-    Drop-in numerical equal of
-    :func:`geograypher_tpu.ops.aggregate.project_image_class_counts`,
-    taking the rasterizer's row-image pix2face plus its binning lists.
-
-    Returns (n_faces, n_classes) float32 counts.
+    ``outs`` are the four per-level count arrays, each
+    (ty, tx, kp, caps[l]) on ANY L0-grid padding (tile_class_counts emits
+    the L1-aligned grid; the fused rasterizer emits its pair-padded grid)
+    — extra tiles beyond the true grid must be all-zero.
     """
     grids = config.grids(image_h, image_w)
     (nty1, ntx1), (nty2, ntx2) = grids[1], grids[2]
     s1_sc, s2_sc = config.level_scales[1], config.level_scales[2]
+    o0, o1, o2, o3 = outs
+    kp = o0.shape[2]
+    nty0g, ntx0g = nty1 * s1_sc, ntx1 * s1_sc
 
-    (o0, o1, o2, o3), kp = tile_class_counts(
-        p2f_tiles, class_image, binned.cand, config, image_h, image_w,
-        n_classes,
-    )
-    nty0g, ntx0g = o0.shape[:2]
+    def pad_grid(o):
+        ty, tx = o.shape[:2]
+        return jnp.pad(
+            o, ((0, nty0g - ty), (0, ntx0g - tx), (0, 0), (0, 0))
+        )
 
     # L0: per-tile counts straight into the face-block kernel
     dense = face_counts_from_tiles(
-        o0.reshape(nty0g * ntx0g, kp, config.caps[0]),
+        pad_grid(o0).reshape(nty0g * ntx0g, kp, config.caps[0]),
         jnp.pad(
             binned.cand[0].reshape(grids[0][0], grids[0][1], -1),
             (
@@ -577,23 +574,16 @@ def project_image_class_counts_tiled(
 
     # L1: sum each parent's children first (counts <= 16*1024 stay exact
     # through the kernel's 2-plane split), then the same kernel
-    c1 = _child_sum(o1, s1_sc, s1_sc)  # (nty1p, ntx1p, kp, s1)
-    nty1p, ntx1p = c1.shape[:2]
-    ids1 = binned.cand[1].reshape(nty1, ntx1, -1)
-    ids1 = jnp.pad(
-        ids1,
-        ((0, nty1p - nty1), (0, ntx1p - ntx1), (0, 0)),
-        constant_values=-1,
-    )
+    c1 = _child_sum(pad_grid(o1), s1_sc, s1_sc)  # (nty1, ntx1, kp, s1)
     dense = dense + face_counts_from_tiles(
-        c1.reshape(nty1p * ntx1p, kp, config.caps[1]),
-        ids1.reshape(nty1p * ntx1p, -1),
+        c1.reshape(nty1 * ntx1, kp, config.caps[1]),
+        binned.cand[1].reshape(nty1 * ntx1, -1),
         n_faces=n_faces,
     )
 
     # L2: 3 digit planes (counts <= 256*1024)
     c2 = jnp.pad(
-        o2,
+        pad_grid(o2),
         (
             (0, nty2 * s2_sc - nty0g),
             (0, ntx2 * s2_sc - ntx0g),
@@ -618,3 +608,34 @@ def project_image_class_counts_tiled(
         planes=4,
     )
     return dense[:n_faces, :n_classes]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("config", "image_h", "image_w", "n_faces", "n_classes"),
+)
+def project_image_class_counts_tiled(
+    p2f_tiles: jax.Array,
+    class_image: jax.Array,
+    binned,
+    config,
+    image_h: int,
+    image_w: int,
+    n_faces: int,
+    n_classes: int,
+) -> jax.Array:
+    """Per-face per-class pixel counts, scatter-free (see module docstring).
+
+    Drop-in numerical equal of
+    :func:`geograypher_tpu.ops.aggregate.project_image_class_counts`,
+    taking the rasterizer's row-image pix2face plus its binning lists.
+
+    Returns (n_faces, n_classes) float32 counts.
+    """
+    outs, _kp = tile_class_counts(
+        p2f_tiles, class_image, binned.cand, config, image_h, image_w,
+        n_classes,
+    )
+    return fold_tile_counts(
+        outs, binned, config, image_h, image_w, n_faces, n_classes
+    )

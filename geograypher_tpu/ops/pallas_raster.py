@@ -81,11 +81,15 @@ def _prep_level_slab(
     nch = cp // CHUNK
 
     if tile_origin is None:
+        # empty slots carry id -2: they never win the resolve (their edge
+        # planes are the coverage-false sentinel), and -2 can never equal
+        # a face id OR the background value (-1) in the fused class-count
+        # match (raster_tiles_pallas(class_rows=...)).
         id_plane = jnp.stack(
             [
                 jnp.zeros_like(cand, jnp.float32),
                 jnp.zeros_like(cand, jnp.float32),
-                cand.astype(jnp.float32),
+                jnp.where(cand >= 0, cand, -2).astype(jnp.float32),
             ],
             axis=-1,
         )
@@ -101,7 +105,10 @@ def _prep_level_slab(
     pl4 = p.reshape(t, cp, 4, 3)
     a, b, cc = pl4[..., 0], pl4[..., 1], pl4[..., 2]  # (T, Cp, 4)
     c_local = a * x0[:, None, None] + b * y0[:, None, None] + cc
-    ids = jnp.maximum(cand, 0)
+    # empty slots get digit id 2^24-1: never wins the resolve (sentinel
+    # edge planes) and never matches a real face or the -1 background in
+    # the fused class-count match
+    ids = jnp.where(cand >= 0, cand, (1 << 24) - 1)
     d0 = (ids % 256).astype(jnp.float32)
     d1 = ((ids // 256) % 256).astype(jnp.float32)
     d2 = (ids // 65536).astype(jnp.float32)
@@ -131,16 +138,38 @@ def _prep_level_slab(
     return slab, counts
 
 
-def _make_kernel(tile_h: int, tile_w: int, grids, scales, pair: int, ntx0p: int):
+def _make_kernel(
+    tile_h: int,
+    tile_w: int,
+    grids,
+    scales,
+    pair: int,
+    ntx0p: int,
+    kp: int = 0,
+    caps: Optional[Tuple[int, int, int, int]] = None,
+):
     """Kernel over grid (tile_rows, tile_cols / pair): each step resolves
     ``pair`` adjacent L0 tiles from one slab block, halving grid-step and
     DMA-issue overhead.  ``pair`` divides the L1 scale, so a pair never
-    straddles a parent tile (one parent fetch per step)."""
+    straddles a parent tile (one parent fetch per step).
+
+    With ``kp > 0`` the kernel additionally emits per-tile per-level
+    (class, slot) pixel counts (the fused form of
+    agg_tiled.tile_class_counts): after the z-resolve, the winner row is
+    matched against each level's candidate ids — read back from the slab's
+    id planes already in VMEM — by exact MXU difference dots, and one-hot
+    class rows contract the matches into counts.  This costs ~2 extra dots
+    per chunk and zero extra HBM traffic beyond the count outputs."""
     npix = tile_h * tile_w
     (nty0, ntx0), (nty1, ntx1), (nty2, ntx2) = grids
     s1_, s2_ = scales[1], scales[2]
 
-    def kernel(c0, c1, c2, c3, s0, s1, s2, s3, out_ref):
+    def kernel(c0, c1, c2, c3, *refs):
+        if kp:
+            (s0, s1, s2, s3, cls_ref, out_ref,
+             o0_ref, o1_ref, o2_ref, o3_ref) = refs
+        else:
+            (s0, s1, s2, s3, out_ref) = refs
         ty = pl.program_id(0)
         txp = pl.program_id(1)  # pair index
 
@@ -243,6 +272,83 @@ def _make_kernel(tile_h: int, tile_w: int, grids, scales, pair: int, ntx0p: int)
         )
         carries = level0_all(s0, c0, l0_tile_ids, (init,) * pair)
 
+        if kp:
+            for o_ref, cap in zip(
+                (o0_ref, o1_ref, o2_ref, o3_ref), caps
+            ):
+                o_ref[...] = jnp.zeros((1, pair, kp, cap), jnp.float32)
+            cls_iota = jax.lax.broadcasted_iota(jnp.int32, (kp, npix), 0)
+
+        def match_level0(slab_ref, s_idx, cnt, lhs6, onehot, o_ref, sub, cap):
+            """Winner-vs-L0-candidate counts: ids come from the slab's
+            three digit planes (hi c rows; digits <= 255 are bf16-exact
+            and their lo rows are zero).  Chunks are statically unrolled
+            (caps are small) and empty chunks skipped by count."""
+            for ci in range(-(-cap // CHUNK)):
+                wdt = min(CHUNK, cap - ci * CHUNK)
+
+                @pl.when(ci * CHUNK < cnt)
+                def _(ci=ci, wdt=wdt):
+                    off = ci * 7 * CHUNK
+                    dig = slab_ref[
+                        s_idx, 2:3, off + 4 * CHUNK:off + 7 * CHUNK
+                    ]
+                    d0 = dig[:, 0 * CHUNK:1 * CHUNK]
+                    d1 = dig[:, 1 * CHUNK:2 * CHUNK]
+                    d2 = dig[:, 2 * CHUNK:3 * CHUNK]
+                    rhs = jnp.concatenate(
+                        [
+                            jnp.ones((3, CHUNK), jnp.float32),
+                            -d0,
+                            -256.0 * d1,
+                            -65536.0 * d2,
+                        ],
+                        axis=0,
+                    ).astype(jnp.bfloat16)  # all rows exact in bf16
+                    d = jax.lax.dot_general(
+                        lhs6, rhs, (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )  # (npix, CHUNK) = winner - id, exact
+                    m = (jnp.abs(d) < 0.5).astype(jnp.bfloat16)
+                    cnts = jax.lax.dot_general(
+                        onehot, m, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )  # (kp, CHUNK)
+                    o_ref[
+                        0, sub, :, ci * CHUNK:ci * CHUNK + wdt
+                    ] = cnts[:, :wdt]
+
+        def match_level(slab_ref, cnt, best, onehot, o_ref, sub, cap):
+            """Winner-vs-ancestor counts: ids ride the slab's f32 id plane
+            (c row of plane block 4); exact via one HIGHEST K=2 dot."""
+            ones_r = jnp.ones((1, npix), jnp.float32)
+            lhs2 = jnp.concatenate([best, ones_r], axis=0)  # (2, npix)
+            for ci in range(-(-cap // CHUNK)):
+                wdt = min(CHUNK, cap - ci * CHUNK)
+
+                @pl.when(ci * CHUNK < cnt)
+                def _(ci=ci, wdt=wdt):
+                    off = ci * 5 * CHUNK
+                    idrow = slab_ref[
+                        0, 2:3, off + 4 * CHUNK:off + 5 * CHUNK
+                    ]
+                    rhs2 = jnp.concatenate(
+                        [jnp.ones((1, CHUNK), jnp.float32), -idrow], axis=0
+                    )
+                    d = jax.lax.dot_general(
+                        lhs2, rhs2, (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )  # (npix, CHUNK)
+                    m = (jnp.abs(d) < 0.5).astype(jnp.bfloat16)
+                    cnts = jax.lax.dot_general(
+                        onehot, m, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    o_ref[
+                        0, sub, :, ci * CHUNK:ci * CHUNK + wdt
+                    ] = cnts[:, :wdt]
+
         for sub in range(pair):
             tx = txp * pair + sub
             parent_idx = (
@@ -271,6 +377,36 @@ def _make_kernel(tile_h: int, tile_w: int, grids, scales, pair: int, ntx0p: int)
                 carry[1].astype(jnp.int32).reshape(tile_h, tile_w)
             )
 
+            if kp:
+                best = carry[1]  # (1, npix) f32 winner ids (-1 = bg)
+                cls = cls_ref[
+                    0, :, sub * tile_w:(sub + 1) * tile_w
+                ].reshape(1, npix)
+                # class -1 (unlabeled / out-of-image padding) matches no
+                # one-hot row, so those pixels contribute nothing
+                onehot = (cls_iota == cls).astype(jnp.bfloat16)
+                b1 = best.astype(jnp.bfloat16).astype(jnp.float32)
+                r = best - b1
+                b2 = r.astype(jnp.bfloat16).astype(jnp.float32)
+                b3 = r - b2
+                ones_r = jnp.ones_like(best)
+                lhs6 = jnp.concatenate(
+                    [b1, b2, b3, ones_r, ones_r, ones_r], axis=0
+                ).astype(jnp.bfloat16)  # exact 3-split of the winner row
+                match_level0(
+                    s0, sub, c0[l0_tile_ids[sub]], lhs6, onehot,
+                    o0_ref, sub, caps[0],
+                )
+                match_level(
+                    s1, c1[parent_idx[0]], best, onehot, o1_ref, sub, caps[1]
+                )
+                match_level(
+                    s2, c2[parent_idx[1]], best, onehot, o2_ref, sub, caps[2]
+                )
+                match_level(
+                    s3, c3[parent_idx[2]], best, onehot, o3_ref, sub, caps[3]
+                )
+
     return kernel
 
 
@@ -281,12 +417,20 @@ def raster_tiles_pallas(
     image_h: int,
     image_w: int,
     return_tiles: bool = False,
+    class_image: Optional[jax.Array] = None,
+    n_classes: int = 0,
 ) -> jax.Array:
     """Pallas counterpart of ops.rasterize._raster_tiles_xla.
 
     Args:
         binned: BinnedTriangles (per-level candidate lists).
         planes: (F, 12) triangle planes from setup_triangles.
+        class_image: optional (H, W) int32 label image (< 0 = ignore).
+            When given, the kernel ALSO emits per-tile per-level
+            (class, slot) pixel counts — the fused equivalent of
+            agg_tiled.tile_class_counts with zero extra kernel launches —
+            and the return value becomes ``(pix2face, (o0, o1, o2, o3),
+            kp)`` with ``o_l`` of shape (nty0, ntx0p, kp, caps[l]).
     """
     n_faces = planes.shape[0]
     sentinel = jnp.asarray(
@@ -356,17 +500,55 @@ def raster_tiles_pallas(
             idx = lambda i, j, *_: (0, 0, 0)
         return pl.BlockSpec((1, rows, cols), idx, memory_space=pltpu.VMEM)
 
-    kernel = _make_kernel(th, tw, grids, config.level_scales, pair, ntx0p)
+    kp = 0
+    extra_in = []
+    extra_in_specs = []
+    extra_out_shapes = []
+    extra_out_specs = []
+    if class_image is not None:
+        kp = _round_up(max(n_classes, 1), 16)
+        # class image in the kernel's row-image layout, -1 beyond extent
+        cls_pad = jnp.full((nty0 * th, ntx0p * tw), -1, jnp.int32)
+        cls_pad = cls_pad.at[:image_h, :image_w].set(
+            class_image.astype(jnp.int32)[:image_h, :image_w]
+        )
+        extra_in = [cls_pad.reshape(nty0, th, ntx0p * tw)]
+        extra_in_specs = [
+            pl.BlockSpec(
+                (1, th, pair * tw),
+                lambda i, j, *_: (i, 0, j),
+                memory_space=pltpu.VMEM,
+            )
+        ]
+        for cap in config.caps:
+            extra_out_shapes.append(
+                jax.ShapeDtypeStruct((nty0, ntx0p, kp, cap), jnp.float32)
+            )
+            extra_out_specs.append(
+                pl.BlockSpec(
+                    (1, pair, kp, cap),
+                    lambda i, j, *_: (i, j, 0, 0),
+                    memory_space=pltpu.VMEM,
+                )
+            )
+
+    kernel = _make_kernel(
+        th, tw, grids, config.level_scales, pair, ntx0p, kp=kp,
+        caps=config.caps,
+    )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,  # the per-tile count arrays, in SMEM
         grid=(nty0, ntx0p // pair),
-        in_specs=[slab_spec(lvl) for lvl in range(4)],
-        out_specs=pl.BlockSpec(
-            (1, th, pair * tw),
-            lambda i, j, *_: (i, 0, j),
-            memory_space=pltpu.VMEM,
-        ),
+        in_specs=[slab_spec(lvl) for lvl in range(4)] + extra_in_specs,
+        out_specs=[
+            pl.BlockSpec(
+                (1, th, pair * tw),
+                lambda i, j, *_: (i, 0, j),
+                memory_space=pltpu.VMEM,
+            )
+        ]
+        + extra_out_specs,
     )
     # optimization_barrier: when XLA fuses the slab/count producers into
     # the Mosaic custom call's operands, the kernel observes corrupted
@@ -381,17 +563,23 @@ def raster_tiles_pallas(
             counts[2].reshape(-1),
             counts[3].reshape(-1),
             *slabs,
+            *extra_in,
         )
     )
-    out = pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((nty0, th, ntx0p * tw), jnp.int32),
+        out_shape=[
+            jax.ShapeDtypeStruct((nty0, th, ntx0p * tw), jnp.int32),
+        ]
+        + extra_out_shapes,
         grid_spec=grid_spec,
         interpret=jax.default_backend() == "cpu",
     )(*operands)
 
-    out = jax.lax.optimization_barrier(out)
-    if return_tiles:
-        # (nty0, th, ntx0p*tw) row-image layout, as fed to agg_tiled
-        return out
-    return out.reshape(nty0 * th, ntx0p * tw)[:image_h, :image_w]
+    outs = jax.lax.optimization_barrier(tuple(outs))
+    out = outs[0]
+    if not return_tiles:
+        out = out.reshape(nty0 * th, ntx0p * tw)[:image_h, :image_w]
+    if class_image is not None:
+        return out, tuple(outs[1:]), kp
+    return out

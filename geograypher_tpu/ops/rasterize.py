@@ -435,6 +435,48 @@ def rasterize_setup(
     return pix2face, binned
 
 
+def rasterize_and_count(
+    setup: TriangleSetup,
+    class_image: jax.Array,
+    config: RasterConfig,
+    image_h: int,
+    image_w: int,
+    n_faces: int,
+    n_classes: int,
+) -> jax.Array:
+    """One view's per-face per-class pixel counts, fused and scatter-free.
+
+    The flagship aggregation step (reference meshes.py:1961-1968 +
+    2016-2051): on the pallas backend the raster kernel itself emits
+    per-tile (class, slot) counts alongside pix2face (matching winners
+    against the candidate slabs already in VMEM), and the face-block fold
+    kernels turn them into dense counts — no XLA scatter ever touches a
+    Mosaic output.  The xla backend uses the plain segment-sum.
+
+    Returns (n_faces, n_classes) float32 counts.
+    """
+    binned = bin_triangles(setup, config, image_h, image_w)
+    if config.backend == "pallas":
+        from geograypher_tpu.ops import agg_tiled
+        from geograypher_tpu.ops.pallas_raster import raster_tiles_pallas
+
+        _p2f, outs, _kp = raster_tiles_pallas(
+            binned, setup.planes, config, image_h, image_w,
+            return_tiles=True, class_image=class_image,
+            n_classes=n_classes,
+        )
+        return agg_tiled.fold_tile_counts(
+            outs, binned, config, image_h, image_w, n_faces, n_classes
+        )
+    from geograypher_tpu.ops.aggregate import project_image_class_counts
+
+    cand = concat_candidates_for_tiles(binned, config, image_h, image_w)
+    p2f = _raster_tiles_xla(cand, setup.planes, config, image_h, image_w)
+    return project_image_class_counts(
+        p2f, class_image, n_faces=n_faces, n_classes=n_classes
+    )
+
+
 @functools.partial(
     jax.jit, static_argnames=("image_w", "image_h", "config")
 )

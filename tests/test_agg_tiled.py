@@ -107,3 +107,50 @@ def test_face_counts_from_tiles_direct():
             if ids[i, j] >= 0:
                 expect[ids[i, j]] += counts[i, :, j]
     np.testing.assert_array_equal(np.asarray(dense)[:n_faces], expect)
+
+
+@pytest.mark.parametrize("z_fn", [None, lambda x, y: 0.15 * np.sin(2 * x) * y])
+def test_fused_raster_counts_match_segment_sum(z_fn):
+    """The fused rasterize_and_count (in-kernel match on the pallas
+    backend) must equal the plain rasterize + segment-sum counts."""
+    from geograypher_tpu.ops.rasterize import rasterize_and_count
+
+    config = RasterConfig(caps=(128, 64, 32, 32), backend="pallas")
+    setup, n_faces = _scene(z_fn=z_fn)
+    p2f_img, _ = rasterize_setup(setup, config, H, W)
+
+    rng = np.random.default_rng(5)
+    cls = jnp.asarray(rng.integers(-1, N_CLASSES, (H, W)), jnp.int32)
+
+    ref = project_image_class_counts(p2f_img, cls, n_faces, N_CLASSES)
+    got = rasterize_and_count(setup, cls, config, H, W, n_faces, N_CLASSES)
+    assert got.shape == (n_faces, N_CLASSES)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_fused_raster_counts_global_level():
+    """Fused counts with a screen-filling triangle (global-list path)."""
+    from geograypher_tpu.ops.rasterize import rasterize_and_count
+
+    config = RasterConfig(caps=(128, 64, 32, 32), backend="pallas")
+    verts, faces = make_grid_mesh(n=11, size=4.0)
+    big = np.array([[len(verts), len(verts) + 1, len(verts) + 2]])
+    verts = np.concatenate(
+        [verts, np.array([[-6.0, -6.0, 0.5], [6.0, -6.0, 0.5], [0.0, 9.0, 0.5]])]
+    )
+    faces = np.concatenate([faces, big]).astype(np.int64)
+    tri = jnp.asarray(gather_tri_verts(verts, faces), jnp.float32)
+    c2w = nadir_camera(4.0, 140.0, W)
+    w2c = jnp.asarray(np.linalg.inv(c2w), jnp.float32)
+    setup = setup_triangles(
+        transform_to_camera(tri, w2c), jnp.float32(140.0), W, H
+    )
+    p2f_img, _ = rasterize_setup(setup, config, H, W)
+
+    rng = np.random.default_rng(7)
+    cls = jnp.asarray(rng.integers(0, N_CLASSES, (H, W)), jnp.int32)
+    ref = project_image_class_counts(p2f_img, cls, len(faces), N_CLASSES)
+    got = rasterize_and_count(
+        setup, cls, config, H, W, len(faces), N_CLASSES
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
