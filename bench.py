@@ -20,11 +20,16 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from geograypher_tpu.ops.aggregate import project_image_class_counts
+    from geograypher_tpu.ops.agg_tiled import (
+        fold_tile_counts_grouped,
+        fold_window_overflow,
+    )
+    from geograypher_tpu.ops.pallas_raster import raster_tiles_pallas
     from geograypher_tpu.ops.rasterize import (
         RasterConfig,
-        rasterize_triangles,
-        transform_to_camera,
+        bin_triangles,
+        setup_from_soa,
+        tri_to_soa,
     )
     from geograypher_tpu.utils.fixtures import (
         gather_tri_verts,
@@ -34,6 +39,7 @@ def main():
 
     on_tpu = jax.default_backend() not in ("cpu",)
     # Full benchmark scale on accelerators; a tiny smoke run on CPU
+    # (same fused kernels via the interpreter)
     if on_tpu:
         H, W = 2160, 3840
         n_grid = 708  # -> 999,698 faces
@@ -41,7 +47,7 @@ def main():
         n_views = 20
         n_classes = 10
         caps = (256, 128, 128, 128)
-        backend = "pallas"
+        group = 5  # views folded per face-block-kernel launch
     else:
         H, W = 216, 384
         n_grid = 71
@@ -49,13 +55,17 @@ def main():
         n_views = 2
         n_classes = 10
         caps = (256, 64, 32, 16)
-        backend = "xla"
+        group = 2
+    backend = "pallas"
 
     verts, faces = make_grid_mesh(
         n=n_grid, size=4.0, z_fn=lambda x, y: 0.1 * np.sin(3 * x) * np.cos(3 * y)
     )
     n_faces = faces.shape[0]
-    tri = jnp.asarray(gather_tri_verts(verts, faces), jnp.float32)
+    # (9, F) coordinate rows: full-lane VPU geometry (see tri_to_soa)
+    tri = jnp.asarray(
+        tri_to_soa(gather_tri_verts(verts, faces).astype(np.float32))
+    )
     config = RasterConfig(caps=caps, backend=backend)
 
     # a sweep of slightly-different views (translated/raised nadir passes)
@@ -72,43 +82,95 @@ def main():
     labels = jnp.asarray(rng.integers(0, n_classes, (H, W)), jnp.int32)
 
     # All views inside one dispatch — amortizes the host->device dispatch
-    # latency (~6 ms/view through this runtime).  The view loop is
-    # python-unrolled, NOT lax.scan: Mosaic kernels inside a scan body
-    # yield corrupted (empty) outputs on the current TPU runtime
-    # (docs/DESIGN.md "Mosaic operand-fusion hazard").
+    # latency (~6 ms/view through this runtime).  The pipeline is the
+    # FUSED scatter-free path (docs/DESIGN.md): the raster kernel itself
+    # emits per-tile (class, slot) counts alongside pix2face, and groups
+    # of views share one face-block fold launch (the cross-view count sum
+    # commutes with the fold).  No XLA scatter ever consumes a Mosaic
+    # output, and the view loop is python-unrolled, not lax.scan — both
+    # of which this runtime corrupts silently.
+    # the fold's per-block tile windows are a static capacity: measure the
+    # scene's true max window on one representative view and size w_cap
+    # (views are near-identical here; drops would silently corrupt counts)
     @jax.jit
-    def all_views(tri, w2cs_, labels):
-        def one(w2c_k):
-            cam_tris = transform_to_camera(tri, w2c_k)
-            p2f = rasterize_triangles(
-                cam_tris, fl, image_w=W, image_h=H, config=config
-            )
-            return project_image_class_counts(
-                p2f, labels, n_faces=n_faces, n_classes=n_classes
-            )
-
-        acc = jnp.zeros((n_faces, n_classes), jnp.float32)
-        for k in range(n_views):
-            acc = acc + one(w2cs_[k])
-        return acc
-
-    # compile + warm up — and refuse to time a silently-empty pipeline
-    # (a runtime upgrade once corrupted Mosaic outputs to all-background;
-    # see docs/DESIGN.md "Mosaic operand-fusion hazard")
-    acc = all_views(tri, w2c, labels)
-    warm_sum = float(np.asarray(jnp.sum(acc)))
-    expected_min = 0.5 * n_views * H * W  # >=50% pixel coverage
-    if not warm_sum >= expected_min:
-        raise RuntimeError(
-            f"benchmark pipeline produced near-empty output "
-            f"(sum={warm_sum}, expected >= {expected_min}); refusing to "
-            "report a timing for broken compute"
+    def window_stats(tri, w2c_k):
+        setup = setup_from_soa(tri, w2c_k, fl, W, H, config.znear)
+        binned = bin_triangles(setup, config, H, W)
+        return fold_window_overflow(
+            binned.cand[0], n_faces=n_faces, w_cap=504, block=2048
         )
 
+    over, max_win = (int(np.asarray(x)) for x in window_stats(tri, w2c[0]))
+    if over:
+        raise RuntimeError(
+            f"fold window overflow ({over} entries) even at w_cap=504"
+        )
+    w_cap = 8 * ((group * max_win * 5 // 4 + 7) // 8)  # 1.25x margin
+
+    # One jit program per GROUP of views, chained on a device-resident
+    # accumulator.  Large many-chain programs trigger the runtime's
+    # silent-corruption bug for SOME chains (docs/DESIGN.md); the small
+    # per-group program shape is the one validated clean, and every
+    # group's output is coverage-checked at warmup.  Dispatches queue
+    # asynchronously, so the per-program overhead is pipelined away.
+    def make_group_step(g):
+        @jax.jit
+        def group_step(tri, w2cs_g, labels, acc):
+            views = []
+            for k in range(g):
+                setup = setup_from_soa(
+                    tri, w2cs_g[k], fl, W, H, config.znear
+                )
+                binned = bin_triangles(setup, config, H, W)
+                _p2f, outs, _kp = raster_tiles_pallas(
+                    binned, setup.planes, config, H, W,
+                    return_tiles=True, class_image=labels,
+                    n_classes=n_classes,
+                )
+                views.append((outs, binned))
+            return acc + fold_tile_counts_grouped(
+                views, config, H, W, n_faces, n_classes,
+                w_cap=8 * ((g * max_win * 5 // 4 + 7) // 8), block=2048,
+            )
+
+        return group_step
+
+    def run_all(group_step, g, warm_check=False):
+        acc = jnp.zeros((n_faces, n_classes), jnp.float32)
+        for g0 in range(0, n_views, g):
+            acc = group_step(tri, w2c[g0:g0 + g], labels, acc)
+            if warm_check:
+                got = float(np.asarray(jnp.sum(acc)))
+                want = 0.85 * (g0 + g) * H * W * cover_min
+                if got < want:
+                    raise RuntimeError(
+                        f"group {g0 // g}: sum {got:.3g} < {want:.3g} "
+                        "(corrupted Mosaic output)"
+                    )
+        return acc
+
+    cover_min = 0.6  # this scene covers ~93% of pixels
+    group_step = None
+    for g in (group, 2, 1):
+        if n_views % g:
+            continue
+        candidate = make_group_step(g)
+        try:
+            acc = run_all(candidate, g, warm_check=True)
+            group_step, group = candidate, g
+            break
+        except RuntimeError as e:
+            print(f"group={g}: {e}; retrying smaller", file=sys.stderr)
+    if group_step is None:
+        raise RuntimeError("all group sizes produced corrupted output")
+    warm_sum = float(np.asarray(jnp.sum(acc)))
+
     t0 = time.perf_counter()
-    total = all_views(tri, w2c, labels)
+    total = run_all(group_step, group)
     np.asarray(jnp.sum(total))
     dt = time.perf_counter() - t0
+    if abs(float(np.asarray(jnp.sum(total))) - warm_sum) > 1e-3 * warm_sum:
+        raise RuntimeError("timed run disagrees with warmup output")
 
     views_per_sec = n_views / dt
     n_dev = jax.device_count()

@@ -341,15 +341,21 @@ def _block_windows(
     )
 
 
+_RING = 16  # in-flight DMA ring depth (VMEM + semaphore bounded)
+
+
 def _stage2_kernel(block: int, kp: int, s: int, w_cap: int, planes: int):
     """Grid over face blocks; each step folds its window of tiles into the
     block's dense slice.
 
-    The whole window's (counts, ids) DMAs are issued up front (window-deep
-    scratch), so HBM latency amortizes across the window instead of
-    serializing per tile; consumption then overlaps the in-flight tail.
+    Window (counts, ids) DMAs flow through a fixed-depth ring buffer:
+    up to ``_RING`` tiles are in flight ahead of consumption, so HBM
+    latency amortizes while VMEM scratch and DMA semaphores stay constant
+    no matter how large the window capacity is (TPU semaphore memory is
+    tiny — a window-deep semaphore array breaks past ~256 slots).
     Counts ride the MXU as ``planes`` exact base-128 bf16 digit planes.
     """
+    ring = min(_RING, w_cap)
 
     def kernel(table_ref, wl_ref, cnt_hbm, ids_hbm, out_ref,
                cnt_buf, ids_buf, acc_ref, sems):
@@ -365,12 +371,13 @@ def _stage2_kernel(block: int, kp: int, s: int, w_cap: int, planes: int):
 
         def dmas(w):
             t = table_ref[b, w]
+            slot = jax.lax.rem(w, ring)
             return (
                 pltpu.make_async_copy(
-                    cnt_hbm.at[t], cnt_buf.at[w], sems.at[w, 0]
+                    cnt_hbm.at[t], cnt_buf.at[slot], sems.at[slot, 0]
                 ),
                 pltpu.make_async_copy(
-                    ids_hbm.at[t], ids_buf.at[w], sems.at[w, 1]
+                    ids_hbm.at[t], ids_buf.at[slot], sems.at[slot, 1]
                 ),
             )
 
@@ -379,7 +386,7 @@ def _stage2_kernel(block: int, kp: int, s: int, w_cap: int, planes: int):
                 dma.start()
             return z
 
-        jax.lax.fori_loop(0, wl, issue, 0)
+        jax.lax.fori_loop(0, jnp.minimum(wl, ring), issue, 0)
         acc_ref[...] = jnp.zeros((block, kp), jnp.float32)
 
         # Small (BB, SP) match pieces keep the difference matrix out of
@@ -398,7 +405,8 @@ def _stage2_kernel(block: int, kp: int, s: int, w_cap: int, planes: int):
         def consume(w, z):
             for dma in dmas(w):
                 dma.wait()
-            ids_row = ids_buf[w]  # (1, s) int32
+            slot = jax.lax.rem(w, ring)
+            ids_row = ids_buf[slot]  # (1, s) int32
             for sp in range(s // sp_sz):
                 piece = ids_row[:, sp * sp_sz:(sp + 1) * sp_sz]
                 valid_p = piece >= 0
@@ -409,7 +417,7 @@ def _stage2_kernel(block: int, kp: int, s: int, w_cap: int, planes: int):
                 @pl.when(hit)
                 def _(sp=sp, piece=piece, pmin=pmin, pmax=pmax):
                     rhs = _match_cols(piece.astype(jnp.float32))  # (6, SP)
-                    cnt = cnt_buf[w, :, sp * sp_sz:(sp + 1) * sp_sz]
+                    cnt = cnt_buf[slot, :, sp * sp_sz:(sp + 1) * sp_sz]
                     qs = []
                     c = cnt
                     for j in range(planes):
@@ -442,12 +450,41 @@ def _stage2_kernel(block: int, kp: int, s: int, w_cap: int, planes: int):
                             acc_ref[
                                 bb * bb_sz:(bb + 1) * bb_sz
                             ] += add
+            # slot data fully consumed: keep the ring full
+            nxt = w + ring
+
+            @pl.when(nxt < wl)
+            def _():
+                for dma in dmas(nxt):
+                    dma.start()
+
             return z
 
         jax.lax.fori_loop(0, wl, consume, 0)
         out_ref[0] = acc_ref[...]
 
     return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("n_faces", "block", "w_cap"))
+def fold_window_overflow(
+    ids: jax.Array, n_faces: int, block: int = 1024, w_cap: int = 96
+):
+    """(dropped entries, max window) of the face-block fold at ``w_cap``.
+
+    The fold's per-block tile windows are a static capacity, like the
+    rasterizer caps: run this once per survey configuration
+    (cf. TexturedMesh.check_raster_capacity) and size ``w_cap`` from the
+    max (or raise it while entries are dropped).  ``ids`` as passed to
+    :func:`face_counts_from_tiles`."""
+    t = ids.shape[0]
+    valid = ids >= 0
+    tmin = jnp.min(jnp.where(valid, ids, _BIG), axis=1).astype(jnp.int32)
+    tmax = jnp.max(jnp.where(valid, ids, -1), axis=1).astype(jnp.int32)
+    nb = _round_up(n_faces, block) // block
+    w_cap = min(_round_up(max(w_cap, 1), 8), _round_up(max(t, 8), 8))
+    win = _block_windows(tmin, tmax, nb, block, w_cap)
+    return win.overflow, jnp.max(win.win_len) + win.overflow
 
 
 @functools.partial(
@@ -496,10 +533,10 @@ def face_counts_from_tiles(
             (1, block, kp), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((w_cap, kp, s), jnp.float32),
-            pltpu.VMEM((w_cap, 1, s), jnp.int32),
+            pltpu.VMEM((min(_RING, w_cap), kp, s), jnp.float32),
+            pltpu.VMEM((min(_RING, w_cap), 1, s), jnp.int32),
             pltpu.VMEM((block, kp), jnp.float32),
-            pltpu.SemaphoreType.DMA((w_cap, 2)),
+            pltpu.SemaphoreType.DMA((min(_RING, w_cap), 2)),
         ],
     )
     operands = jax.lax.optimization_barrier(
@@ -528,21 +565,14 @@ def _child_sum(level_counts: jax.Array, scale_y: int, scale_x: int):
     ).sum(axis=(1, 3))
 
 
-def fold_tile_counts(
-    outs,
-    binned,
-    config,
-    image_h: int,
-    image_w: int,
-    n_faces: int,
-    n_classes: int,
-) -> jax.Array:
-    """Fold per-tile per-level (class, slot) counts into (F, C) counts.
+def _per_level_entries(outs, binned, config, image_h, image_w):
+    """One view's per-level (counts (T_l, kp, S_l), ids (T_l, S_l)) pairs.
 
     ``outs`` are the four per-level count arrays, each
     (ty, tx, kp, caps[l]) on ANY L0-grid padding (tile_class_counts emits
     the L1-aligned grid; the fused rasterizer emits its pair-padded grid)
-    — extra tiles beyond the true grid must be all-zero.
+    — extra tiles beyond the true grid must be all-zero.  Ancestor levels
+    are child-summed here, so their entries are small.
     """
     grids = config.grids(image_h, image_w)
     (nty1, ntx1), (nty2, ntx2) = grids[1], grids[2]
@@ -557,31 +587,22 @@ def fold_tile_counts(
             o, ((0, nty0g - ty), (0, ntx0g - tx), (0, 0), (0, 0))
         )
 
-    # L0: per-tile counts straight into the face-block kernel
-    dense = face_counts_from_tiles(
-        pad_grid(o0).reshape(nty0g * ntx0g, kp, config.caps[0]),
-        jnp.pad(
-            binned.cand[0].reshape(grids[0][0], grids[0][1], -1),
-            (
-                (0, nty0g - grids[0][0]),
-                (0, ntx0g - grids[0][1]),
-                (0, 0),
-            ),
-            constant_values=-1,
-        ).reshape(nty0g * ntx0g, -1),
-        n_faces=n_faces,
-    )
+    c0 = pad_grid(o0).reshape(nty0g * ntx0g, kp, config.caps[0])
+    ids0 = jnp.pad(
+        binned.cand[0].reshape(grids[0][0], grids[0][1], -1),
+        (
+            (0, nty0g - grids[0][0]),
+            (0, ntx0g - grids[0][1]),
+            (0, 0),
+        ),
+        constant_values=-1,
+    ).reshape(nty0g * ntx0g, -1)
 
-    # L1: sum each parent's children first (counts <= 16*1024 stay exact
-    # through the kernel's 2-plane split), then the same kernel
-    c1 = _child_sum(pad_grid(o1), s1_sc, s1_sc)  # (nty1, ntx1, kp, s1)
-    dense = dense + face_counts_from_tiles(
-        c1.reshape(nty1 * ntx1, kp, config.caps[1]),
-        binned.cand[1].reshape(nty1 * ntx1, -1),
-        n_faces=n_faces,
+    c1 = _child_sum(pad_grid(o1), s1_sc, s1_sc).reshape(
+        nty1 * ntx1, kp, config.caps[1]
     )
+    ids1 = binned.cand[1].reshape(nty1 * ntx1, -1)
 
-    # L2: 3 digit planes (counts <= 256*1024)
     c2 = jnp.pad(
         pad_grid(o2),
         (
@@ -591,22 +612,71 @@ def fold_tile_counts(
             (0, 0),
         ),
     )
-    c2 = _child_sum(c2, s2_sc, s2_sc)  # (nty2, ntx2, kp, s2)
-    dense = dense + face_counts_from_tiles(
-        c2.reshape(nty2 * ntx2, kp, config.caps[2]),
-        binned.cand[2].reshape(nty2 * ntx2, -1),
-        n_faces=n_faces,
-        planes=3,
+    c2 = _child_sum(c2, s2_sc, s2_sc).reshape(
+        nty2 * ntx2, kp, config.caps[2]
+    )
+    ids2 = binned.cand[2].reshape(nty2 * ntx2, -1)
+
+    c3 = o3.sum(axis=(0, 1)).reshape(1, kp, config.caps[3])
+    ids3 = binned.cand[3].reshape(1, -1)
+    return [(c0, ids0), (c1, ids1), (c2, ids2), (c3, ids3)]
+
+
+# digit planes per level: L0/L1 counts <= 16512 (2 planes), L2 <= 256k
+# (3), global < 2^24 (4)
+_LEVEL_PLANES = (2, 2, 3, 4)
+
+
+def fold_tile_counts(
+    outs,
+    binned,
+    config,
+    image_h: int,
+    image_w: int,
+    n_faces: int,
+    n_classes: int,
+    w_cap: int = 96,
+    block: int = 1024,
+) -> jax.Array:
+    """Fold per-tile per-level (class, slot) counts into (F, C) counts."""
+    return fold_tile_counts_grouped(
+        [(outs, binned)], config, image_h, image_w, n_faces, n_classes,
+        w_cap=w_cap, block=block,
     )
 
-    # global list: one "tile" whose counts sum the whole image (< 2^24)
-    c3 = o3.sum(axis=(0, 1))  # (kp, s3)
-    dense = dense + face_counts_from_tiles(
-        c3.reshape(1, kp, config.caps[3]),
-        binned.cand[3].reshape(1, -1),
-        n_faces=n_faces,
-        planes=4,
-    )
+
+def fold_tile_counts_grouped(
+    views,
+    config,
+    image_h: int,
+    image_w: int,
+    n_faces: int,
+    n_classes: int,
+    w_cap: int = 96,
+    block: int = 1024,
+) -> jax.Array:
+    """Fold SEVERAL views' per-tile counts into one (F, C) count sum.
+
+    Cross-view aggregation sums per-view counts, and the face-block fold
+    is agnostic to which view a tile came from — so concatenating views'
+    tiles into one fold launch amortizes the per-block setup (window
+    DMA issue, accumulator zero/write, lhs construction) across the
+    group.  ``views`` is a list of (outs, binned) pairs as accepted by
+    :func:`fold_tile_counts`; size ``w_cap`` ~ per-view window x group.
+    """
+    per_level = [
+        _per_level_entries(outs, binned, config, image_h, image_w)
+        for outs, binned in views
+    ]
+    dense = None
+    for lvl in range(4):
+        counts = jnp.concatenate([v[lvl][0] for v in per_level], axis=0)
+        ids = jnp.concatenate([v[lvl][1] for v in per_level], axis=0)
+        d = face_counts_from_tiles(
+            counts, ids, n_faces=n_faces, planes=_LEVEL_PLANES[lvl],
+            w_cap=w_cap, block=block,
+        )
+        dense = d if dense is None else dense + d
     return dense[:n_faces, :n_classes]
 
 

@@ -77,7 +77,7 @@ class TriangleSetup(NamedTuple):
     """Per-view screen-space triangle data."""
 
     planes: jax.Array  # (F, 12): 3 edge planes + w-plane, see setup_triangles
-    bbox: jax.Array  # (F, 4) int32: first/last covered pixel row & col
+    bbox: jax.Array  # (4, F) int32 rows: first/last covered pixel row & col
     valid: jax.Array  # (F,) bool
 
 
@@ -94,25 +94,46 @@ class BinnedTriangles(NamedTuple):
     overflow: jax.Array  # () int32 candidates dropped by capacity limits
 
 
-def setup_triangles(
-    tri_verts_cam: jax.Array,
+def tri_to_soa(tri_verts: jax.Array) -> jax.Array:
+    """(F, 3, 3) triangles -> (9, F) coordinate ROWS (x0 y0 z0 x1 ... z2).
+
+    TPU vector registers are (8, 128): elementwise math over (F, 3)/(F, 9)
+    arrays runs at 3/128 lane occupancy, a measured ~10x slowdown of the
+    whole triangle-setup stage.  All per-view geometry therefore runs on
+    (F,)-contiguous coordinate rows; do this transpose ONCE per mesh.
+    """
+    f_count = tri_verts.shape[0]
+    return tri_verts.reshape(f_count, 9).T
+
+
+def setup_from_soa(
+    tri_soa: jax.Array,
+    world_to_cam: jax.Array,
     f: jax.Array,
     image_w: int,
     image_h: int,
     znear: float = 1e-6,
+    distortion=None,
 ) -> TriangleSetup:
-    """Project camera-frame triangles to screen and build raster planes.
-
-    Args:
-        tri_verts_cam: (F, 3, 3) triangle vertices in the camera frame
-            (x right, y down, z forward).
-        f: scalar focal length in pixels.
-        image_w, image_h: target image size in pixels.
+    """Camera transform + screen projection + raster planes, fused, on
+    (9, F) coordinate rows (full-lane VPU; see :func:`tri_to_soa`).
 
     Returns a :class:`TriangleSetup`.  ``planes[:, 0:9]`` are edge
     coefficients (A, B, C) x 3 normalized to positive orientation;
     ``planes[:, 9:12]`` is the affine 1/z plane (WA, WB, WC).  Coverage of
     pixel (i, j) means ``E_k(j+0.5, i+0.5) >= 0`` for all k.
+
+    ``distortion`` is an optional ``(dist8, pcx, pcy)`` Brown–Conrady
+    sensor model ([k1..k4, p1, p2, b1, b2], principal-point offsets): when
+    given, VERTICES are warped into the sensor's distorted pixel space and
+    the mesh is rasterized there directly — pix2face (and the fused class
+    counts) come out natively distortion-correct, with no NN remap of the
+    rendered map (the reference's approach, meshes.py:1805-1821).  At
+    survey triangle sizes (~1-4 px) the straight-edge chord error is
+    sub-pixel, smaller than the reference's nearest-neighbor warp error.
+    Triangles outside the distortion polynomial's injective domain
+    (beyond ~1.3x the image corner radius) are dropped — the polynomial
+    can fold far-outside geometry back onto the image.
 
     Deviation from the reference's VTK renderer: triangles STRADDLING the
     near plane (some vertices behind the camera) are dropped rather than
@@ -120,16 +141,54 @@ def setup_triangles(
     terrain, so this only affects degenerate oblique captures; triangles
     fully in front are unaffected.
     """
-    ftype = tri_verts_cam.dtype
-    z = tri_verts_cam[..., 2]
-    in_front = jnp.all(z > znear, axis=1)
-    safe_z = jnp.where(z > znear, z, jnp.asarray(1.0, ftype))
-    sx = f * tri_verts_cam[..., 0] / safe_z + image_w / 2.0
-    sy = f * tri_verts_cam[..., 1] / safe_z + image_h / 2.0
-    w = 1.0 / safe_z  # (F, 3)
+    ftype = tri_soa.dtype
+    rot = world_to_cam[:3, :3]
+    t = world_to_cam[:3, 3]
+    if distortion is not None:
+        from geograypher_tpu.cameras.distortion import distort_normalized
 
-    x0, x1, x2 = sx[:, 0], sx[:, 1], sx[:, 2]
-    y0, y1, y2 = sy[:, 0], sy[:, 1], sy[:, 2]
+        dist8, pcx, pcy = distortion
+        dist8 = jnp.asarray(dist8, ftype)
+        # injective-domain bound: ideal radius of the image corner + 30%
+        r2_lim = (
+            (image_w / 2.0 + jnp.abs(pcx)) ** 2
+            + (image_h / 2.0 + jnp.abs(pcy)) ** 2
+        ) / (f * f) * 1.69
+        in_domain = None
+
+    sx, sy, w_rows, zs = [], [], [], []
+    for v in range(3):
+        wx, wy, wz = tri_soa[3 * v], tri_soa[3 * v + 1], tri_soa[3 * v + 2]
+        # elementwise 3x3 rotate: exact f32 on the VPU (no MXU bf16
+        # rounding, no 6-pass HIGHEST) — K=3 can't use the MXU anyway
+        cx = rot[0, 0] * wx + rot[0, 1] * wy + rot[0, 2] * wz + t[0]
+        cy = rot[1, 0] * wx + rot[1, 1] * wy + rot[1, 2] * wz + t[1]
+        cz = rot[2, 0] * wx + rot[2, 1] * wy + rot[2, 2] * wz + t[2]
+        safe_z = jnp.where(cz > znear, cz, jnp.asarray(1.0, ftype))
+        inv_z = 1.0 / safe_z
+        xn = cx * inv_z
+        yn = cy * inv_z
+        if distortion is None:
+            sx.append(xn * f + image_w / 2.0)
+            sy.append(yn * f + image_h / 2.0)
+        else:
+            xd, yd = distort_normalized(xn, yn, dist8)
+            sx.append(
+                image_w / 2.0 + pcx + xd * (f + dist8[6]) + yd * dist8[7]
+            )
+            sy.append(image_h / 2.0 + pcy + yd * f)
+            ok_v = xn * xn + yn * yn <= r2_lim
+            in_domain = ok_v if in_domain is None else (in_domain & ok_v)
+        w_rows.append(inv_z)
+        zs.append(cz)
+
+    in_front = (
+        (zs[0] > znear) & (zs[1] > znear) & (zs[2] > znear)
+    )
+    if distortion is not None:
+        in_front = in_front & in_domain
+    x0, x1, x2 = sx
+    y0, y1, y2 = sy
 
     def edge(xa, ya, xb, yb):
         # E(x, y) = (xb-xa)(y-ya) - (yb-ya)(x-xa)
@@ -147,10 +206,11 @@ def setup_triangles(
     nondegenerate = jnp.abs(area2) > 1e-12
     inv_area2 = sign / jnp.where(nondegenerate, jnp.abs(area2), 1.0)
 
-    wa = (a0 * w[:, 0] + a1 * w[:, 1] + a2 * w[:, 2]) * inv_area2
-    wb = (b0 * w[:, 0] + b1 * w[:, 1] + b2 * w[:, 2]) * inv_area2
-    wc = (c0 * w[:, 0] + c1 * w[:, 1] + c2 * w[:, 2]) * inv_area2
+    wa = (a0 * w_rows[0] + a1 * w_rows[1] + a2 * w_rows[2]) * inv_area2
+    wb = (b0 * w_rows[0] + b1 * w_rows[1] + b2 * w_rows[2]) * inv_area2
+    wc = (c0 * w_rows[0] + c1 * w_rows[1] + c2 * w_rows[2]) * inv_area2
 
+    # one layout pass at the end: full-lane rows -> (F, 12) gather rows
     planes = jnp.stack(
         [
             a0 * sign, b0 * sign, c0 * sign,
@@ -162,10 +222,10 @@ def setup_triangles(
     )
 
     # Pixel-center bbox: pixel j is covered only if j + 0.5 in [xmin, xmax]
-    xmin = jnp.min(sx, axis=1)
-    xmax = jnp.max(sx, axis=1)
-    ymin = jnp.min(sy, axis=1)
-    ymax = jnp.max(sy, axis=1)
+    xmin = jnp.minimum(jnp.minimum(x0, x1), x2)
+    xmax = jnp.maximum(jnp.maximum(x0, x1), x2)
+    ymin = jnp.minimum(jnp.minimum(y0, y1), y2)
+    ymax = jnp.maximum(jnp.maximum(y0, y1), y2)
     px0 = jnp.ceil(xmin - 0.5).astype(jnp.int32)
     px1 = jnp.floor(xmax - 0.5).astype(jnp.int32)
     py0 = jnp.ceil(ymin - 0.5).astype(jnp.int32)
@@ -178,8 +238,34 @@ def setup_triangles(
     py1 = jnp.clip(py1, 0, image_h - 1)
 
     valid = in_front & nondegenerate & nonempty & on_screen
-    bbox = jnp.stack([py0, px0, py1, px1], axis=1)
+    bbox = jnp.stack([py0, px0, py1, px1], axis=0)
     return TriangleSetup(planes=planes, bbox=bbox, valid=valid)
+
+
+def setup_triangles(
+    tri_verts_cam: jax.Array,
+    f: jax.Array,
+    image_w: int,
+    image_h: int,
+    znear: float = 1e-6,
+) -> TriangleSetup:
+    """Project camera-frame triangles to screen and build raster planes.
+
+    Compatibility entry over :func:`setup_from_soa` for callers holding
+    (F, 3, 3) camera-frame triangles; pays one per-view transpose.  Hot
+    paths should hold ``tri_to_soa(tri)`` once and call
+    :func:`setup_from_soa` (which also fuses the camera transform).
+
+    Args:
+        tri_verts_cam: (F, 3, 3) triangle vertices in the camera frame
+            (x right, y down, z forward).
+        f: scalar focal length in pixels.
+        image_w, image_h: target image size in pixels.
+    """
+    eye = jnp.eye(4, dtype=tri_verts_cam.dtype)
+    return setup_from_soa(
+        tri_to_soa(tri_verts_cam), eye, f, image_w, image_h, znear
+    )
 
 
 def bin_triangles(
@@ -198,7 +284,7 @@ def bin_triangles(
     """
     f_count = setup.valid.shape[0]
     grids = config.grids(image_h, image_w)
-    py0, px0, py1, px1 = (setup.bbox[:, k] for k in range(4))
+    py0, px0, py1, px1 = (setup.bbox[k] for k in range(4))
 
     level_base = []
     base = 0
