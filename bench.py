@@ -151,7 +151,7 @@ def main():
 
     cover_min = 0.6  # this scene covers ~93% of pixels
     group_step = None
-    for g in (group, 2, 1):
+    for g in (group, 4, 3, 2, 1):
         if n_views % g:
             continue
         candidate = make_group_step(g)

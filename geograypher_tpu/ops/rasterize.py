@@ -339,11 +339,15 @@ def bin_triangles(
             keys.append(jnp.where(ok, key, INT32_MAX))
 
     face_ids = jnp.arange(f_count, dtype=jnp.int32)
-    key_mat = jnp.stack(keys, axis=1).astype(jnp.int32)  # (F, 4)
-    pair_faces = jnp.broadcast_to(face_ids[:, None], key_mat.shape)
+    # full-lane (4F,) pair layout (an (F, 4) stack would run every
+    # subsequent op at 4/128 lane occupancy); sorting with num_keys=2
+    # (key, then face) restores ascending face ids within each tile,
+    # which the raster tie-break and the fold's band tests rely on
+    key_flat = jnp.concatenate(keys, axis=0).astype(jnp.int32)
+    face_flat = jnp.concatenate([face_ids] * 4, axis=0)
 
     sorted_keys, sorted_faces = jax.lax.sort(
-        (key_mat.reshape(-1), pair_faces.reshape(-1)), num_keys=1, is_stable=True
+        (key_flat, face_flat), num_keys=2
     )
 
     # Per-tile ranges via searchsorted on the sorted keys
