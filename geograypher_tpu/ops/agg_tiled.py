@@ -579,7 +579,11 @@ def _per_level_entries(outs, binned, config, image_h, image_w):
     s1_sc, s2_sc = config.level_scales[1], config.level_scales[2]
     o0, o1, o2, o3 = outs
     kp = o0.shape[2]
-    nty0g, ntx0g = nty1 * s1_sc, ntx1 * s1_sc
+    # grid covering both the L1-aligned grid and the rasterizer's
+    # pair-padded grid (pair can exceed s1, e.g. 8 tiles/step vs scale 4),
+    # rounded to s1 so child->parent reductions stay pure reshapes
+    nty0g = _round_up(max(nty1 * s1_sc, o0.shape[0]), s1_sc)
+    ntx0g = _round_up(max(ntx1 * s1_sc, o0.shape[1]), s1_sc)
 
     def pad_grid(o):
         ty, tx = o.shape[:2]
@@ -598,7 +602,9 @@ def _per_level_entries(outs, binned, config, image_h, image_w):
         constant_values=-1,
     ).reshape(nty0g * ntx0g, -1)
 
-    c1 = _child_sum(pad_grid(o1), s1_sc, s1_sc).reshape(
+    # parent columns beyond the true L1 grid (possible when the pair
+    # padding exceeds s1) hold only padded tiles' all-zero counts
+    c1 = _child_sum(pad_grid(o1), s1_sc, s1_sc)[:nty1, :ntx1].reshape(
         nty1 * ntx1, kp, config.caps[1]
     )
     ids1 = binned.cand[1].reshape(nty1 * ntx1, -1)

@@ -3,11 +3,16 @@
 Replaces ``ops.rasterize._raster_tiles_xla`` on TPU.  Design (see
 ops/rasterize.py header for the full pipeline):
 
-* Grid = (tile_rows, tile_cols) over (8 x 128)-pixel tiles — the native
-  VPU register shape.  Each grid step's candidate slabs arrive in VMEM via
-  BlockSpec index maps; ancestor-level slabs are shared by index-mapping
-  many L0 tiles to one parent block (no duplication in HBM, and Pallas
-  skips the re-DMA when consecutive grid steps map to the same block).
+* Grid = (tile_rows, tile_cols / pair) over (8 x 128)-pixel tiles — the
+  native VPU register shape — with ``pair`` (up to 8) adjacent L0 tiles
+  resolved per grid step.  The kernel is grid-STEP-overhead bound at
+  survey scale (measured ~5 us/step of stepping + fixed DMA issue cost
+  with near-empty compute), so packing tiles per step is the single
+  biggest kernel lever.  Candidate slabs arrive in VMEM via BlockSpec
+  index maps; ancestor-level slabs are stored on (row, col) parent grids
+  padded so a step's ``pair`` tiles map to a statically-indexable window
+  of parents (no duplication in HBM, and Pallas skips the re-DMA when
+  consecutive grid steps map to the same block).
 * Each candidate contributes affine planes over the image — 3 edge planes,
   the 1/z depth plane, and constant face-id planes — so plane evaluation
   AND winner identification are MXU contractions against a (3, pixels)
@@ -31,6 +36,15 @@ Depth resolve: within a chunk, maximize w = 1/z and break ties toward the
 lowest face id (candidates are id-sorted by the binning sort); across
 chunks/levels, strictly-greater keeps the earlier winner — matching the
 XLA reference kernel, which tests assert against.
+
+Fused class counting (``class_image``): after the z-resolve the winner row
+is turned into an exact (npix, 1) COLUMN by one tiny digit-plane dot (the
+MXU performs the lane->sublane transpose), and each level's candidate ids
+— read back from the slab id planes already in VMEM — are matched by one
+broadcast equality compare per 128-candidate chunk; a one-hot class matmul
+contracts the match into (class, slot) counts.  This replaces the earlier
+6-row difference-dot scheme (one fewer MXU pass per chunk and no HIGHEST
+dots on the ancestor levels).
 """
 
 from __future__ import annotations
@@ -145,24 +159,27 @@ def _make_kernel(
     scales,
     pair: int,
     ntx0p: int,
+    ntx1p: int,
+    ntx2p: int,
     kp: int = 0,
     caps: Optional[Tuple[int, int, int, int]] = None,
 ):
     """Kernel over grid (tile_rows, tile_cols / pair): each step resolves
-    ``pair`` adjacent L0 tiles from one slab block, halving grid-step and
-    DMA-issue overhead.  ``pair`` divides the L1 scale, so a pair never
-    straddles a parent tile (one parent fetch per step).
+    ``pair`` adjacent L0 tiles from one slab block.  ``pair`` is chosen so
+    a step's tiles span a whole number of L1/L2 parents (or a fraction of
+    one), making every ancestor-slab index STATIC within the step.
 
     With ``kp > 0`` the kernel additionally emits per-tile per-level
     (class, slot) pixel counts (the fused form of
-    agg_tiled.tile_class_counts): after the z-resolve, the winner row is
-    matched against each level's candidate ids — read back from the slab's
-    id planes already in VMEM — by exact MXU difference dots, and one-hot
-    class rows contract the matches into counts.  This costs ~2 extra dots
-    per chunk and zero extra HBM traffic beyond the count outputs."""
+    agg_tiled.tile_class_counts): the winner row becomes an exact column
+    via a digit-plane dot, each level's candidate ids are matched by one
+    broadcast compare per chunk, and one-hot class rows contract the
+    matches into counts — see module docstring."""
     npix = tile_h * tile_w
     (nty0, ntx0), (nty1, ntx1), (nty2, ntx2) = grids
     s1_, s2_ = scales[1], scales[2]
+    pp1 = max(1, pair // s1_)  # L1 parents per grid step
+    pp2 = max(1, pair // s2_)
 
     def kernel(c0, c1, c2, c3, *refs):
         if kp:
@@ -205,23 +222,24 @@ def _make_kernel(
             )
             return resolve(e0, e1, e2, wv, idv, carry)
 
-        def level0_all(slab_ref, cnt_ref, tile_ids, carries):
-            """All `pair` sub-tiles share one wide hi/lo dot per chunk.
+        def level0_group(slab_ref, cnt_ref, sub_ids, glob_ids, carries):
+            """A group of sub-tiles shares one wide hi/lo dot per chunk.
 
             The loop runs to the max sub-tile chunk count; a lighter
             sub-tile's surplus slots hold sentinel planes (coverage-false),
             so no masking is needed.
             """
-            cnt = cnt_ref[tile_ids[0]]
-            for t in tile_ids[1:]:
+            cnt = cnt_ref[glob_ids[0]]
+            for t in glob_ids[1:]:
                 cnt = jnp.maximum(cnt, cnt_ref[t])
             n_chunks = (cnt + CHUNK - 1) // CHUNK
+            g = len(sub_ids)
 
             def chunk(ci, carries):
                 off = pl.multiple_of(ci * (7 * CHUNK), 7 * CHUNK)
                 blocks = [
                     slab_ref[s, :, pl.ds(off, 7 * CHUNK)]  # (6, 896)
-                    for s in range(pair)
+                    for s in sub_ids
                 ]
                 hi = jnp.concatenate([b[0:3] for b in blocks], axis=1)
                 lo = jnp.concatenate([b[3:6] for b in blocks], axis=1)
@@ -230,21 +248,22 @@ def _make_kernel(
                     hi, pmat_local, dims, preferred_element_type=jnp.float32
                 ) + jax.lax.dot_general(
                     lo, pmat_local, dims, preferred_element_type=jnp.float32
-                )  # (pair*7*CHUNK, npix)
+                )  # (g*7*CHUNK, npix)
                 return tuple(
                     resolve0(vals, s * 7 * CHUNK, carries[s])
-                    for s in range(pair)
+                    for s in range(g)
                 )
 
             return jax.lax.fori_loop(0, n_chunks, chunk, carries)
 
-        def level(slab_ref, pmat_global, cnt_ref, tile_idx, carry):
-            cnt = cnt_ref[tile_idx]
+        def level(read_block, pmat_global, cnt, carry):
+            """Ancestor resolve; ``read_block(off)`` yields the (3, 640)
+            5-plane block at chunk offset ``off``."""
             n_chunks = (cnt + CHUNK - 1) // CHUNK
 
             def chunk(ci, carry):
                 off = pl.multiple_of(ci * (5 * CHUNK), 5 * CHUNK)
-                block = slab_ref[0, :, pl.ds(off, 5 * CHUNK)]  # (3, 640)
+                block = read_block(off)
                 vals = jax.lax.dot_general(
                     block,
                     pmat_global,
@@ -270,7 +289,16 @@ def _make_kernel(
         l0_tile_ids = tuple(
             ty * ntx0p + txp * pair + s for s in range(pair)
         )
-        carries = level0_all(s0, c0, l0_tile_ids, (init,) * pair)
+        carries = [None] * pair
+        gsz = 2 if pair >= 2 else 1
+        for w in range(0, pair, gsz):
+            subs = tuple(range(w, w + gsz))
+            res = level0_group(
+                s0, c0, subs, tuple(l0_tile_ids[s] for s in subs),
+                (init,) * gsz,
+            )
+            for k, s in enumerate(subs):
+                carries[s] = res[k]
 
         if kp:
             for o_ref, cap in zip(
@@ -278,86 +306,28 @@ def _make_kernel(
             ):
                 o_ref[...] = jnp.zeros((1, pair, kp, cap), jnp.float32)
             cls_iota = jax.lax.broadcasted_iota(jnp.int32, (kp, npix), 0)
+            # exact lane->sublane transpose weights for the winner column
+            w3 = jnp.ones((3, 1), jnp.bfloat16)
 
-        def match_level0(slab_ref, s_idx, cnt, lhs6, onehot, o_ref, sub, cap):
-            """Winner-vs-L0-candidate counts: ids come from the slab's
-            three digit planes (hi c rows; digits <= 255 are bf16-exact
-            and their lo rows are zero).  Chunks are statically unrolled
-            (caps are small) and empty chunks skipped by count."""
-            for ci in range(-(-cap // CHUNK)):
-                wdt = min(CHUNK, cap - ci * CHUNK)
-
-                @pl.when(ci * CHUNK < cnt)
-                def _(ci=ci, wdt=wdt):
-                    off = ci * 7 * CHUNK
-                    dig = slab_ref[
-                        s_idx, 2:3, off + 4 * CHUNK:off + 7 * CHUNK
-                    ]
-                    d0 = dig[:, 0 * CHUNK:1 * CHUNK]
-                    d1 = dig[:, 1 * CHUNK:2 * CHUNK]
-                    d2 = dig[:, 2 * CHUNK:3 * CHUNK]
-                    rhs = jnp.concatenate(
-                        [
-                            jnp.ones((3, CHUNK), jnp.float32),
-                            -d0,
-                            -256.0 * d1,
-                            -65536.0 * d2,
-                        ],
-                        axis=0,
-                    ).astype(jnp.bfloat16)  # all rows exact in bf16
-                    d = jax.lax.dot_general(
-                        lhs6, rhs, (((0,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )  # (npix, CHUNK) = winner - id, exact
-                    m = (jnp.abs(d) < 0.5).astype(jnp.bfloat16)
-                    cnts = jax.lax.dot_general(
-                        onehot, m, (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )  # (kp, CHUNK)
-                    o_ref[
-                        0, sub, :, ci * CHUNK:ci * CHUNK + wdt
-                    ] = cnts[:, :wdt]
-
-        def match_level(slab_ref, cnt, best, onehot, o_ref, sub, cap):
-            """Winner-vs-ancestor counts: ids ride the slab's f32 id plane
-            (c row of plane block 4); exact via one HIGHEST K=2 dot."""
-            ones_r = jnp.ones((1, npix), jnp.float32)
-            lhs2 = jnp.concatenate([best, ones_r], axis=0)  # (2, npix)
-            for ci in range(-(-cap // CHUNK)):
-                wdt = min(CHUNK, cap - ci * CHUNK)
-
-                @pl.when(ci * CHUNK < cnt)
-                def _(ci=ci, wdt=wdt):
-                    off = ci * 5 * CHUNK
-                    idrow = slab_ref[
-                        0, 2:3, off + 4 * CHUNK:off + 5 * CHUNK
-                    ]
-                    rhs2 = jnp.concatenate(
-                        [jnp.ones((1, CHUNK), jnp.float32), -idrow], axis=0
-                    )
-                    d = jax.lax.dot_general(
-                        lhs2, rhs2, (((0,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST,
-                    )  # (npix, CHUNK)
-                    m = (jnp.abs(d) < 0.5).astype(jnp.bfloat16)
-                    cnts = jax.lax.dot_general(
-                        onehot, m, (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )
-                    o_ref[
-                        0, sub, :, ci * CHUNK:ci * CHUNK + wdt
-                    ] = cnts[:, :wdt]
+        def match_ids(ids_row, best_col, onehot, o_ref, sub, col0, wdt):
+            """(1, CHUNK) exact-integer candidate ids vs the (npix, 1)
+            winner column: one broadcast equality + one one-hot matmul."""
+            m = (best_col == ids_row).astype(jnp.bfloat16)  # (npix, CHUNK)
+            cnts = jax.lax.dot_general(
+                onehot, m, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (kp, CHUNK)
+            o_ref[0, sub, :, col0:col0 + wdt] = cnts[:, :wdt]
 
         for sub in range(pair):
             tx = txp * pair + sub
-            parent_idx = (
-                jnp.minimum(ty // s1_, nty1 - 1) * ntx1
-                + jnp.minimum(tx // s1_, ntx1 - 1),
-                jnp.minimum(ty // s2_, nty2 - 1) * ntx2
-                + jnp.minimum(tx // s2_, ntx2 - 1),
-                0,
-            )
+            # static in-block ancestor indices (pair never straddles a
+            # parent block by construction)
+            p1b = (sub // s1_) if pair >= s1_ else 0
+            p2b = (sub // s2_) if pair >= s2_ else 0
+            # dynamic flat parent ids on the PADDED grids (for SMEM counts)
+            c1_idx = (ty // s1_) * ntx1p + tx // s1_
+            c2_idx = (ty // s2_) * ntx2p + tx // s2_
             pmat_global = jnp.concatenate(
                 [
                     xs_local + (tx * tile_w).astype(jnp.float32),
@@ -366,10 +336,13 @@ def _make_kernel(
                 ],
                 axis=0,
             )
+            read1 = lambda off, p1b=p1b: s1[0, p1b, :, pl.ds(off, 5 * CHUNK)]
+            read2 = lambda off, p2b=p2b: s2[0, p2b, :, pl.ds(off, 5 * CHUNK)]
+            read3 = lambda off: s3[0, :, pl.ds(off, 5 * CHUNK)]
             carry = carries[sub]
-            carry = level(s1, pmat_global, c1, parent_idx[0], carry)
-            carry = level(s2, pmat_global, c2, parent_idx[1], carry)
-            carry = level(s3, pmat_global, c3, parent_idx[2], carry)
+            carry = level(read1, pmat_global, c1[c1_idx], carry)
+            carry = level(read2, pmat_global, c2[c2_idx], carry)
+            carry = level(read3, pmat_global, c3[0], carry)
             # write into the IMAGE layout (rows of tiles side by side) so
             # the caller needs only reshapes, never a transpose, on the
             # custom-call result (see DESIGN.md Mosaic fusion hazard)
@@ -385,27 +358,61 @@ def _make_kernel(
                 # class -1 (unlabeled / out-of-image padding) matches no
                 # one-hot row, so those pixels contribute nothing
                 onehot = (cls_iota == cls).astype(jnp.bfloat16)
+                # winner ids < 2^24 split exactly into 3 bf16 digit rows;
+                # contracting with ones reproduces them as an exact f32
+                # COLUMN (the MXU does the lane->sublane transpose)
                 b1 = best.astype(jnp.bfloat16).astype(jnp.float32)
                 r = best - b1
                 b2 = r.astype(jnp.bfloat16).astype(jnp.float32)
                 b3 = r - b2
-                ones_r = jnp.ones_like(best)
-                lhs6 = jnp.concatenate(
-                    [b1, b2, b3, ones_r, ones_r, ones_r], axis=0
-                ).astype(jnp.bfloat16)  # exact 3-split of the winner row
-                match_level0(
-                    s0, sub, c0[l0_tile_ids[sub]], lhs6, onehot,
-                    o0_ref, sub, caps[0],
-                )
-                match_level(
-                    s1, c1[parent_idx[0]], best, onehot, o1_ref, sub, caps[1]
-                )
-                match_level(
-                    s2, c2[parent_idx[1]], best, onehot, o2_ref, sub, caps[2]
-                )
-                match_level(
-                    s3, c3[parent_idx[2]], best, onehot, o3_ref, sub, caps[3]
-                )
+                digs = jnp.concatenate([b1, b2, b3], axis=0).astype(
+                    jnp.bfloat16
+                )  # (3, npix)
+                best_col = jax.lax.dot_general(
+                    digs, w3, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (npix, 1), exactly == best transposed
+
+                # L0: ids from the slab's three digit planes (hi c rows;
+                # digits <= 255 are bf16-exact, lo rows zero); chunks are
+                # statically unrolled (caps small), empties skipped
+                cnt0 = c0[l0_tile_ids[sub]]
+                for ci in range(-(-caps[0] // CHUNK)):
+                    wdt = min(CHUNK, caps[0] - ci * CHUNK)
+
+                    @pl.when(ci * CHUNK < cnt0)
+                    def _(ci=ci, wdt=wdt):
+                        off = ci * 7 * CHUNK
+                        dig = s0[
+                            sub, 2:3, off + 4 * CHUNK:off + 7 * CHUNK
+                        ]
+                        ids_row = (
+                            dig[:, 0 * CHUNK:1 * CHUNK]
+                            + 256.0 * dig[:, 1 * CHUNK:2 * CHUNK]
+                            + 65536.0 * dig[:, 2 * CHUNK:3 * CHUNK]
+                        )
+                        match_ids(
+                            ids_row, best_col, onehot, o0_ref, sub,
+                            ci * CHUNK, wdt,
+                        )
+
+                # ancestors: ids ride the f32 id plane (c row of block 4)
+                for read, cnt, o_ref, cap in (
+                    (read1, c1[c1_idx], o1_ref, caps[1]),
+                    (read2, c2[c2_idx], o2_ref, caps[2]),
+                    (read3, c3[0], o3_ref, caps[3]),
+                ):
+                    for ci in range(-(-cap // CHUNK)):
+                        wdt = min(CHUNK, cap - ci * CHUNK)
+
+                        @pl.when(ci * CHUNK < cnt)
+                        def _(ci=ci, wdt=wdt, read=read, o_ref=o_ref):
+                            block = read(ci * 5 * CHUNK)
+                            ids_row = block[2:3, 4 * CHUNK:5 * CHUNK]
+                            match_ids(
+                                ids_row, best_col, onehot, o_ref, sub,
+                                ci * CHUNK, wdt,
+                            )
 
     return kernel
 
@@ -444,10 +451,27 @@ def raster_tiles_pallas(
     th, tw = config.tile_h, config.tile_w
     npix = th * tw
 
-    # Two L0 tiles per grid step (when the grid allows); pad the tile-column
-    # count to a pair multiple with empty tiles.
-    pair = 2 if (ntx0 > 1 and config.level_scales[1] % 2 == 0) else 1
+    # L0 tiles per grid step.  pair must span a whole number of L1/L2
+    # parents or divide one evenly so ancestor-slab indices stay static
+    # inside the step.  Pad the tile-column count to a pair multiple with
+    # empty tiles.  Measured on v5e at bench scale: pair=2 is optimal;
+    # pair>=4 hits a Mosaic pipelining cliff (+60 ms/view — the larger
+    # blocks stop double-buffering), so the auto choice stays at 2.
+    pair = 1
+    if ntx0 > 1:
+        for p in (getattr(config, "pair", 0), 2):
+            if p and (p % s1_ == 0 or s1_ % p == 0) and (
+                p % s2_ == 0 or s2_ % p == 0
+            ):
+                pair = p
+                break
     ntx0p = _round_up(ntx0, pair)
+    pp1 = max(1, pair // s1_)
+    pp2 = max(1, pair // s2_)
+    # padded ancestor grids: cover all ntx0p tiles, whole blocks
+    ntx1p = _round_up(-(-ntx0p // s1_), pp1)
+    ntx2p = _round_up(-(-ntx0p // s2_), pp2)
+
     cand0 = binned.cand[0].reshape(nty0, ntx0, -1)
     if ntx0p != ntx0:
         cand0 = jnp.pad(
@@ -462,43 +486,55 @@ def raster_tiles_pallas(
         ((tids // ntx0p) * th).astype(jnp.float32),
     )
 
-    slabs, counts = [], []
-    for lvl in range(4):
-        s, c = _prep_level_slab(
-            cand0 if lvl == 0 else binned.cand[lvl],
-            planes_ext,
-            n_faces,
-            tile_origin=origin if lvl == 0 else None,
-        )
+    s0, c0 = _prep_level_slab(cand0, planes_ext, n_faces, tile_origin=origin)
+    slabs, counts = [s0], [c0.reshape(-1)]
+    for lvl, (nty_l, ntx_l, ntx_lp) in (
+        (1, (nty1, ntx1, ntx1p)),
+        (2, (nty2, ntx2, ntx2p)),
+    ):
+        s, c = _prep_level_slab(binned.cand[lvl], planes_ext, n_faces)
+        # (T, 3, cols) -> padded (nty, ntx_p, 3, cols) parent grid; padded
+        # parents get zero counts (their slab rows are never read)
+        s = s.reshape(nty_l, ntx_l, *s.shape[1:])
+        c = c.reshape(nty_l, ntx_l)
+        if ntx_lp != ntx_l:
+            s = jnp.pad(s, ((0, 0), (0, ntx_lp - ntx_l), (0, 0), (0, 0)))
+            c = jnp.pad(c, ((0, 0), (0, ntx_lp - ntx_l)))
         slabs.append(s)
-        counts.append(c)
+        counts.append(c.reshape(-1))
+    s3, c3 = _prep_level_slab(binned.cand[3], planes_ext, n_faces)
+    slabs.append(s3)
+    counts.append(c3.reshape(-1))
 
     def slab_spec(lvl):
-        rows, cols = slabs[lvl].shape[1:]
         if lvl == 0:
+            rows, cols = slabs[0].shape[1:]
             # block = `pair` consecutive tiles; index in block units
             return pl.BlockSpec(
                 (pair, rows, cols),
                 lambda i, j, *_: (i * (ntx0p // pair) + j, 0, 0),
                 memory_space=pltpu.VMEM,
             )
+        if lvl == 3:
+            rows, cols = slabs[3].shape[1:]
+            return pl.BlockSpec(
+                (1, rows, cols), lambda i, j, *_: (0, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        rows, cols = slabs[lvl].shape[2:]
         if lvl == 1:
             idx = lambda i, j, *_: (
-                jnp.minimum(i // s1_, nty1 - 1) * ntx1
-                + jnp.minimum((j * pair) // s1_, ntx1 - 1),
-                0,
-                0,
+                i // s1_, ((j * pair) // s1_) // pp1, 0, 0
             )
-        elif lvl == 2:
-            idx = lambda i, j, *_: (
-                jnp.minimum(i // s2_, nty2 - 1) * ntx2
-                + jnp.minimum((j * pair) // s2_, ntx2 - 1),
-                0,
-                0,
-            )
+            ppl = pp1
         else:
-            idx = lambda i, j, *_: (0, 0, 0)
-        return pl.BlockSpec((1, rows, cols), idx, memory_space=pltpu.VMEM)
+            idx = lambda i, j, *_: (
+                i // s2_, ((j * pair) // s2_) // pp2, 0, 0
+            )
+            ppl = pp2
+        return pl.BlockSpec(
+            (1, ppl, rows, cols), idx, memory_space=pltpu.VMEM
+        )
 
     kp = 0
     extra_in = []
@@ -533,8 +569,8 @@ def raster_tiles_pallas(
             )
 
     kernel = _make_kernel(
-        th, tw, grids, config.level_scales, pair, ntx0p, kp=kp,
-        caps=config.caps,
+        th, tw, grids, config.level_scales, pair, ntx0p, ntx1p, ntx2p,
+        kp=kp, caps=config.caps,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -558,10 +594,10 @@ def raster_tiles_pallas(
     # default layout before the call.
     operands = jax.lax.optimization_barrier(
         (
-            counts[0].reshape(-1),
-            counts[1].reshape(-1),
-            counts[2].reshape(-1),
-            counts[3].reshape(-1),
+            counts[0],
+            counts[1],
+            counts[2],
+            counts[3],
             *slabs,
             *extra_in,
         )

@@ -63,6 +63,9 @@ class RasterConfig:
     chunk: int = 16
     znear: float = 1e-6
     backend: str = "xla"  # "xla" | "pallas"
+    # L0 tiles resolved per pallas grid step (0 = auto); must span a
+    # whole number of L1/L2 parents or divide one evenly
+    pair: int = 0
 
     def grids(self, image_h: int, image_w: int):
         """Tile-grid shapes (nty, ntx) for levels 0..2."""
