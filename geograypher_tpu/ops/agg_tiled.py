@@ -26,11 +26,10 @@ Stage 2 — output-stationary face-block accumulation:
     Spatially ordered face ids (any roughly-coherent mesh ordering; see
     TexturedMesh.spatial_sort_faces) make each tile's candidate ids a
     narrow band, so each face block intersects only a small window of
-    tiles.  EXACT per-block windows are computed on the XLA side
-    (min-sorted spans filtered by max), the windowed tiles' counts/ids are
-    consolidated into contiguous (block, w_cap, ...) buffers by one XLA
-    gather, and a Pallas kernel with plain BlockSpec pipelining folds each
-    block's window into its dense (block, classes) slice via the same
+    tiles.  Per-block windows are contiguous tmin-sorted tile RANGES
+    (supersets; stale entries are skipped in-kernel by prefetched band
+    scalars), and a Pallas kernel streams each window through a DMA ring,
+    folding it into the block's dense (block, classes) slice via the same
     matmul-match trick — the "scatter" is a matrix product on the MXU.
     Counts ride as exact base-128 bf16 digit planes (``planes`` of them:
     2 cover counts < 16512, 4 cover anything < 2^24).
@@ -280,7 +279,8 @@ def tile_class_counts(
 
 
 class _Windows(NamedTuple):
-    table: jax.Array  # (NB, w_cap) tile indices intersecting each block
+    order: jax.Array  # (T,) tile permutation sorting tiles by tmin
+    lo: jax.Array  # (NB,) each block's window start in the sorted order
     win_len: jax.Array  # (NB,)
     overflow: jax.Array  # () tiles dropped by w_cap (0 when sized right)
 
@@ -291,53 +291,39 @@ def _block_windows(
     n_blocks: int,
     block: int,
     w_cap: int,
-    span_cap: int = 512,
 ):
-    """EXACT per-face-block tile tables.
+    """Per-face-block windows as contiguous ranges of the tmax-sorted
+    tile order.
 
-    Tiles sorted by min id; each block's candidates live in the contiguous
-    tmin-span [b0 - maxrange, b0 + block), which is filtered by
-    tmax >= b0 and compacted to at most ``w_cap`` entries per block
-    (vmapped sort of a fixed ``span_cap`` slice).
+    Tiles sorted by tmax: block b's window is [first tmax >= b0,
+    first position whose suffix-min of tmin >= b0 + block) — an exact
+    SUPERSET (every intersecting tile included; the few non-intersecting
+    entries are skipped in-kernel by a prefetched-scalar predicate).  This replaces an earlier vmapped
+    filter+sort compaction that cost ~40 ms/level at bench scale (more
+    than the fold kernel itself) and whose (NB, w_cap) table overflowed
+    the 1 MB SMEM at grouped-view window sizes; here the table is gone —
+    the caller permutes the tile entries into sorted order once and the
+    kernel's window DMAs become SEQUENTIAL HBM rows.  Unlike a
+    tmin-sorted range bounded by the GLOBAL max band width, the
+    suffix-min bound stays tight in the presence of outlier wide-band
+    tiles.
     """
     t = tmin.shape[0]
-    order = jnp.argsort(tmin).astype(jnp.int32)
-    tmin_sorted = tmin[order]
-    tmax_sorted = tmax[order]
     valid = tmax >= 0
-    maxrange = jnp.max(jnp.where(valid, tmax - tmin, 0))
+    key = jnp.where(valid, tmax, _BIG)
+    order = jnp.argsort(key).astype(jnp.int32)
+    tmax_sorted = key[order]
+    tmin_sorted = jnp.where(valid, tmin, _BIG)[order]
+    # suffix min of tmin in tmax order: monotone nondecreasing, so the
+    # first position whose whole suffix has tmin >= b1 bounds the window
+    mn = jax.lax.cummin(tmin_sorted[::-1])[::-1]
     b0 = jnp.arange(n_blocks, dtype=jnp.int32) * block
-    hi = jnp.searchsorted(tmin_sorted, b0 + block, side="left").astype(
-        jnp.int32
-    )
-    lo = jnp.searchsorted(tmin_sorted, b0 - maxrange, side="left").astype(
-        jnp.int32
-    )
-
-    span = jnp.arange(span_cap, dtype=jnp.int32)
-
-    def one_block(lo_b, hi_b, b0_b):
-        idx = jnp.minimum(lo_b + span, t - 1)
-        in_span = lo_b + span < hi_b
-        ok = in_span & (tmax_sorted[idx] >= b0_b)
-        key = jnp.where(ok, span, span_cap)
-        topk = jnp.sort(key)[:w_cap]
-        entries = order[
-            jnp.minimum(lo_b + jnp.minimum(topk, span_cap - 1), t - 1)
-        ]
-        n_ok = jnp.sum(ok)
-        over = jnp.maximum(n_ok - w_cap, 0) + jnp.maximum(
-            hi_b - lo_b - span_cap, 0
-        )
-        return (
-            jnp.where(topk < span_cap, entries, 0),
-            jnp.minimum(n_ok, w_cap).astype(jnp.int32),
-            over,
-        )
-
-    table, lens, over = jax.vmap(one_block)(lo, hi, b0)
+    lo = jnp.searchsorted(tmax_sorted, b0, side="left").astype(jnp.int32)
+    hi = jnp.searchsorted(mn, b0 + block, side="left").astype(jnp.int32)
+    lens = jnp.clip(hi - lo, 0, w_cap)
+    over = jnp.sum(jnp.maximum(hi - lo - w_cap, 0))
     return _Windows(
-        table=table, win_len=lens, overflow=jnp.sum(over).astype(jnp.int32)
+        order=order, lo=lo, win_len=lens, overflow=over.astype(jnp.int32)
     )
 
 
@@ -357,9 +343,10 @@ def _stage2_kernel(block: int, kp: int, s: int, w_cap: int, planes: int):
     """
     ring = min(_RING, w_cap)
 
-    def kernel(table_ref, wl_ref, cnt_hbm, ids_hbm, out_ref,
-               cnt_buf, ids_buf, acc_ref, sems):
+    def kernel(lo_ref, wl_ref, tmn_ref, tmx_ref, cnt_hbm, ids_hbm,
+               out_ref, cnt_buf, ids_buf, acc_ref, sems):
         b = pl.program_id(0)
+        lo_b = lo_ref[b]
         wl = wl_ref[b]
         blk = (
             jax.lax.broadcasted_iota(jnp.int32, (1, block), 1).astype(
@@ -370,7 +357,7 @@ def _stage2_kernel(block: int, kp: int, s: int, w_cap: int, planes: int):
         lhs = _match_rows(blk)  # (6, block)
 
         def dmas(w):
-            t = table_ref[b, w]
+            t = lo_b + w  # entries are tmin-sorted: sequential HBM rows
             slot = jax.lax.rem(w, ring)
             return (
                 pltpu.make_async_copy(
@@ -406,6 +393,28 @@ def _stage2_kernel(block: int, kp: int, s: int, w_cap: int, planes: int):
             for dma in dmas(w):
                 dma.wait()
             slot = jax.lax.rem(w, ring)
+            # windows are contiguous tmin-ranges (supersets): skip stale
+            # entries via the prefetched per-tile band scalars without
+            # touching their VMEM data
+            hit_entry = (tmx_ref[lo_b + w] >= b0i) & (
+                tmn_ref[lo_b + w] < b0i + block
+            )
+
+            @pl.when(hit_entry)
+            def _(slot=slot):
+                _consume_hit(slot)
+
+            # slot data fully consumed: keep the ring full
+            nxt = w + ring
+
+            @pl.when(nxt < wl)
+            def _():
+                for dma in dmas(nxt):
+                    dma.start()
+
+            return z
+
+        def _consume_hit(slot):
             ids_row = ids_buf[slot]  # (1, s) int32
             for sp in range(s // sp_sz):
                 piece = ids_row[:, sp * sp_sz:(sp + 1) * sp_sz]
@@ -450,15 +459,6 @@ def _stage2_kernel(block: int, kp: int, s: int, w_cap: int, planes: int):
                             acc_ref[
                                 bb * bb_sz:(bb + 1) * bb_sz
                             ] += add
-            # slot data fully consumed: keep the ring full
-            nxt = w + ring
-
-            @pl.when(nxt < wl)
-            def _():
-                for dma in dmas(nxt):
-                    dma.start()
-
-            return z
 
         jax.lax.fori_loop(0, wl, consume, 0)
         out_ref[0] = acc_ref[...]
@@ -520,10 +520,16 @@ def face_counts_from_tiles(
     tmax = jnp.max(jnp.where(valid, ids, -1), axis=1).astype(jnp.int32)
     w_cap = min(_round_up(max(w_cap, 1), 8), _round_up(max(t, 8), 8))
     win = _block_windows(tmin, tmax, nb, block, w_cap)
+    # permute entries into tmin-sorted order: block windows become
+    # contiguous row ranges (sequential DMA, no SMEM table)
+    counts = counts[win.order]
+    ids = ids[win.order]
+    tmn_s = tmin[win.order]
+    tmx_s = tmax[win.order]
 
     kernel = _stage2_kernel(block, kp, s, w_cap, planes)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=4,
         grid=(nb,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
@@ -540,7 +546,7 @@ def face_counts_from_tiles(
         ],
     )
     operands = jax.lax.optimization_barrier(
-        (win.table, win.win_len, counts, ids.reshape(t, 1, s))
+        (win.lo, win.win_len, tmn_s, tmx_s, counts, ids.reshape(t, 1, s))
     )
     out = pl.pallas_call(
         kernel,

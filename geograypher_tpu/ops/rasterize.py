@@ -66,6 +66,11 @@ class RasterConfig:
     # L0 tiles resolved per pallas grid step (0 = auto); must span a
     # whole number of L1/L2 parents or divide one evenly
     pair: int = 0
+    # face-block fold capacities for the fused aggregation path
+    # (ops/agg_tiled.py); size via agg_tiled.fold_window_overflow for a
+    # survey configuration (overflows drop counts, never corrupt)
+    fold_block: int = 1024
+    fold_w_cap: int = 256
 
     def grids(self, image_h: int, image_w: int):
         """Tile-grid shapes (nty, ntx) for levels 0..2."""
@@ -559,7 +564,9 @@ def rasterize_and_count(
             n_classes=n_classes,
         )
         return agg_tiled.fold_tile_counts(
-            outs, binned, config, image_h, image_w, n_faces, n_classes
+            outs, binned, config, image_h, image_w, n_faces, n_classes,
+            w_cap=getattr(config, "fold_w_cap", 256),
+            block=getattr(config, "fold_block", 1024),
         )
     from geograypher_tpu.ops.aggregate import project_image_class_counts
 

@@ -3,9 +3,20 @@ sharded device compute.
 
 The production path for ``aggregate_images`` at survey scale: a thread
 pool loads + segments label images ahead of the device (cv2/PIL release
-the GIL), class-index images are shipped (8 bits/pixel rather than one-hot
-floats), and each device in the view-axis mesh rasterizes + aggregates its
-own views, with per-face accumulators psum-combined over ICI at the end.
+the GIL), class-index images are shipped as int8 (1 byte/pixel), and each
+device in the view-axis mesh rasterizes + aggregates its own views with
+the FUSED scatter-free kernel chain (``ops.rasterize.rasterize_and_count``
+— the raster kernel emits per-tile class counts, face-block fold kernels
+densify them; no XLA scatter ever consumes a Mosaic output, per the
+docs/DESIGN.md corruption doctrine).  Per-face accumulators stay DEVICE
+RESIDENT across view groups (one host fetch at the end) and are
+psum-combined over ICI inside each step.
+
+Lens distortion is applied IN the rasterizer (vertices warped into the
+sensor's distorted pixel space — ``setup_from_soa(distortion=...)``),
+matching the single-device production path; the reference instead warps
+the rendered map through a NN remap (meshes.py:1805-1821), which this
+supersedes with sub-pixel accuracy at survey triangle sizes.
 
 Semantics match ``TexturedMesh.aggregate_projected_images`` over one-hot
 segmentor images exactly: each view contributes its per-face class
@@ -27,12 +38,11 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from geograypher_tpu.cameras.distortion import remap_image_jax
-from geograypher_tpu.ops.aggregate import project_image_class_counts
 from geograypher_tpu.ops.rasterize import (
     RasterConfig,
-    rasterize_triangles,
-    transform_to_camera,
+    rasterize_and_count,
+    setup_from_soa,
+    tri_to_soa,
 )
 from geograypher_tpu.parallel.sharding import VIEW_AXIS, make_view_mesh
 
@@ -59,10 +69,10 @@ def aggregate_class_images_distributed(
             ``cameras.get_image_by_index`` (segmentor one-hots).
         aggregate_img_scale: label/raster scale fraction.
         device_mesh: jax device mesh (defaults to all devices).
-        apply_distortion: None (default) warps each view's pix2face to the
-            sensor's distorted geometry whenever the sensor is calibrated
-            with distortion (on-device NN remap, matching the single-device
-            path and reference meshes.py:1805-1821); False disables.
+        apply_distortion: None (default) rasterizes each view directly in
+            the sensor's distorted pixel space whenever the sensor is
+            calibrated with distortion (reference behavior:
+            meshes.py:1805-1821, via NN remap there); False disables.
 
     Returns (fraction_sums (F, n_classes), view_counts (F,)) as numpy
     arrays: ``fraction_sums`` is the sum over views of each view's
@@ -75,7 +85,7 @@ def aggregate_class_images_distributed(
     n_dev = device_mesh.devices.size
     config = config or mesh.raster_config
     n_faces = mesh.n_faces
-    tri = mesh.get_tri_verts_device(cameras)
+    tri_soa = jnp.asarray(tri_to_soa(mesh.get_tri_verts_device(cameras)))
     batch = cameras.get_camera_batch(image_scale=aggregate_img_scale)
     h, w = batch.image_height, batch.image_width
 
@@ -92,109 +102,83 @@ def aggregate_class_images_distributed(
     sharding = NamedSharding(device_mesh, P(VIEW_AXIS))
     replicated = NamedSharding(device_mesh, P())
 
-    # Per-sensor warped->ideal distortion maps (None disables the remap for
-    # a sensor-less/undistorted view).  Map index -1 = identity.
-    n = len(cameras)
-    map_idx_all = np.full(n, -1, np.int32)
-    w2i_list: typing.List[np.ndarray] = []
-    if apply_distortion is None or apply_distortion:
-        sensor_to_map: dict = {}
-        for i in range(n):
-            sid = cameras.sensor_IDs[i]
-            if sid not in sensor_to_map:
-                m = mesh._distortion_map_device(
-                    cameras, i, aggregate_img_scale
-                )
-                if m is None:
-                    sensor_to_map[sid] = -1
-                else:
-                    sensor_to_map[sid] = len(w2i_list)
-                    w2i_list.append(np.asarray(m))
-            map_idx_all[i] = sensor_to_map[sid]
-    if w2i_list:
-        w2i_maps = jax.device_put(
-            jnp.asarray(np.stack(w2i_list, axis=0), jnp.float32), replicated
-        )
-    else:
-        w2i_maps = jax.device_put(
-            jnp.zeros((1, 2, h, w), jnp.float32), replicated
-        )
+    dist_all = np.asarray(batch.distortion, np.float32)  # (N, 8)
+    pcx_all = np.asarray(batch.cx, np.float32)
+    pcy_all = np.asarray(batch.cy, np.float32)
+    use_dist = bool(
+        (apply_distortion is None or apply_distortion)
+        and (np.any(dist_all) or np.any(pcx_all) or np.any(pcy_all))
+    )
 
     @jax.jit
     def device_step(
-        tri, w2i_maps, w2c_shard, f_shard, valid_shard, imgs_shard, midx_shard
+        tri_soa, w2c_shard, f_shard, dist_shard, pcx_shard, pcy_shard,
+        valid_shard, imgs_shard, acc_fracs, acc_views,
     ):
-        def per_device(tri, w2i_maps, w2c_b, f_b, valid_b, imgs_b, midx_b):
+        def per_device(
+            tri_soa, w2c_b, f_b, dist_b, pcx_b, pcy_b, valid_b, imgs_b,
+            acc_fracs, acc_views,
+        ):
             # collapse the (local-shard=1, steps) leading axes
             w2c_b = w2c_b.reshape(-1, 4, 4)
             f_b = f_b.reshape(-1)
+            dist_b = dist_b.reshape(-1, 8)
+            pcx_b = pcx_b.reshape(-1)
+            pcy_b = pcy_b.reshape(-1)
             valid_b = valid_b.reshape(-1)
             imgs_b = imgs_b.reshape((-1,) + imgs_b.shape[2:])
-            midx_b = midx_b.reshape(-1)
 
-            def one(carry, inputs):
-                w2c_k, f_k, valid_k, img_k, midx_k = inputs
-                frac_acc, views_acc = carry
-                p2f = rasterize_triangles(
-                    transform_to_camera(tri, w2c_k),
-                    f_k,
-                    image_w=w,
-                    image_h=h,
-                    config=config,
-                )
-                p2f = jax.lax.cond(
-                    midx_k >= 0,
-                    lambda p: remap_image_jax(
-                        p, w2i_maps[jnp.maximum(midx_k, 0)], fill_value=-1
+            fracs = jnp.zeros((n_faces, n_classes), jnp.float32)
+            views = jnp.zeros((n_faces,), jnp.float32)
+            # python-unrolled view loop: Mosaic kernels inside lax.scan
+            # corrupt on the current runtime (docs/DESIGN.md)
+            for k in range(w2c_b.shape[0]):
+                setup = setup_from_soa(
+                    tri_soa, w2c_b[k], f_b[k], w, h, config.znear,
+                    distortion=(
+                        (dist_b[k], pcx_b[k], pcy_b[k]) if use_dist else None
                     ),
-                    lambda p: p,
-                    p2f,
                 )
-                counts = project_image_class_counts(
-                    p2f, img_k, n_faces=n_faces, n_classes=n_classes
+                counts = rasterize_and_count(
+                    setup, imgs_b[k].astype(jnp.int32), config, h, w,
+                    n_faces, n_classes,
                 )
-                counts = counts * valid_k
+                counts = counts * valid_b[k]
                 face_total = jnp.sum(counts, axis=1)
                 seen = (face_total > 0).astype(jnp.float32)
                 # per-view class fraction: this view's vote, weighted
                 # equally with every other view that saw the face
-                frac = counts / jnp.maximum(face_total, 1.0)[:, None]
-                return (frac_acc + frac, views_acc + seen), None
-
-            init = (
-                jnp.zeros((n_faces, n_classes), jnp.float32),
-                jnp.zeros((n_faces,), jnp.float32),
-            )
-            from geograypher_tpu.parallel.sharding import unrolled_view_scan
-
-            (fracs, views), _ = unrolled_view_scan(
-                one, init, (w2c_b, f_b, valid_b, imgs_b, midx_b)
-            )
+                fracs = fracs + counts / jnp.maximum(face_total, 1.0)[:, None]
+                views = views + seen
             return (
-                jax.lax.psum(fracs, VIEW_AXIS),
-                jax.lax.psum(views, VIEW_AXIS),
+                acc_fracs + jax.lax.psum(fracs, VIEW_AXIS),
+                acc_views + jax.lax.psum(views, VIEW_AXIS),
             )
 
         return jax.shard_map(
             per_device,
             mesh=device_mesh,
             in_specs=(
-                P(), P(), P(VIEW_AXIS), P(VIEW_AXIS), P(VIEW_AXIS),
-                P(VIEW_AXIS), P(VIEW_AXIS),
+                P(), P(VIEW_AXIS), P(VIEW_AXIS), P(VIEW_AXIS), P(VIEW_AXIS),
+                P(VIEW_AXIS), P(VIEW_AXIS), P(VIEW_AXIS), P(), P(),
             ),
             out_specs=(P(), P()),
             check_vma=False,
-        )(tri, w2i_maps, w2c_shard, f_shard, valid_shard, imgs_shard,
-          midx_shard)
+        )(tri_soa, w2c_shard, f_shard, dist_shard, pcx_shard, pcy_shard,
+          valid_shard, imgs_shard, acc_fracs, acc_views)
 
+    n = len(cameras)
     n_pad = -(-n // n_dev) * n_dev
     order = list(range(n)) + [0] * (n_pad - n)
     valid = np.array([1.0] * n + [0.0] * (n_pad - n), np.float32)
     w2c_all = np.asarray(batch.world_to_cam)
     f_all = np.asarray(batch.f)
+    img_dtype = np.int8 if n_classes < 128 else np.int32
 
-    total_fracs = np.zeros((n_faces, n_classes), np.float32)
-    total_views = np.zeros((n_faces,), np.float32)
+    total_fracs = jax.device_put(
+        jnp.zeros((n_faces, n_classes), jnp.float32), replicated
+    )
+    total_views = jax.device_put(jnp.zeros((n_faces,), jnp.float32), replicated)
 
     with concurrent.futures.ThreadPoolExecutor(prefetch_workers) as pool:
         futures: dict = {}
@@ -208,26 +192,30 @@ def aggregate_class_images_distributed(
             ensure(i)
         for start in range(0, n_pad, n_dev):
             idx = list(range(start, start + n_dev))
-            imgs = np.stack([futures.pop(i).result() for i in idx], axis=0)
+            imgs = np.stack(
+                [
+                    np.clip(futures.pop(i).result(), -1, None).astype(
+                        img_dtype
+                    )
+                    for i in idx
+                ],
+                axis=0,
+            )
             for j in range(start + n_dev, min(start + n_dev + window, n_pad)):
                 ensure(j)
-            # reshape per-device leading dim: (n_dev, 1, ...) so scan runs
-            # once per step per device
-            fracs, views = device_step(
-                tri,
-                w2i_maps,
-                jax.device_put(
-                    w2c_all[[order[i] for i in idx]][:, None], sharding
-                ),
-                jax.device_put(f_all[[order[i] for i in idx]][:, None], sharding),
+            sel = [order[i] for i in idx]
+            # reshape per-device leading dim: (n_dev, 1, ...) so the view
+            # loop runs once per step per device
+            total_fracs, total_views = device_step(
+                tri_soa,
+                jax.device_put(w2c_all[sel][:, None], sharding),
+                jax.device_put(f_all[sel][:, None], sharding),
+                jax.device_put(dist_all[sel][:, None], sharding),
+                jax.device_put(pcx_all[sel][:, None], sharding),
+                jax.device_put(pcy_all[sel][:, None], sharding),
                 jax.device_put(valid[idx][:, None], sharding),
-                jax.device_put(
-                    jnp.asarray(imgs[:, None], jnp.int32), sharding
-                ),
-                jax.device_put(
-                    map_idx_all[[order[i] for i in idx]][:, None], sharding
-                ),
+                jax.device_put(jnp.asarray(imgs[:, None]), sharding),
+                total_fracs,
+                total_views,
             )
-            total_fracs += np.asarray(fracs)
-            total_views += np.asarray(views)
-    return total_fracs, total_views
+    return np.asarray(total_fracs), np.asarray(total_views)
