@@ -177,18 +177,71 @@ def main():
     # target: 100 views/s on 8 chips -> 12.5 views/s per chip
     target = 12.5 * n_dev if on_tpu else None
     vs_baseline = views_per_sec / target if target else 0.0
-    print(
-        json.dumps(
-            {
-                "metric": "4K views rasterized+aggregated per second (1M-face mesh)"
-                if on_tpu
-                else "smoke views/s (CPU, reduced scale)",
-                "value": round(views_per_sec, 3),
-                "unit": "views/s",
-                "vs_baseline": round(vs_baseline, 4),
-            }
+
+    # Second, honest END-TO-END number through the production streaming
+    # path: aggregate_class_images_distributed with host-thread label
+    # prefetch and per-group device_put of int8 label images.  On this
+    # development environment the host<->device link is a ~40 MB/s
+    # tunnel, so this measures the full pipeline including transfer
+    # (production PCIe/ICI links are orders of magnitude faster).
+    pipeline_vps = None
+    try:
+        from geograypher_tpu.cameras.core import CameraSet
+        from geograypher_tpu.meshes.mesh import TexturedMesh
+        from geograypher_tpu.parallel.pipeline import (
+            aggregate_class_images_distributed,
         )
-    )
+
+        tmesh = TexturedMesh(
+            (verts, faces),
+            raster_config=RasterConfig(
+                caps=caps, backend=backend,
+                fold_w_cap=8 * ((max_win * 5 // 4 + 7) // 8),
+            ),
+        )
+        sensor = {
+            "f": focal, "cx": 0.0, "cy": 0.0,
+            "image_width": W, "image_height": H,
+        }
+        cams = CameraSet(
+            [np.linalg.inv(m) for m in w2cs], {0: sensor}
+        )
+        label_imgs = [
+            rng.integers(0, n_classes, (H, W)).astype(np.int32)
+            for _ in range(n_views)
+        ]
+        # warm: one pass to compile the device step
+        aggregate_class_images_distributed(
+            tmesh, cams, n_classes,
+            class_image_provider=lambda i: label_imgs[i],
+        )
+        t0 = time.perf_counter()
+        fracs, views_seen = aggregate_class_images_distributed(
+            tmesh, cams, n_classes,
+            class_image_provider=lambda i: label_imgs[i],
+        )
+        dt_p = time.perf_counter() - t0
+        if float(views_seen.max()) < 1:
+            raise RuntimeError("pipeline produced no observations")
+        pipeline_vps = round(n_views / dt_p, 3)
+    except Exception as e:  # report the flagship metric regardless
+        print(f"pipeline metric failed: {e!r}", file=sys.stderr)
+
+    out = {
+        "metric": "4K views rasterized+aggregated per second (1M-face mesh)"
+        if on_tpu
+        else "smoke views/s (CPU, reduced scale)",
+        "value": round(views_per_sec, 3),
+        "unit": "views/s",
+        "vs_baseline": round(vs_baseline, 4),
+    }
+    if pipeline_vps is not None:
+        out["pipeline_views_per_s"] = pipeline_vps
+        out["pipeline_note"] = (
+            "end-to-end streaming path incl. host prefetch + tunnel-"
+            "limited image transfer"
+        )
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

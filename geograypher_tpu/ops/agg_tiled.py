@@ -327,27 +327,32 @@ def _block_windows(
     )
 
 
-_RING = 16  # in-flight DMA ring depth (VMEM + semaphore bounded)
+_RING = 4   # in-flight DMA batches (VMEM + semaphore bounded)
+_KB = 8     # window entries per DMA batch (entries are sequential rows)
 
 
 def _stage2_kernel(block: int, kp: int, s: int, w_cap: int, planes: int):
     """Grid over face blocks; each step folds its window of tiles into the
     block's dense slice.
 
-    Window (counts, ids) DMAs flow through a fixed-depth ring buffer:
-    up to ``_RING`` tiles are in flight ahead of consumption, so HBM
-    latency amortizes while VMEM scratch and DMA semaphores stay constant
-    no matter how large the window capacity is (TPU semaphore memory is
-    tiny — a window-deep semaphore array breaks past ~256 slots).
-    Counts ride the MXU as ``planes`` exact base-128 bf16 digit planes.
+    Window entries are CONTIGUOUS rows of the tmax-sorted entry arrays
+    (see _block_windows), so the kernel streams them through a ring of
+    ``_KB``-entry batched DMAs — one issue/wait per ``_KB`` entries, the
+    dominant per-entry cost of the earlier one-row-per-DMA ring.  No
+    entry-level validity test is needed: rows past the window end have
+    tmin >= block end by the suffix-min construction, stale rows have
+    tmax < block start, and padding rows hold empty ids — all of which
+    already fail the per-piece band tests.  Counts ride the MXU as
+    ``planes`` exact base-128 bf16 digit planes.
     """
-    ring = min(_RING, w_cap)
+    ring = _RING
 
-    def kernel(lo_ref, wl_ref, tmn_ref, tmx_ref, cnt_hbm, ids_hbm,
-               out_ref, cnt_buf, ids_buf, acc_ref, sems):
+    def kernel(lo_ref, wl_ref, cnt_hbm, ids_hbm, out_ref,
+               cnt_buf, ids_buf, acc_ref, sems):
         b = pl.program_id(0)
         lo_b = lo_ref[b]
         wl = wl_ref[b]
+        nwb = (wl + _KB - 1) // _KB  # DMA batches for this block
         blk = (
             jax.lax.broadcasted_iota(jnp.int32, (1, block), 1).astype(
                 jnp.float32
@@ -356,66 +361,41 @@ def _stage2_kernel(block: int, kp: int, s: int, w_cap: int, planes: int):
         )
         lhs = _match_rows(blk)  # (6, block)
 
-        def dmas(w):
-            t = lo_b + w  # entries are tmin-sorted: sequential HBM rows
-            slot = jax.lax.rem(w, ring)
+        def dmas(w8):
+            slot = jax.lax.rem(w8, ring)
+            row = lo_b + w8 * _KB
             return (
                 pltpu.make_async_copy(
-                    cnt_hbm.at[t], cnt_buf.at[slot], sems.at[slot, 0]
+                    cnt_hbm.at[pl.ds(row, _KB)], cnt_buf.at[slot],
+                    sems.at[slot, 0],
                 ),
                 pltpu.make_async_copy(
-                    ids_hbm.at[t], ids_buf.at[slot], sems.at[slot, 1]
+                    ids_hbm.at[pl.ds(row, _KB)], ids_buf.at[slot],
+                    sems.at[slot, 1],
                 ),
             )
 
-        def issue(w, z):
-            for dma in dmas(w):
+        def issue(w8, z):
+            for dma in dmas(w8):
                 dma.start()
             return z
 
-        jax.lax.fori_loop(0, jnp.minimum(wl, ring), issue, 0)
+        jax.lax.fori_loop(0, jnp.minimum(nwb, ring), issue, 0)
         acc_ref[...] = jnp.zeros((block, kp), jnp.float32)
 
         # Small (BB, SP) match pieces keep the difference matrix out of
         # VMEM round-trips (the full (block, s) materialization was the
-        # measured bottleneck).  Slots are id-sorted (binning stable
-        # sort), so each slot piece spans a narrow id band: pieces whose
-        # band misses the block — and face sub-blocks outside a hit
-        # piece's band — are skipped entirely.  With a Hilbert/Morton
-        # face order the band is O(slots), making the match work nearly
-        # proportional to the true (face, tile) incidence count.
+        # measured bottleneck).  Slots are id-sorted (binning sort), so
+        # each slot piece spans a narrow id band: pieces whose band
+        # misses the block — and face sub-blocks outside a hit piece's
+        # band — are skipped entirely.
         bb_sz = min(256, block)
         sp_sz = min(128, s)
         b0i = b * block
         dims = (((1,), (1,)), ((), ()))
 
-        def consume(w, z):
-            for dma in dmas(w):
-                dma.wait()
-            slot = jax.lax.rem(w, ring)
-            # windows are contiguous tmin-ranges (supersets): skip stale
-            # entries via the prefetched per-tile band scalars without
-            # touching their VMEM data
-            hit_entry = (tmx_ref[lo_b + w] >= b0i) & (
-                tmn_ref[lo_b + w] < b0i + block
-            )
-
-            @pl.when(hit_entry)
-            def _(slot=slot):
-                _consume_hit(slot)
-
-            # slot data fully consumed: keep the ring full
-            nxt = w + ring
-
-            @pl.when(nxt < wl)
-            def _():
-                for dma in dmas(nxt):
-                    dma.start()
-
-            return z
-
-        def _consume_hit(slot):
-            ids_row = ids_buf[slot]  # (1, s) int32
+        def entry(slot, k):
+            ids_row = ids_buf[slot, k]  # (1, s) int32
             for sp in range(s // sp_sz):
                 piece = ids_row[:, sp * sp_sz:(sp + 1) * sp_sz]
                 valid_p = piece >= 0
@@ -426,7 +406,7 @@ def _stage2_kernel(block: int, kp: int, s: int, w_cap: int, planes: int):
                 @pl.when(hit)
                 def _(sp=sp, piece=piece, pmin=pmin, pmax=pmax):
                     rhs = _match_cols(piece.astype(jnp.float32))  # (6, SP)
-                    cnt = cnt_buf[slot, :, sp * sp_sz:(sp + 1) * sp_sz]
+                    cnt = cnt_buf[slot, k, :, sp * sp_sz:(sp + 1) * sp_sz]
                     qs = []
                     c = cnt
                     for j in range(planes):
@@ -460,7 +440,23 @@ def _stage2_kernel(block: int, kp: int, s: int, w_cap: int, planes: int):
                                 bb * bb_sz:(bb + 1) * bb_sz
                             ] += add
 
-        jax.lax.fori_loop(0, wl, consume, 0)
+        def consume(w8, z):
+            for dma in dmas(w8):
+                dma.wait()
+            slot = jax.lax.rem(w8, ring)
+            for k in range(_KB):
+                entry(slot, k)
+            # batch fully consumed: keep the ring full
+            nxt = w8 + ring
+
+            @pl.when(nxt < nwb)
+            def _():
+                for dma in dmas(nxt):
+                    dma.start()
+
+            return z
+
+        jax.lax.fori_loop(0, nwb, consume, 0)
         out_ref[0] = acc_ref[...]
 
     return kernel
@@ -520,16 +516,20 @@ def face_counts_from_tiles(
     tmax = jnp.max(jnp.where(valid, ids, -1), axis=1).astype(jnp.int32)
     w_cap = min(_round_up(max(w_cap, 1), 8), _round_up(max(t, 8), 8))
     win = _block_windows(tmin, tmax, nb, block, w_cap)
-    # permute entries into tmin-sorted order: block windows become
-    # contiguous row ranges (sequential DMA, no SMEM table)
-    counts = counts[win.order]
-    ids = ids[win.order]
-    tmn_s = tmin[win.order]
-    tmx_s = tmax[win.order]
+    # permute entries into the sorted window order (block windows become
+    # contiguous row ranges: sequential batched DMA, no SMEM table) and
+    # pad so the last batch of the largest window never reads OOB —
+    # padding rows hold empty ids, which match nothing
+    pad_n = _round_up(w_cap, _KB) + _KB
+    counts = jnp.pad(counts[win.order], ((0, pad_n), (0, 0), (0, 0)))
+    ids = jnp.pad(
+        ids[win.order], ((0, pad_n), (0, 0)), constant_values=-1
+    )
+    tp = t + pad_n
 
     kernel = _stage2_kernel(block, kp, s, w_cap, planes)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=2,
         grid=(nb,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
@@ -539,14 +539,14 @@ def face_counts_from_tiles(
             (1, block, kp), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((min(_RING, w_cap), kp, s), jnp.float32),
-            pltpu.VMEM((min(_RING, w_cap), 1, s), jnp.int32),
+            pltpu.VMEM((_RING, _KB, kp, s), jnp.float32),
+            pltpu.VMEM((_RING, _KB, 1, s), jnp.int32),
             pltpu.VMEM((block, kp), jnp.float32),
-            pltpu.SemaphoreType.DMA((min(_RING, w_cap), 2)),
+            pltpu.SemaphoreType.DMA((_RING, 2)),
         ],
     )
     operands = jax.lax.optimization_barrier(
-        (win.lo, win.win_len, tmn_s, tmx_s, counts, ids.reshape(t, 1, s))
+        (win.lo, win.win_len, counts, ids.reshape(tp, 1, s))
     )
     out = pl.pallas_call(
         kernel,

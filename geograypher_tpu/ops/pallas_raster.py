@@ -78,9 +78,10 @@ def _prep_level_slab(
 ):
     """(T, C) candidate ids -> (slab, (T, 1) counts).
 
-    With ``tile_origin`` (level 0): tile-local hi/lo 7-plane layout
-    (T, 6, nch*7*CHUNK), plane blocks [e0|e1|e2|w|d0|d1|d2] per chunk,
-    rows 0-2 = bf16-hi coefficients, rows 3-5 = bf16-lo.
+    With ``tile_origin`` (level 0): tile-local hi/lo layout
+    (T, 6, nch*5*CHUNK), plane blocks [e0|e1|e2|w|d] per chunk, rows
+    0-2 = bf16-hi coefficients (digit block: the three base-256 id digit
+    rows), rows 3-5 = bf16-lo (digit block: zero).
     Without: global-coordinate 5-plane f32 layout (T, 3, nch*5*CHUNK),
     blocks [e0|e1|e2|w|id].
     Empty slots point at the sentinel plane row (coverage-false).
@@ -126,28 +127,23 @@ def _prep_level_slab(
     d0 = (ids % 256).astype(jnp.float32)
     d1 = ((ids // 256) % 256).astype(jnp.float32)
     d2 = (ids // 65536).astype(jnp.float32)
-    zeros = jnp.zeros_like(d0)
-    # (T, Cp, 7 planes, 3 coefs)
-    coefs = jnp.concatenate(
-        [
-            jnp.stack([a, b, c_local], axis=-1),  # e0,e1,e2,w shifted
-            jnp.stack(
-                [
-                    jnp.stack([zeros, zeros, d0], axis=-1),
-                    jnp.stack([zeros, zeros, d1], axis=-1),
-                    jnp.stack([zeros, zeros, d2], axis=-1),
-                ],
-                axis=2,
-            ),
-        ],
-        axis=2,
-    )
-    hi, lo = _split_hi_lo(coefs)
-    both = jnp.concatenate([hi, lo], axis=-1)  # (T, Cp, 7, 6)
+    # 4 evaluated planes (hi/lo pairs) + one DIGIT block [d0 d1 d2 0 0 0]:
+    # face-id digits are constant over pixels, so they never enter the
+    # pixel dot — the kernel reads them straight off the slab and
+    # transposes via a tiny exact digit dot.  This keeps the per-chunk
+    # dot output (and its VMEM footprint) to 4 plane blocks.
+    hi, lo = _split_hi_lo(jnp.stack([a, b, c_local], axis=-1))
+    both4 = jnp.concatenate([hi, lo], axis=-1)  # (T, Cp, 4, 6)
+    dblock = jnp.stack(
+        [d0, d1, d2, jnp.zeros_like(d0), jnp.zeros_like(d0),
+         jnp.zeros_like(d0)],
+        axis=-1,
+    )[:, :, None, :]  # (T, Cp, 1, 6): digits <= 255 are bf16-exact
+    both = jnp.concatenate([both4, dblock], axis=2)  # (T, Cp, 5, 6)
     slab = (
-        both.reshape(t, nch, CHUNK, 7, 6)
+        both.reshape(t, nch, CHUNK, 5, 6)
         .transpose(0, 4, 1, 3, 2)  # (T, coef6, chunk, plane, cand)
-        .reshape(t, 6, nch * 7 * CHUNK)
+        .reshape(t, 6, nch * 5 * CHUNK)
     )
     return slab, counts
 
@@ -209,18 +205,24 @@ def _make_kernel(
                 jnp.where(upd, cid, best_id),
             )
 
-        def resolve0(vals, base, carry):
-            """Level-0 resolve on a 7-plane row block starting at ``base``."""
+        # exact lane->sublane transpose of the base-256 id digit rows:
+        # digits <= 255 and the weights are bf16-exact, products < 2^24,
+        # and each output element is a 3-term exact f32 sum (built from an
+        # iota: pallas kernels cannot capture array constants)
+        _ri = jax.lax.broadcasted_iota(jnp.int32, (3, 1), 0)
+        w256 = jnp.where(
+            _ri == 0, 1.0, jnp.where(_ri == 1, 256.0, 65536.0)
+        ).astype(jnp.bfloat16)
+
+        def resolve0(vals, base, idcol, carry):
+            """Level-0 resolve on a 4-plane row block starting at ``base``;
+            ``idcol`` is the chunk's (CHUNK, 1) face-id column (broadcast
+            over pixels)."""
             e0 = vals[base + 0 * CHUNK : base + 1 * CHUNK]
             e1 = vals[base + 1 * CHUNK : base + 2 * CHUNK]
             e2 = vals[base + 2 * CHUNK : base + 3 * CHUNK]
             wv = vals[base + 3 * CHUNK : base + 4 * CHUNK]
-            idv = (
-                vals[base + 4 * CHUNK : base + 5 * CHUNK]
-                + 256.0 * vals[base + 5 * CHUNK : base + 6 * CHUNK]
-                + 65536.0 * vals[base + 6 * CHUNK : base + 7 * CHUNK]
-            )
-            return resolve(e0, e1, e2, wv, idv, carry)
+            return resolve(e0, e1, e2, wv, idcol, carry)
 
         def level0_group(slab_ref, cnt_ref, sub_ids, glob_ids, carries):
             """A group of sub-tiles shares one wide hi/lo dot per chunk.
@@ -236,9 +238,20 @@ def _make_kernel(
             g = len(sub_ids)
 
             def chunk(ci, carries):
-                off = pl.multiple_of(ci * (7 * CHUNK), 7 * CHUNK)
+                off = pl.multiple_of(ci * (5 * CHUNK), 5 * CHUNK)
                 blocks = [
-                    slab_ref[s, :, pl.ds(off, 7 * CHUNK)]  # (6, 896)
+                    slab_ref[s, :, pl.ds(off, 4 * CHUNK)]  # (6, 512)
+                    for s in sub_ids
+                ]
+                idcols = [
+                    jax.lax.dot_general(
+                        slab_ref[
+                            s, 0:3, pl.ds(off + 4 * CHUNK, CHUNK)
+                        ].astype(jnp.bfloat16),
+                        w256,
+                        (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )  # (CHUNK, 1) exact f32 ids
                     for s in sub_ids
                 ]
                 hi = jnp.concatenate([b[0:3] for b in blocks], axis=1)
@@ -248,9 +261,9 @@ def _make_kernel(
                     hi, pmat_local, dims, preferred_element_type=jnp.float32
                 ) + jax.lax.dot_general(
                     lo, pmat_local, dims, preferred_element_type=jnp.float32
-                )  # (g*7*CHUNK, npix)
+                )  # (g*4*CHUNK, npix)
                 return tuple(
-                    resolve0(vals, s * 7 * CHUNK, carries[s])
+                    resolve0(vals, s * 4 * CHUNK, idcols[s], carries[s])
                     for s in range(g)
                 )
 
@@ -373,8 +386,7 @@ def _make_kernel(
                     preferred_element_type=jnp.float32,
                 )  # (npix, 1), exactly == best transposed
 
-                # L0: ids from the slab's three digit planes (hi c rows;
-                # digits <= 255 are bf16-exact, lo rows zero); chunks are
+                # L0: ids from the slab's digit block rows; chunks are
                 # statically unrolled (caps small), empties skipped
                 cnt0 = c0[l0_tile_ids[sub]]
                 for ci in range(-(-caps[0] // CHUNK)):
@@ -382,14 +394,14 @@ def _make_kernel(
 
                     @pl.when(ci * CHUNK < cnt0)
                     def _(ci=ci, wdt=wdt):
-                        off = ci * 7 * CHUNK
+                        off = ci * 5 * CHUNK
                         dig = s0[
-                            sub, 2:3, off + 4 * CHUNK:off + 7 * CHUNK
-                        ]
+                            sub, 0:3, off + 4 * CHUNK:off + 5 * CHUNK
+                        ]  # (3, CHUNK) digit rows
                         ids_row = (
-                            dig[:, 0 * CHUNK:1 * CHUNK]
-                            + 256.0 * dig[:, 1 * CHUNK:2 * CHUNK]
-                            + 65536.0 * dig[:, 2 * CHUNK:3 * CHUNK]
+                            dig[0:1]
+                            + 256.0 * dig[1:2]
+                            + 65536.0 * dig[2:3]
                         )
                         match_ids(
                             ids_row, best_col, onehot, o0_ref, sub,
