@@ -23,5 +23,5 @@ def test_bench_smoke():
     lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
     assert lines, f"no JSON line in output: {out.stdout!r} {out.stderr[-500:]!r}"
     doc = json.loads(lines[-1])
-    assert set(doc) == {"metric", "value", "unit", "vs_baseline"}
+    assert {"metric", "value", "unit", "vs_baseline"} <= set(doc)
     assert doc["value"] > 0
