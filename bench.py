@@ -97,7 +97,7 @@ def main():
         setup = setup_from_soa(tri, w2c_k, fl, W, H, config.znear)
         binned = bin_triangles(setup, config, H, W)
         return fold_window_overflow(
-            binned.cand[0], n_faces=n_faces, w_cap=504, block=2048
+            binned.cand[0], n_faces=n_faces, w_cap=504, block=4096
         )
 
     over, max_win = (int(np.asarray(x)) for x in window_stats(tri, w2c[0]))
@@ -130,7 +130,7 @@ def main():
                 views.append((outs, binned))
             return acc + fold_tile_counts_grouped(
                 views, config, H, W, n_faces, n_classes,
-                w_cap=8 * ((g * max_win * 5 // 4 + 7) // 8), block=2048,
+                w_cap=8 * ((g * max_win * 5 // 4 + 7) // 8), block=4096,
             )
 
         return group_step

@@ -336,30 +336,37 @@ def _stage2_kernel(block: int, kp: int, s: int, w_cap: int, planes: int):
     block's dense slice.
 
     Window entries are CONTIGUOUS rows of the tmax-sorted entry arrays
-    (see _block_windows), so the kernel streams them through a ring of
-    ``_KB``-entry batched DMAs — one issue/wait per ``_KB`` entries, the
-    dominant per-entry cost of the earlier one-row-per-DMA ring.  No
-    entry-level validity test is needed: rows past the window end have
-    tmin >= block end by the suffix-min construction, stale rows have
-    tmax < block start, and padding rows hold empty ids — all of which
-    already fail the per-piece band tests.  Counts ride the MXU as
-    ``planes`` exact base-128 bf16 digit planes.
+    (see _block_windows), streamed through a ring of ``_KB``-entry batched
+    DMAs.  No entry-level validity test is needed: rows past the window
+    end have tmin >= block end by the suffix-min construction, stale rows
+    have tmax < block start, and padding rows hold empty ids — all of
+    which fail the per-entry band test.
+
+    The slot->face deposit is a RADIX FACTORIZATION on the MXU.  A naive
+    match compares every slot id against every block face — block x s
+    area per entry, ~4096x redundant (each slot matches exactly one
+    face); profiling showed that area (plus its branching) dominating the
+    whole pipeline.  Instead an in-block id splits as
+    ``rel = q * 128 + r``: per entry,
+      cq[(j, q, k), slot] = onehot_q * count_digit_j   (VPU broadcast)
+      acc2 += cq @ onehot_r(slot, 128)                 (one MXU dot)
+    with area ~ planes*nq*kp x s + s x 128 — ~25x less than block x s —
+    and ONE unconditional body per live entry.  Counts ride as ``planes``
+    exact base-128 bf16 digit planes; onehot_r comes from an exact
+    digit-dot lane->sublane transpose of r.  Once per block, acc2 rows
+    unpack into the dense (block, kp) output via exact HIGHEST eye-dot
+    transposes.
     """
     ring = _RING
+    nq = block // 128  # 128-face sub-blocks per block
 
     def kernel(lo_ref, wl_ref, cnt_hbm, ids_hbm, out_ref,
-               cnt_buf, ids_buf, acc_ref, sems):
+               cnt_buf, ids_buf, acc2_ref, sems):
         b = pl.program_id(0)
         lo_b = lo_ref[b]
         wl = wl_ref[b]
         nwb = (wl + _KB - 1) // _KB  # DMA batches for this block
-        blk = (
-            jax.lax.broadcasted_iota(jnp.int32, (1, block), 1).astype(
-                jnp.float32
-            )
-            + (b * block).astype(jnp.float32)
-        )
-        lhs = _match_rows(blk)  # (6, block)
+        b0i = b * block
 
         def dmas(w8):
             slot = jax.lax.rem(w8, ring)
@@ -381,64 +388,63 @@ def _stage2_kernel(block: int, kp: int, s: int, w_cap: int, planes: int):
             return z
 
         jax.lax.fori_loop(0, jnp.minimum(nwb, ring), issue, 0)
-        acc_ref[...] = jnp.zeros((block, kp), jnp.float32)
+        acc2_ref[...] = jnp.zeros((planes * nq * kp, 128), jnp.float32)
 
-        # Small (BB, SP) match pieces keep the difference matrix out of
-        # VMEM round-trips (the full (block, s) materialization was the
-        # measured bottleneck).  Slots are id-sorted (binning sort), so
-        # each slot piece spans a narrow id band: pieces whose band
-        # misses the block — and face sub-blocks outside a hit piece's
-        # band — are skipped entirely.
-        bb_sz = min(256, block)
-        sp_sz = min(128, s)
-        b0i = b * block
-        dims = (((1,), (1,)), ((), ()))
+        iota_q = jax.lax.broadcasted_iota(jnp.int32, (nq, s), 0)
+        iota_r = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        onesk = jnp.ones((1, 1), jnp.bfloat16)
 
         def entry(slot, k):
             ids_row = ids_buf[slot, k]  # (1, s) int32
-            for sp in range(s // sp_sz):
-                piece = ids_row[:, sp * sp_sz:(sp + 1) * sp_sz]
-                valid_p = piece >= 0
-                pmin = jnp.min(jnp.where(valid_p, piece, _BIG))
-                pmax = jnp.max(piece)  # empty slots are negative
-                hit = (pmax >= b0i) & (pmin < b0i + block)
+            valid0 = ids_row >= 0
+            pmin = jnp.min(jnp.where(valid0, ids_row, _BIG))
+            pmax = jnp.max(ids_row)  # empty slots are negative
+            hit = (pmax >= b0i) & (pmin < b0i + block)
 
-                @pl.when(hit)
-                def _(sp=sp, piece=piece, pmin=pmin, pmax=pmax):
-                    rhs = _match_cols(piece.astype(jnp.float32))  # (6, SP)
-                    cnt = cnt_buf[slot, k, :, sp * sp_sz:(sp + 1) * sp_sz]
-                    qs = []
-                    c = cnt
-                    for j in range(planes):
-                        if j + 1 < planes:
-                            hi_q = jnp.floor(c * (1.0 / 128.0))
-                            qs.append((c - 128.0 * hi_q).astype(jnp.bfloat16))
-                            c = hi_q
-                        else:
-                            qs.append(c.astype(jnp.bfloat16))
-                    for bb in range(block // bb_sz):
-                        lo = b0i + bb * bb_sz
-                        hit_bb = (pmax >= lo) & (pmin < lo + bb_sz)
+            @pl.when(hit)
+            def _():
+                rel = ids_row - b0i
+                # slots outside this block get q = -1: no one-hot row
+                # matches, so they deposit nothing here (they belong to a
+                # neighboring block's window)
+                relm = jnp.where(
+                    valid0 & (rel >= 0) & (rel < block), rel, -1
+                )
+                q_row = relm >> 7  # (1, s)
+                r_row = jnp.where(relm >= 0, relm & 127, 0)
+                oh_q = (iota_q == q_row).astype(jnp.bfloat16)  # (nq, s)
+                # r as an exact column via a tiny digit dot (r <= 127 is
+                # bf16-exact), then the r one-hot
+                r_col = jax.lax.dot_general(
+                    r_row.astype(jnp.bfloat16), onesk,
+                    (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (s, 1)
+                oh_r = (r_col == iota_r.astype(jnp.float32)).astype(
+                    jnp.bfloat16
+                )  # (s, 128)
 
-                        @pl.when(hit_bb)
-                        def _(bb=bb, rhs=rhs, qs=qs):
-                            d = jax.lax.dot_general(
-                                lhs[:, bb * bb_sz:(bb + 1) * bb_sz], rhs,
-                                _DIFF_DIMS,
-                                preferred_element_type=jnp.float32,
-                            )  # (BB, SP) = face - id, exact f32
-                            m = (jnp.abs(d) < 0.5).astype(jnp.bfloat16)
-                            add = jnp.zeros((bb_sz, kp), jnp.float32)
-                            for j, q in enumerate(qs):
-                                add = add + float(
-                                    128**j
-                                ) * jax.lax.dot_general(
-                                    m, q, dims,
-                                    preferred_element_type=jnp.float32,
-                                )
-                            acc_ref[
-                                bb * bb_sz:(bb + 1) * bb_sz
-                            ] += add
+                cnt = cnt_buf[slot, k]  # (kp, s) f32
+                parts = []
+                c = cnt
+                for j in range(planes):
+                    if j + 1 < planes:
+                        hi_q = jnp.floor(c * (1.0 / 128.0))
+                        dig = (c - 128.0 * hi_q).astype(jnp.bfloat16)
+                        c = hi_q
+                    else:
+                        dig = c.astype(jnp.bfloat16)
+                    # cq[(q, k), slot] = onehot_q[q, slot] * digit[k, slot]
+                    parts.append(
+                        (oh_q[:, None, :] * dig[None, :, :]).reshape(
+                            nq * kp, s
+                        )
+                    )
+                cq = jnp.concatenate(parts, axis=0)  # (planes*nq*kp, s)
+                acc2_ref[...] += jax.lax.dot_general(
+                    cq, oh_r, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (planes*nq*kp, 128): exact integer deposits
 
         def consume(w8, z):
             for dma in dmas(w8):
@@ -457,7 +463,26 @@ def _stage2_kernel(block: int, kp: int, s: int, w_cap: int, planes: int):
             return z
 
         jax.lax.fori_loop(0, nwb, consume, 0)
-        out_ref[0] = acc_ref[...]
+
+        # unpack acc2[(j, q, k), r] -> out[q*128 + r, k]: per (j, q) an
+        # exact (kp, 128) -> (128, kp) transpose via a HIGHEST eye-dot
+        # (f32 operands stay exact; one nonzero per output element)
+        eye = (
+            jax.lax.broadcasted_iota(jnp.int32, (kp, kp), 0)
+            == jax.lax.broadcasted_iota(jnp.int32, (kp, kp), 1)
+        ).astype(jnp.float32)
+        for q in range(nq):
+            t = jnp.zeros((128, kp), jnp.float32)
+            for j in range(planes):
+                piece = acc2_ref[
+                    (j * nq + q) * kp:(j * nq + q + 1) * kp, :
+                ]  # (kp, 128)
+                t = t + float(128 ** j) * jax.lax.dot_general(
+                    piece, eye, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )  # (128, kp)
+            out_ref[0, q * 128:(q + 1) * 128, :] = t
 
     return kernel
 
@@ -541,7 +566,7 @@ def face_counts_from_tiles(
         scratch_shapes=[
             pltpu.VMEM((_RING, _KB, kp, s), jnp.float32),
             pltpu.VMEM((_RING, _KB, 1, s), jnp.int32),
-            pltpu.VMEM((block, kp), jnp.float32),
+            pltpu.VMEM((planes * (block // 128) * kp, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((_RING, 2)),
         ],
     )
