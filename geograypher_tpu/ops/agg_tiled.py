@@ -188,8 +188,11 @@ def tile_class_counts(
     # image extent (partial edge tiles) are masked out.  Only
     # reshape/pad/where ops touch it (docs/DESIGN.md Mosaic hazard).
     wx = min(p2f_tiles.shape[2], ntx0g * tw)
+    wy = min(p2f_tiles.shape[0], nty0g)
     p2f = jnp.full((nty0g, th, ntx0g * tw), -1, jnp.int32)
-    p2f = p2f.at[:nty0, :, :wx].set(p2f_tiles[:, :, :wx].astype(jnp.int32))
+    p2f = p2f.at[:wy, :, :wx].set(
+        p2f_tiles[:wy, :, :wx].astype(jnp.int32)
+    )
     ty = jnp.arange(nty0g, dtype=jnp.int32)[:, None, None]
     ry = jnp.arange(th, dtype=jnp.int32)[None, :, None]
     cx = jnp.arange(ntx0g * tw, dtype=jnp.int32)[None, None, :]
@@ -597,19 +600,38 @@ def _child_sum(level_counts: jax.Array, scale_y: int, scale_x: int):
 
 
 def _per_level_entries(outs, binned, config, image_h, image_w):
-    """One view's per-level (counts (T_l, kp, S_l), ids (T_l, S_l)) pairs.
+    """One view's per-level (counts (T_l, kp, S_l), ids (T_l, S_l),
+    digit_planes) triples.
 
-    ``outs`` are the four per-level count arrays, each
-    (ty, tx, kp, caps[l]) on ANY L0-grid padding (tile_class_counts emits
-    the L1-aligned grid; the fused rasterizer emits its pair-padded grid)
-    — extra tiles beyond the true grid must be all-zero.  Ancestor levels
-    are child-summed here, so their entries are small.
+    Two input forms:
+    * fused raster kernel: ``outs = (om, cand2m)`` — one merged
+      (ty, tx, kp, sum(caps)) count array with columns
+      [L0 | L1 | L2+global] and the merged L2+global candidate lists
+      (three levels; the global list was folded into L2 by
+      raster_tiles_pallas).
+    * stage-1 kernel (tile_class_counts): ``outs = (o0, o1, o2, o3)``
+      per-level arrays (four levels).
+
+    Count arrays may arrive on ANY L0-grid padding — extra tiles beyond
+    the true grid must be all-zero.  Ancestor levels are child-summed
+    here, so their entries are small.
     """
     grids = config.grids(image_h, image_w)
     (nty1, ntx1), (nty2, ntx2) = grids[1], grids[2]
     s1_sc, s2_sc = config.level_scales[1], config.level_scales[2]
-    o0, o1, o2, o3 = outs
-    kp = o0.shape[2]
+    merged = len(outs) == 2
+    if merged:
+        om, cand2m = outs
+        kp = om.shape[2]
+        cap0, cap1 = config.caps[0], config.caps[1]
+        o0 = om[..., :cap0]
+        o1 = om[..., cap0:cap0 + cap1]
+        o2 = om[..., cap0 + cap1:]
+        levels3 = True
+    else:
+        o0, o1, o2, o3 = outs
+        kp = o0.shape[2]
+        levels3 = False
     # grid covering both the L1-aligned grid and the rasterizer's
     # pair-padded grid (pair can exceed s1, e.g. 8 tiles/step vs scale 4),
     # rounded to s1 so child->parent reductions stay pure reshapes
@@ -618,6 +640,8 @@ def _per_level_entries(outs, binned, config, image_h, image_w):
 
     def pad_grid(o):
         ty, tx = o.shape[:2]
+        if ty == nty0g and tx == ntx0g:
+            return o  # already aligned (the rasterizer pads its grid)
         return jnp.pad(
             o, ((0, nty0g - ty), (0, ntx0g - tx), (0, 0), (0, 0))
         )
@@ -649,19 +673,20 @@ def _per_level_entries(outs, binned, config, image_h, image_w):
             (0, 0),
         ),
     )
-    c2 = _child_sum(c2, s2_sc, s2_sc).reshape(
-        nty2 * ntx2, kp, config.caps[2]
-    )
+    s2_slots = o2.shape[3]
+    c2 = _child_sum(c2, s2_sc, s2_sc).reshape(nty2 * ntx2, kp, s2_slots)
+    if levels3:
+        ids2 = cand2m.reshape(nty2 * ntx2, -1)
+        # merged L2+global slot counts can reach the whole image's pixels
+        return [(c0, ids0, 2), (c1, ids1, 2), (c2, ids2, 4)]
     ids2 = binned.cand[2].reshape(nty2 * ntx2, -1)
 
     c3 = o3.sum(axis=(0, 1)).reshape(1, kp, config.caps[3])
     ids3 = binned.cand[3].reshape(1, -1)
-    return [(c0, ids0), (c1, ids1), (c2, ids2), (c3, ids3)]
+    return [
+        (c0, ids0, 2), (c1, ids1, 2), (c2, ids2, 3), (c3, ids3, 4)
+    ]
 
-
-# digit planes per level: L0/L1 counts <= 16512 (2 planes), L2 <= 256k
-# (3), global < 2^24 (4)
-_LEVEL_PLANES = (2, 2, 3, 4)
 
 
 def fold_tile_counts(
@@ -706,11 +731,11 @@ def fold_tile_counts_grouped(
         for outs, binned in views
     ]
     dense = None
-    for lvl in range(4):
+    for lvl in range(len(per_level[0])):
         counts = jnp.concatenate([v[lvl][0] for v in per_level], axis=0)
         ids = jnp.concatenate([v[lvl][1] for v in per_level], axis=0)
         d = face_counts_from_tiles(
-            counts, ids, n_faces=n_faces, planes=_LEVEL_PLANES[lvl],
+            counts, ids, n_faces=n_faces, planes=per_level[0][lvl][2],
             w_cap=w_cap, block=block,
         )
         dense = d if dense is None else dense + d

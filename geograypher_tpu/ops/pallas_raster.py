@@ -165,24 +165,29 @@ def _make_kernel(
     a step's tiles span a whole number of L1/L2 parents (or a fraction of
     one), making every ancestor-slab index STATIC within the step.
 
+    The kernel resolves THREE levels: L0 tiles, L1 parents, and a merged
+    L2 level whose candidate lists carry the global (whole-image) list
+    appended by the caller — one fewer slab buffer, resolve loop, count
+    section and fold launch than a 4-level form.
+
     With ``kp > 0`` the kernel additionally emits per-tile per-level
     (class, slot) pixel counts (the fused form of
-    agg_tiled.tile_class_counts): the winner row becomes an exact column
-    via a digit-plane dot, each level's candidate ids are matched by one
-    broadcast compare per chunk, and one-hot class rows contract the
-    matches into counts — see module docstring."""
+    agg_tiled.tile_class_counts) in ONE merged (pair, kp, sum(caps))
+    output, columns [L0 | L1 | L2+global]: the winner row becomes an
+    exact column via a digit-plane dot, each level's candidate ids are
+    matched by one broadcast compare per chunk, and one-hot class rows
+    contract the matches into counts — see module docstring."""
     npix = tile_h * tile_w
     (nty0, ntx0), (nty1, ntx1), (nty2, ntx2) = grids
     s1_, s2_ = scales[1], scales[2]
     pp1 = max(1, pair // s1_)  # L1 parents per grid step
     pp2 = max(1, pair // s2_)
 
-    def kernel(c0, c1, c2, c3, *refs):
+    def kernel(c0, c1, c2, *refs):
         if kp:
-            (s0, s1, s2, s3, cls_ref, out_ref,
-             o0_ref, o1_ref, o2_ref, o3_ref) = refs
+            (s0, s1, s2, cls_ref, out_ref, om_ref) = refs
         else:
-            (s0, s1, s2, s3, out_ref) = refs
+            (s0, s1, s2, out_ref) = refs
         ty = pl.program_id(0)
         txp = pl.program_id(1)  # pair index
 
@@ -313,16 +318,14 @@ def _make_kernel(
             for k, s in enumerate(subs):
                 carries[s] = res[k]
 
+        capsum = sum(caps[:3]) if caps else 0
         if kp:
-            for o_ref, cap in zip(
-                (o0_ref, o1_ref, o2_ref, o3_ref), caps
-            ):
-                o_ref[...] = jnp.zeros((1, pair, kp, cap), jnp.float32)
+            om_ref[...] = jnp.zeros((1, pair, kp, capsum), jnp.float32)
             cls_iota = jax.lax.broadcasted_iota(jnp.int32, (kp, npix), 0)
             # exact lane->sublane transpose weights for the winner column
             w3 = jnp.ones((3, 1), jnp.bfloat16)
 
-        def match_ids(ids_row, best_col, onehot, o_ref, sub, col0, wdt):
+        def match_ids(ids_row, best_col, onehot, sub, col0, wdt):
             """(1, CHUNK) exact-integer candidate ids vs the (npix, 1)
             winner column: one broadcast equality + one one-hot matmul."""
             m = (best_col == ids_row).astype(jnp.bfloat16)  # (npix, CHUNK)
@@ -330,7 +333,7 @@ def _make_kernel(
                 onehot, m, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # (kp, CHUNK)
-            o_ref[0, sub, :, col0:col0 + wdt] = cnts[:, :wdt]
+            om_ref[0, sub, :, col0:col0 + wdt] = cnts[:, :wdt]
 
         for sub in range(pair):
             tx = txp * pair + sub
@@ -351,11 +354,9 @@ def _make_kernel(
             )
             read1 = lambda off, p1b=p1b: s1[0, p1b, :, pl.ds(off, 5 * CHUNK)]
             read2 = lambda off, p2b=p2b: s2[0, p2b, :, pl.ds(off, 5 * CHUNK)]
-            read3 = lambda off: s3[0, :, pl.ds(off, 5 * CHUNK)]
             carry = carries[sub]
             carry = level(read1, pmat_global, c1[c1_idx], carry)
             carry = level(read2, pmat_global, c2[c2_idx], carry)
-            carry = level(read3, pmat_global, c3[0], carry)
             # write into the IMAGE layout (rows of tiles side by side) so
             # the caller needs only reshapes, never a transpose, on the
             # custom-call result (see DESIGN.md Mosaic fusion hazard)
@@ -404,26 +405,27 @@ def _make_kernel(
                             + 65536.0 * dig[2:3]
                         )
                         match_ids(
-                            ids_row, best_col, onehot, o0_ref, sub,
+                            ids_row, best_col, onehot, sub,
                             ci * CHUNK, wdt,
                         )
 
-                # ancestors: ids ride the f32 id plane (c row of block 4)
-                for read, cnt, o_ref, cap in (
-                    (read1, c1[c1_idx], o1_ref, caps[1]),
-                    (read2, c2[c2_idx], o2_ref, caps[2]),
-                    (read3, c3[0], o3_ref, caps[3]),
+                # ancestors: ids ride the f32 id plane (c row of block 4);
+                # output columns continue after the L0 caps in the merged
+                # count array
+                for read, cnt, base, cap in (
+                    (read1, c1[c1_idx], caps[0], caps[1]),
+                    (read2, c2[c2_idx], caps[0] + caps[1], caps[2]),
                 ):
                     for ci in range(-(-cap // CHUNK)):
                         wdt = min(CHUNK, cap - ci * CHUNK)
 
                         @pl.when(ci * CHUNK < cnt)
-                        def _(ci=ci, wdt=wdt, read=read, o_ref=o_ref):
+                        def _(ci=ci, wdt=wdt, read=read, base=base):
                             block = read(ci * 5 * CHUNK)
                             ids_row = block[2:3, 4 * CHUNK:5 * CHUNK]
                             match_ids(
-                                ids_row, best_col, onehot, o_ref, sub,
-                                ci * CHUNK, wdt,
+                                ids_row, best_col, onehot, sub,
+                                base + ci * CHUNK, wdt,
                             )
 
     return kernel
@@ -448,8 +450,10 @@ def raster_tiles_pallas(
             When given, the kernel ALSO emits per-tile per-level
             (class, slot) pixel counts — the fused equivalent of
             agg_tiled.tile_class_counts with zero extra kernel launches —
-            and the return value becomes ``(pix2face, (o0, o1, o2, o3),
-            kp)`` with ``o_l`` of shape (nty0, ntx0p, kp, caps[l]).
+            and the return value becomes ``(pix2face, (om, cand2m), kp)``
+            where ``om`` is (nty0p, ntx0p, kp, sum(caps)) with columns
+            [L0 | L1 | L2+global] and ``cand2m`` the merged L2+global
+            candidate lists the L2 columns were matched against.
     """
     n_faces = planes.shape[0]
     sentinel = jnp.asarray(
@@ -478,6 +482,10 @@ def raster_tiles_pallas(
                 pair = p
                 break
     ntx0p = _round_up(ntx0, pair)
+    # rows padded to the L1 scale so downstream child->parent reductions
+    # (agg_tiled._per_level_entries) see an already-aligned grid and skip
+    # their multi-hundred-MB pad copies of the count outputs
+    nty0p = _round_up(nty0, s1_)
     pp1 = max(1, pair // s1_)
     pp2 = max(1, pair // s2_)
     # padded ancestor grids: cover all ntx0p tiles, whole blocks
@@ -485,11 +493,13 @@ def raster_tiles_pallas(
     ntx2p = _round_up(-(-ntx0p // s2_), pp2)
 
     cand0 = binned.cand[0].reshape(nty0, ntx0, -1)
-    if ntx0p != ntx0:
+    if ntx0p != ntx0 or nty0p != nty0:
         cand0 = jnp.pad(
-            cand0, ((0, 0), (0, ntx0p - ntx0), (0, 0)), constant_values=-1
+            cand0,
+            ((0, nty0p - nty0), (0, ntx0p - ntx0), (0, 0)),
+            constant_values=-1,
         )
-    cand0 = cand0.reshape(nty0 * ntx0p, -1)
+    cand0 = cand0.reshape(nty0p * ntx0p, -1)
 
     t0 = cand0.shape[0]
     tids = jnp.arange(t0, dtype=jnp.int32)
@@ -498,13 +508,32 @@ def raster_tiles_pallas(
         ((tids // ntx0p) * th).astype(jnp.float32),
     )
 
+    # merge the single global (L3) list into every L2 parent's list: one
+    # fewer slab buffer / resolve loop / count section / fold level.  The
+    # merged list has the L2 candidates at slots [0, cap2) and the global
+    # ones at [cap2, cap2 + cap3); the resolve loop bound must reach the
+    # last occupied slot across the hole between them.
+    cap2, cap3 = config.caps[2], config.caps[3]
+    cand2m = jnp.concatenate(
+        [
+            binned.cand[2],
+            jnp.broadcast_to(binned.cand[3], (nty2 * ntx2, cap3)),
+        ],
+        axis=1,
+    )
+    cnt3 = jnp.sum(binned.cand[3] >= 0)
+
     s0, c0 = _prep_level_slab(cand0, planes_ext, n_faces, tile_origin=origin)
     slabs, counts = [s0], [c0.reshape(-1)]
-    for lvl, (nty_l, ntx_l, ntx_lp) in (
-        (1, (nty1, ntx1, ntx1p)),
-        (2, (nty2, ntx2, ntx2p)),
+    for lvl, cand_l, (nty_l, ntx_l, ntx_lp) in (
+        (1, binned.cand[1], (nty1, ntx1, ntx1p)),
+        (2, cand2m, (nty2, ntx2, ntx2p)),
     ):
-        s, c = _prep_level_slab(binned.cand[lvl], planes_ext, n_faces)
+        s, c = _prep_level_slab(cand_l, planes_ext, n_faces)
+        if lvl == 2:
+            c = jnp.where(
+                cnt3 > 0, cap2 + cnt3, jnp.sum(cand_l[:, :cap2] >= 0, axis=1)
+            ).reshape(c.shape)
         # (T, 3, cols) -> padded (nty, ntx_p, 3, cols) parent grid; padded
         # parents get zero counts (their slab rows are never read)
         s = s.reshape(nty_l, ntx_l, *s.shape[1:])
@@ -514,9 +543,6 @@ def raster_tiles_pallas(
             c = jnp.pad(c, ((0, 0), (0, ntx_lp - ntx_l)))
         slabs.append(s)
         counts.append(c.reshape(-1))
-    s3, c3 = _prep_level_slab(binned.cand[3], planes_ext, n_faces)
-    slabs.append(s3)
-    counts.append(c3.reshape(-1))
 
     def slab_spec(lvl):
         if lvl == 0:
@@ -525,12 +551,6 @@ def raster_tiles_pallas(
             return pl.BlockSpec(
                 (pair, rows, cols),
                 lambda i, j, *_: (i * (ntx0p // pair) + j, 0, 0),
-                memory_space=pltpu.VMEM,
-            )
-        if lvl == 3:
-            rows, cols = slabs[3].shape[1:]
-            return pl.BlockSpec(
-                (1, rows, cols), lambda i, j, *_: (0, 0, 0),
                 memory_space=pltpu.VMEM,
             )
         rows, cols = slabs[lvl].shape[2:]
@@ -556,11 +576,11 @@ def raster_tiles_pallas(
     if class_image is not None:
         kp = _round_up(max(n_classes, 1), 16)
         # class image in the kernel's row-image layout, -1 beyond extent
-        cls_pad = jnp.full((nty0 * th, ntx0p * tw), -1, jnp.int32)
+        cls_pad = jnp.full((nty0p * th, ntx0p * tw), -1, jnp.int32)
         cls_pad = cls_pad.at[:image_h, :image_w].set(
             class_image.astype(jnp.int32)[:image_h, :image_w]
         )
-        extra_in = [cls_pad.reshape(nty0, th, ntx0p * tw)]
+        extra_in = [cls_pad.reshape(nty0p, th, ntx0p * tw)]
         extra_in_specs = [
             pl.BlockSpec(
                 (1, th, pair * tw),
@@ -568,27 +588,28 @@ def raster_tiles_pallas(
                 memory_space=pltpu.VMEM,
             )
         ]
-        for cap in config.caps:
-            extra_out_shapes.append(
-                jax.ShapeDtypeStruct((nty0, ntx0p, kp, cap), jnp.float32)
+        capsum = config.caps[0] + config.caps[1] + cap2 + cap3
+        extra_out_shapes.append(
+            jax.ShapeDtypeStruct((nty0p, ntx0p, kp, capsum), jnp.float32)
+        )
+        extra_out_specs.append(
+            pl.BlockSpec(
+                (1, pair, kp, capsum),
+                lambda i, j, *_: (i, j, 0, 0),
+                memory_space=pltpu.VMEM,
             )
-            extra_out_specs.append(
-                pl.BlockSpec(
-                    (1, pair, kp, cap),
-                    lambda i, j, *_: (i, j, 0, 0),
-                    memory_space=pltpu.VMEM,
-                )
-            )
+        )
 
     kernel = _make_kernel(
         th, tw, grids, config.level_scales, pair, ntx0p, ntx1p, ntx2p,
-        kp=kp, caps=config.caps,
+        kp=kp,
+        caps=(config.caps[0], config.caps[1], cap2 + cap3),
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,  # the per-tile count arrays, in SMEM
-        grid=(nty0, ntx0p // pair),
-        in_specs=[slab_spec(lvl) for lvl in range(4)] + extra_in_specs,
+        num_scalar_prefetch=3,  # the per-tile count arrays, in SMEM
+        grid=(nty0p, ntx0p // pair),
+        in_specs=[slab_spec(lvl) for lvl in range(3)] + extra_in_specs,
         out_specs=[
             pl.BlockSpec(
                 (1, th, pair * tw),
@@ -609,7 +630,6 @@ def raster_tiles_pallas(
             counts[0],
             counts[1],
             counts[2],
-            counts[3],
             *slabs,
             *extra_in,
         )
@@ -617,7 +637,7 @@ def raster_tiles_pallas(
     outs = pl.pallas_call(
         kernel,
         out_shape=[
-            jax.ShapeDtypeStruct((nty0, th, ntx0p * tw), jnp.int32),
+            jax.ShapeDtypeStruct((nty0p, th, ntx0p * tw), jnp.int32),
         ]
         + extra_out_shapes,
         grid_spec=grid_spec,
@@ -627,7 +647,8 @@ def raster_tiles_pallas(
     outs = jax.lax.optimization_barrier(tuple(outs))
     out = outs[0]
     if not return_tiles:
-        out = out.reshape(nty0 * th, ntx0p * tw)[:image_h, :image_w]
+        out = out.reshape(nty0p * th, ntx0p * tw)[:image_h, :image_w]
     if class_image is not None:
-        return out, tuple(outs[1:]), kp
+        # merged per-level counts: columns [L0 | L1 | L2+global]
+        return out, (outs[1], cand2m), kp
     return out
