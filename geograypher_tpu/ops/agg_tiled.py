@@ -338,30 +338,28 @@ def _stage2_kernel(block: int, kp: int, s: int, w_cap: int, planes: int):
     """Grid over face blocks; each step folds its window of tiles into the
     block's dense slice.
 
-    Window entries are CONTIGUOUS rows of the tmax-sorted entry arrays
-    (see _block_windows), streamed through a ring of ``_KB``-entry batched
-    DMAs.  No entry-level validity test is needed: rows past the window
-    end have tmin >= block end by the suffix-min construction, stale rows
-    have tmax < block start, and padding rows hold empty ids — all of
-    which fail the per-entry band test.
-
-    The slot->face deposit is a RADIX FACTORIZATION on the MXU.  A naive
-    match compares every slot id against every block face — block x s
-    area per entry, ~4096x redundant (each slot matches exactly one
-    face); profiling showed that area (plus its branching) dominating the
-    whole pipeline.  Instead an in-block id splits as
-    ``rel = q * 128 + r``: per entry,
+    Window entries are CONTIGUOUS lane ranges of the tmax-sorted entry
+    arrays (see _block_windows), streamed through a ring of ``_KB``-entry
+    batched DMAs, and each batch is folded by ONE unconditional radix
+    deposit: an in-block id splits as ``rel = q * 128 + r`` and
       cq[(j, q, k), slot] = onehot_q * count_digit_j   (VPU broadcast)
       acc2 += cq @ onehot_r(slot, 128)                 (one MXU dot)
-    with area ~ planes*nq*kp x s + s x 128 — ~25x less than block x s —
-    and ONE unconditional body per live entry.  Counts ride as ``planes``
-    exact base-128 bf16 digit planes; onehot_r comes from an exact
-    digit-dot lane->sublane transpose of r.  Once per block, acc2 rows
-    unpack into the dense (block, kp) output via exact HIGHEST eye-dot
-    transposes.
+    Entries that don't intersect the block — stale rows, rows past the
+    window end (tmin >= block end by the suffix-min construction),
+    padding, empty slots, and slots belonging to a neighboring block —
+    all get q = -1, match no one-hot row, and deposit nothing, so the
+    batch needs NO branches at all.  A naive id-vs-face match matrix
+    would cost block x s area per entry (~4096x redundant — profiled as
+    the pipeline's dominant term); the radix split costs
+    planes*nq*kp + 128 lanes per slot instead.  Counts ride as
+    ``planes`` exact base-128 bf16 digit planes; onehot_r comes from an
+    exact digit-dot lane->sublane transpose of r.  Once per block, acc2
+    rows unpack into the dense (block, kp) output via exact HIGHEST
+    eye-dot transposes.
     """
     ring = _RING
     nq = block // 128  # 128-face sub-blocks per block
+    sb = _KB * s       # slot-lanes per DMA batch
 
     def kernel(lo_ref, wl_ref, cnt_hbm, ids_hbm, out_ref,
                cnt_buf, ids_buf, acc2_ref, sems):
@@ -373,14 +371,14 @@ def _stage2_kernel(block: int, kp: int, s: int, w_cap: int, planes: int):
 
         def dmas(w8):
             slot = jax.lax.rem(w8, ring)
-            row = lo_b + w8 * _KB
+            lane0 = (lo_b + w8 * _KB) * s
             return (
                 pltpu.make_async_copy(
-                    cnt_hbm.at[pl.ds(row, _KB)], cnt_buf.at[slot],
+                    cnt_hbm.at[:, pl.ds(lane0, sb)], cnt_buf.at[slot],
                     sems.at[slot, 0],
                 ),
                 pltpu.make_async_copy(
-                    ids_hbm.at[pl.ds(row, _KB)], ids_buf.at[slot],
+                    ids_hbm.at[:, pl.ds(lane0, sb)], ids_buf.at[slot],
                     sems.at[slot, 1],
                 ),
             )
@@ -393,68 +391,57 @@ def _stage2_kernel(block: int, kp: int, s: int, w_cap: int, planes: int):
         jax.lax.fori_loop(0, jnp.minimum(nwb, ring), issue, 0)
         acc2_ref[...] = jnp.zeros((planes * nq * kp, 128), jnp.float32)
 
-        iota_q = jax.lax.broadcasted_iota(jnp.int32, (nq, s), 0)
+        iota_q = jax.lax.broadcasted_iota(jnp.int32, (nq, sb), 0)
         iota_r = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
         onesk = jnp.ones((1, 1), jnp.bfloat16)
 
-        def entry(slot, k):
-            ids_row = ids_buf[slot, k]  # (1, s) int32
-            valid0 = ids_row >= 0
-            pmin = jnp.min(jnp.where(valid0, ids_row, _BIG))
-            pmax = jnp.max(ids_row)  # empty slots are negative
-            hit = (pmax >= b0i) & (pmin < b0i + block)
+        def batch(slot):
+            ids_row = ids_buf[slot]  # (1, sb) int32
+            rel = ids_row - b0i
+            # anything outside this block gets q = -1: deposits nothing
+            relm = jnp.where(
+                (ids_row >= 0) & (rel >= 0) & (rel < block), rel, -1
+            )
+            q_row = relm >> 7  # (1, sb)
+            r_row = jnp.where(relm >= 0, relm & 127, 0)
+            oh_q = (iota_q == q_row).astype(jnp.bfloat16)  # (nq, sb)
+            # r as an exact column via a tiny digit dot (r <= 127 is
+            # bf16-exact), then the r one-hot
+            r_col = jax.lax.dot_general(
+                r_row.astype(jnp.bfloat16), onesk,
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (sb, 1)
+            oh_r = (r_col == iota_r.astype(jnp.float32)).astype(
+                jnp.bfloat16
+            )  # (sb, 128)
 
-            @pl.when(hit)
-            def _():
-                rel = ids_row - b0i
-                # slots outside this block get q = -1: no one-hot row
-                # matches, so they deposit nothing here (they belong to a
-                # neighboring block's window)
-                relm = jnp.where(
-                    valid0 & (rel >= 0) & (rel < block), rel, -1
-                )
-                q_row = relm >> 7  # (1, s)
-                r_row = jnp.where(relm >= 0, relm & 127, 0)
-                oh_q = (iota_q == q_row).astype(jnp.bfloat16)  # (nq, s)
-                # r as an exact column via a tiny digit dot (r <= 127 is
-                # bf16-exact), then the r one-hot
-                r_col = jax.lax.dot_general(
-                    r_row.astype(jnp.bfloat16), onesk,
-                    (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )  # (s, 1)
-                oh_r = (r_col == iota_r.astype(jnp.float32)).astype(
-                    jnp.bfloat16
-                )  # (s, 128)
-
-                cnt = cnt_buf[slot, k]  # (kp, s) f32
-                parts = []
-                c = cnt
-                for j in range(planes):
-                    if j + 1 < planes:
-                        hi_q = jnp.floor(c * (1.0 / 128.0))
-                        dig = (c - 128.0 * hi_q).astype(jnp.bfloat16)
-                        c = hi_q
-                    else:
-                        dig = c.astype(jnp.bfloat16)
-                    # cq[(q, k), slot] = onehot_q[q, slot] * digit[k, slot]
-                    parts.append(
-                        (oh_q[:, None, :] * dig[None, :, :]).reshape(
-                            nq * kp, s
-                        )
+            cnt = cnt_buf[slot]  # (kp, sb) f32
+            parts = []
+            c = cnt
+            for j in range(planes):
+                if j + 1 < planes:
+                    hi_q = jnp.floor(c * (1.0 / 128.0))
+                    dig = (c - 128.0 * hi_q).astype(jnp.bfloat16)
+                    c = hi_q
+                else:
+                    dig = c.astype(jnp.bfloat16)
+                # cq[(q, k), slot] = onehot_q[q, slot] * digit[k, slot]
+                parts.append(
+                    (oh_q[:, None, :] * dig[None, :, :]).reshape(
+                        nq * kp, sb
                     )
-                cq = jnp.concatenate(parts, axis=0)  # (planes*nq*kp, s)
-                acc2_ref[...] += jax.lax.dot_general(
-                    cq, oh_r, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )  # (planes*nq*kp, 128): exact integer deposits
+                )
+            cq = jnp.concatenate(parts, axis=0)  # (planes*nq*kp, sb)
+            acc2_ref[...] += jax.lax.dot_general(
+                cq, oh_r, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (planes*nq*kp, 128): exact integer deposits
 
         def consume(w8, z):
             for dma in dmas(w8):
                 dma.wait()
-            slot = jax.lax.rem(w8, ring)
-            for k in range(_KB):
-                entry(slot, k)
+            batch(jax.lax.rem(w8, ring))
             # batch fully consumed: keep the ring full
             nxt = w8 + ring
 
@@ -545,15 +532,19 @@ def face_counts_from_tiles(
     w_cap = min(_round_up(max(w_cap, 1), 8), _round_up(max(t, 8), 8))
     win = _block_windows(tmin, tmax, nb, block, w_cap)
     # permute entries into the sorted window order (block windows become
-    # contiguous row ranges: sequential batched DMA, no SMEM table) and
-    # pad so the last batch of the largest window never reads OOB —
-    # padding rows hold empty ids, which match nothing
+    # contiguous LANE ranges of slot-major flats: one sequential batched
+    # DMA per _KB entries, unconditionally radix-deposited) and pad so
+    # the last batch of the largest window never reads OOB — padding
+    # holds empty ids, which match nothing
     pad_n = _round_up(w_cap, _KB) + _KB
     counts = jnp.pad(counts[win.order], ((0, pad_n), (0, 0), (0, 0)))
     ids = jnp.pad(
         ids[win.order], ((0, pad_n), (0, 0)), constant_values=-1
     )
     tp = t + pad_n
+    # (T, kp, s) -> (kp, T*s): slots of consecutive entries on LANES
+    counts = counts.transpose(1, 0, 2).reshape(kp, tp * s)
+    ids = ids.reshape(1, tp * s)
 
     kernel = _stage2_kernel(block, kp, s, w_cap, planes)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -567,14 +558,14 @@ def face_counts_from_tiles(
             (1, block, kp), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((_RING, _KB, kp, s), jnp.float32),
-            pltpu.VMEM((_RING, _KB, 1, s), jnp.int32),
+            pltpu.VMEM((_RING, kp, _KB * s), jnp.float32),
+            pltpu.VMEM((_RING, 1, _KB * s), jnp.int32),
             pltpu.VMEM((planes * (block // 128) * kp, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((_RING, 2)),
         ],
     )
     operands = jax.lax.optimization_barrier(
-        (win.lo, win.win_len, counts, ids.reshape(tp, 1, s))
+        (win.lo, win.win_len, counts, ids)
     )
     out = pl.pallas_call(
         kernel,
