@@ -652,3 +652,4 @@ def raster_tiles_pallas(
         # merged per-level counts: columns [L0 | L1 | L2+global]
         return out, (outs[1], cand2m), kp
     return out
+

@@ -376,7 +376,14 @@ def bin_triangles(
     cands, cnts, overs = [], [], []
     for lvl in range(3):
         nty_l, ntx_l = grids[lvl]
-        c, n, o = gather_level(level_base[lvl], nty_l * ntx_l, config.caps[lvl])
+        cap_l = config.caps[lvl]
+        n_l = nty_l * ntx_l
+        # NOTE: a segment-DMA Pallas kernel for the L0 lists (tiles'
+        # candidates are contiguous runs of sorted_faces) is blocked by a
+        # Mosaic compiler crash on 1-lane-minor DMA regions, and every
+        # workaround reintroduces a per-element realignment gather — see
+        # docs/DESIGN.md dead ends.
+        c, n, o = gather_level(level_base[lvl], n_l, cap_l)
         cands.append(c)
         cnts.append(n)
         overs.append(o)
