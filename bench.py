@@ -47,7 +47,7 @@ def main():
         n_views = 20
         n_classes = 10
         caps = (256, 128, 128, 128)
-        group = 10  # views folded per face-block-kernel launch
+        group = 20  # views folded per face-block-kernel launch
     else:
         H, W = 216, 384
         n_grid = 71
@@ -151,7 +151,7 @@ def main():
 
     cover_min = 0.6  # this scene covers ~93% of pixels
     group_step = None
-    for g in (group, 5, 4, 3, 2, 1):
+    for g in (group, 10, 5, 4, 3, 2, 1):
         if n_views % g:
             continue
         candidate = make_group_step(g)
