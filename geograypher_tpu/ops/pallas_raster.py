@@ -196,6 +196,11 @@ def _make_kernel(
         ys_local = (pix // tile_w).astype(jnp.float32) + 0.5
         ones = jnp.ones_like(xs_local)
         pmat_local = jnp.concatenate([xs_local, ys_local, ones], axis=0)
+        # doubled pixel matrix: one K=6 dot against the slab's stacked
+        # [hi(3); lo(3)] coefficient rows computes hi@p + lo@p exactly
+        # (all operand values are bf16-representable) in HALF the MXU
+        # passes of two K=3 dots, with no (rows, npix) f32 add pass
+        pmat_local2 = jnp.concatenate([pmat_local, pmat_local], axis=0)
 
         def resolve(e0, e1, e2, wv, idv, carry):
             best_w, best_id = carry
@@ -244,10 +249,13 @@ def _make_kernel(
 
             def chunk(ci, carries):
                 off = pl.multiple_of(ci * (5 * CHUNK), 5 * CHUNK)
-                blocks = [
-                    slab_ref[s, :, pl.ds(off, 4 * CHUNK)]  # (6, 512)
-                    for s in sub_ids
-                ]
+                blocks = jnp.concatenate(
+                    [
+                        slab_ref[s, :, pl.ds(off, 4 * CHUNK)]  # (6, 512)
+                        for s in sub_ids
+                    ],
+                    axis=1,
+                )
                 idcols = [
                     jax.lax.dot_general(
                         slab_ref[
@@ -259,14 +267,10 @@ def _make_kernel(
                     )  # (CHUNK, 1) exact f32 ids
                     for s in sub_ids
                 ]
-                hi = jnp.concatenate([b[0:3] for b in blocks], axis=1)
-                lo = jnp.concatenate([b[3:6] for b in blocks], axis=1)
-                dims = (((0,), (0,)), ((), ()))
                 vals = jax.lax.dot_general(
-                    hi, pmat_local, dims, preferred_element_type=jnp.float32
-                ) + jax.lax.dot_general(
-                    lo, pmat_local, dims, preferred_element_type=jnp.float32
-                )  # (g*4*CHUNK, npix)
+                    blocks, pmat_local2, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (g*4*CHUNK, npix) = hi@p + lo@p, one K=6 dot
                 return tuple(
                     resolve0(vals, s * 4 * CHUNK, idcols[s], carries[s])
                     for s in range(g)
