@@ -125,7 +125,7 @@ def main():
                 _p2f, outs, _kp = raster_tiles_pallas(
                     binned, setup.planes, config, H, W,
                     return_tiles=True, class_image=labels,
-                    n_classes=n_classes,
+                    n_classes=n_classes, return_pix2face=False,
                 )
                 views.append((outs, binned))
             return acc + fold_tile_counts_grouped(

@@ -159,6 +159,7 @@ def _make_kernel(
     ntx2p: int,
     kp: int = 0,
     caps: Optional[Tuple[int, int, int, int]] = None,
+    emit_p2f: bool = True,
 ):
     """Kernel over grid (tile_rows, tile_cols / pair): each step resolves
     ``pair`` adjacent L0 tiles from one slab block.  ``pair`` is chosen so
@@ -184,8 +185,11 @@ def _make_kernel(
     pp2 = max(1, pair // s2_)
 
     def kernel(c0, c1, c2, *refs):
-        if kp:
+        if kp and emit_p2f:
             (s0, s1, s2, cls_ref, out_ref, om_ref) = refs
+        elif kp:
+            (s0, s1, s2, cls_ref, om_ref) = refs
+            out_ref = None
         else:
             (s0, s1, s2, out_ref) = refs
         ty = pl.program_id(0)
@@ -361,12 +365,14 @@ def _make_kernel(
             carry = carries[sub]
             carry = level(read1, pmat_global, c1[c1_idx], carry)
             carry = level(read2, pmat_global, c2[c2_idx], carry)
-            # write into the IMAGE layout (rows of tiles side by side) so
-            # the caller needs only reshapes, never a transpose, on the
-            # custom-call result (see DESIGN.md Mosaic fusion hazard)
-            out_ref[0, :, sub * tile_w:(sub + 1) * tile_w] = (
-                carry[1].astype(jnp.int32).reshape(tile_h, tile_w)
-            )
+            if out_ref is not None:
+                # write into the IMAGE layout (rows of tiles side by
+                # side) so the caller needs only reshapes, never a
+                # transpose, on the custom-call result (see DESIGN.md
+                # Mosaic fusion hazard)
+                out_ref[0, :, sub * tile_w:(sub + 1) * tile_w] = (
+                    carry[1].astype(jnp.int32).reshape(tile_h, tile_w)
+                )
 
             if kp:
                 best = carry[1]  # (1, npix) f32 winner ids (-1 = bg)
@@ -444,6 +450,7 @@ def raster_tiles_pallas(
     return_tiles: bool = False,
     class_image: Optional[jax.Array] = None,
     n_classes: int = 0,
+    return_pix2face: bool = True,
 ) -> jax.Array:
     """Pallas counterpart of ops.rasterize._raster_tiles_xla.
 
@@ -604,24 +611,30 @@ def raster_tiles_pallas(
             )
         )
 
+    emit_p2f = return_pix2face or class_image is None
     kernel = _make_kernel(
         th, tw, grids, config.level_scales, pair, ntx0p, ntx1p, ntx2p,
         kp=kp,
         caps=(config.caps[0], config.caps[1], cap2 + cap3),
+        emit_p2f=emit_p2f,
     )
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,  # the per-tile count arrays, in SMEM
-        grid=(nty0p, ntx0p // pair),
-        in_specs=[slab_spec(lvl) for lvl in range(3)] + extra_in_specs,
-        out_specs=[
+    p2f_out_specs = (
+        [
             pl.BlockSpec(
                 (1, th, pair * tw),
                 lambda i, j, *_: (i, 0, j),
                 memory_space=pltpu.VMEM,
             )
         ]
-        + extra_out_specs,
+        if emit_p2f
+        else []
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,  # the per-tile count arrays, in SMEM
+        grid=(nty0p, ntx0p // pair),
+        in_specs=[slab_spec(lvl) for lvl in range(3)] + extra_in_specs,
+        out_specs=p2f_out_specs + extra_out_specs,
     )
     # optimization_barrier: when XLA fuses the slab/count producers into
     # the Mosaic custom call's operands, the kernel observes corrupted
@@ -638,22 +651,27 @@ def raster_tiles_pallas(
             *extra_in,
         )
     )
+    p2f_out_shapes = (
+        [jax.ShapeDtypeStruct((nty0p, th, ntx0p * tw), jnp.int32)]
+        if emit_p2f
+        else []
+    )
     outs = pl.pallas_call(
         kernel,
-        out_shape=[
-            jax.ShapeDtypeStruct((nty0p, th, ntx0p * tw), jnp.int32),
-        ]
-        + extra_out_shapes,
+        out_shape=p2f_out_shapes + extra_out_shapes,
         grid_spec=grid_spec,
         interpret=jax.default_backend() == "cpu",
     )(*operands)
 
     outs = jax.lax.optimization_barrier(tuple(outs))
-    out = outs[0]
-    if not return_tiles:
-        out = out.reshape(nty0p * th, ntx0p * tw)[:image_h, :image_w]
+    if emit_p2f:
+        out = outs[0]
+        if not return_tiles:
+            out = out.reshape(nty0p * th, ntx0p * tw)[:image_h, :image_w]
+    else:
+        out = None
     if class_image is not None:
         # merged per-level counts: columns [L0 | L1 | L2+global]
-        return out, (outs[1], cand2m), kp
+        return out, (outs[-1], cand2m), kp
     return out
 

@@ -568,7 +568,7 @@ def rasterize_and_count(
         _p2f, outs, _kp = raster_tiles_pallas(
             binned, setup.planes, config, image_h, image_w,
             return_tiles=True, class_image=class_image,
-            n_classes=n_classes,
+            n_classes=n_classes, return_pix2face=False,
         )
         return agg_tiled.fold_tile_counts(
             outs, binned, config, image_h, image_w, n_faces, n_classes,
