@@ -62,9 +62,14 @@ def aggregate_index_predictions(
         )[0]
         # remap this view's classes to a compact local set
         local_classes = np.unique(img[finite]).astype(np.int64)
-        lut = {c: k for k, c in enumerate(local_classes)}
         local_img = np.full(img.shape, -1, np.int32)
-        local_img[finite] = [lut[c] for c in img[finite].astype(np.int64)]
+        # vectorized global-id -> compact-local-id remap; local_classes is
+        # sorted+unique so searchsorted is an exact inverse LUT.  This must
+        # stay O(pixels) vectorized: the ImageIDSegmentor visibility path
+        # has EVERY pixel finite (~8M at 4K).
+        local_img[finite] = np.searchsorted(
+            local_classes, img[finite].astype(np.int64)
+        ).astype(np.int32)
         counts = np.asarray(
             project_image_class_counts(
                 jnp.asarray(p2f),

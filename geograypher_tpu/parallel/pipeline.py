@@ -9,8 +9,33 @@ the FUSED scatter-free kernel chain (``ops.rasterize.rasterize_and_count``
 — the raster kernel emits per-tile class counts, face-block fold kernels
 densify them; no XLA scatter ever consumes a Mosaic output, per the
 docs/DESIGN.md corruption doctrine).  Per-face accumulators stay DEVICE
-RESIDENT across view groups (one host fetch at the end) and are
-psum-combined over ICI inside each step.
+RESIDENT across view groups (donated into each step, one host fetch at
+the end) and are psum-combined over ICI inside each step.
+
+Throughput structure (the round-2 pipeline ran ONE view per device per
+step behind 8 eager per-step ``device_put``s, ~100 ms each through this
+runtime — 32x below the kernel rate):
+
+* ``views_per_step`` views run per device per jitted step (python-
+  unrolled inside the program, like bench.py's grouped path);
+* all per-view camera scalars are packed into ONE ``(n_dev, G, 28)``
+  row array — exactly two host->device transfers per step (params +
+  the int8 image stack);
+* the accumulators are donated, so steps update them in place.
+
+Integrity doctrine (docs/DESIGN.md: every entry pipeline carries a cheap
+runtime guard; this runtime has silently corrupted Mosaic outputs after
+toolchain rolls):
+
+* the fold's static per-block tile-window capacity is AUTO-SIZED from a
+  probe of the first step's views, and every view's true window demand
+  is re-measured inside the step — any later view exceeding the static
+  capacity raises instead of silently dropping counts;
+* at warmup the grouped program's first-step count total is checked
+  against the same view computed by the standalone single-view fused
+  program (the one structure never observed corrupt) — a disagreement
+  means the grouped program compiled into a corrupting structure, and
+  the pipeline refuses to run.
 
 Lens distortion is applied IN the rasterizer (vertices warped into the
 sensor's distorted pixel space — ``setup_from_soa(distortion=...)``),
@@ -30,6 +55,9 @@ pixel-weighted pool of raw counts.
 from __future__ import annotations
 
 import concurrent.futures
+import dataclasses
+import functools
+import logging
 import typing
 
 import numpy as np
@@ -40,11 +68,41 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from geograypher_tpu.ops.rasterize import (
     RasterConfig,
+    bin_triangles,
     rasterize_and_count,
     setup_from_soa,
     tri_to_soa,
 )
 from geograypher_tpu.parallel.sharding import VIEW_AXIS, make_view_mesh
+
+logger = logging.getLogger(__name__)
+
+# packed per-view parameter row: [w2c (16), f, dist (8), pcx, pcy, valid]
+_PROW = 28
+
+
+def _pack_params(batch, valid: np.ndarray) -> np.ndarray:
+    """(N, 28) float32 per-view parameter rows (one transfer per step)."""
+    n = valid.shape[0]
+    return np.concatenate(
+        [
+            np.asarray(batch.world_to_cam, np.float32).reshape(n, 16),
+            np.asarray(batch.f, np.float32).reshape(n, 1),
+            np.asarray(batch.distortion, np.float32).reshape(n, 8),
+            np.asarray(batch.cx, np.float32).reshape(n, 1),
+            np.asarray(batch.cy, np.float32).reshape(n, 1),
+            valid.astype(np.float32).reshape(n, 1),
+        ],
+        axis=1,
+    )
+
+
+def _unpack_row(row: jax.Array, use_dist: bool):
+    """One packed parameter row -> (w2c, f, distortion-or-None, valid)."""
+    w2c = row[:16].reshape(4, 4)
+    f = row[16]
+    distortion = (row[17:25], row[25], row[26]) if use_dist else None
+    return w2c, f, distortion, row[27]
 
 
 def aggregate_class_images_distributed(
@@ -57,6 +115,9 @@ def aggregate_class_images_distributed(
     prefetch_workers: int = 4,
     config: typing.Optional[RasterConfig] = None,
     apply_distortion: typing.Optional[bool] = None,
+    views_per_step: int = 4,
+    integrity_check: bool = True,
+    auto_size_fold: bool = True,
 ):
     """Aggregate per-view class images onto mesh faces across all devices.
 
@@ -73,6 +134,15 @@ def aggregate_class_images_distributed(
             the sensor's distorted pixel space whenever the sensor is
             calibrated with distortion (reference behavior:
             meshes.py:1805-1821, via NN remap there); False disables.
+        views_per_step: views processed per device per jitted step.
+        integrity_check: verify the grouped program against the
+            standalone single-view fused program at warmup, and fail on
+            fold-window overflow (see module docstring).  Disable only
+            for micro-benchmarks of known-good configurations.
+        auto_size_fold: size the fold-window capacity from a probe of the
+            first step's views (default).  When False, ``config.fold_w_cap``
+            is used as-is — the in-step overflow guard still fails loudly
+            if it is undersized.
 
     Returns (fraction_sums (F, n_classes), view_counts (F,)) as numpy
     arrays: ``fraction_sums`` is the sum over views of each view's
@@ -83,8 +153,10 @@ def aggregate_class_images_distributed(
     if device_mesh is None:
         device_mesh = make_view_mesh()
     n_dev = device_mesh.devices.size
+    group = max(1, int(views_per_step))
     config = config or mesh.raster_config
     n_faces = mesh.n_faces
+    fold_block = config.fold_block
     tri_soa = jnp.asarray(tri_to_soa(mesh.get_tri_verts_device(cameras)))
     batch = cameras.get_camera_batch(image_scale=aggregate_img_scale)
     h, w = batch.image_height, batch.image_width
@@ -102,83 +174,151 @@ def aggregate_class_images_distributed(
     sharding = NamedSharding(device_mesh, P(VIEW_AXIS))
     replicated = NamedSharding(device_mesh, P())
 
-    dist_all = np.asarray(batch.distortion, np.float32)  # (N, 8)
-    pcx_all = np.asarray(batch.cx, np.float32)
-    pcy_all = np.asarray(batch.cy, np.float32)
     use_dist = bool(
         (apply_distortion is None or apply_distortion)
-        and (np.any(dist_all) or np.any(pcx_all) or np.any(pcy_all))
+        and (
+            np.any(np.asarray(batch.distortion))
+            or np.any(np.asarray(batch.cx))
+            or np.any(np.asarray(batch.cy))
+        )
     )
+    fused = config.backend == "pallas"
 
-    @jax.jit
-    def device_step(
-        tri_soa, w2c_shard, f_shard, dist_shard, pcx_shard, pcy_shard,
-        valid_shard, imgs_shard, acc_fracs, acc_views,
-    ):
-        def per_device(
-            tri_soa, w2c_b, f_b, dist_b, pcx_b, pcy_b, valid_b, imgs_b,
-            acc_fracs, acc_views,
-        ):
-            # collapse the (local-shard=1, steps) leading axes
-            w2c_b = w2c_b.reshape(-1, 4, 4)
-            f_b = f_b.reshape(-1)
-            dist_b = dist_b.reshape(-1, 8)
-            pcx_b = pcx_b.reshape(-1)
-            pcy_b = pcy_b.reshape(-1)
-            valid_b = valid_b.reshape(-1)
+    n = len(cameras)
+    step_views = n_dev * group
+    n_pad = -(-n // step_views) * step_views
+    order = list(range(n)) + [0] * (n_pad - n)
+    valid = np.array([1.0] * n + [0.0] * (n_pad - n), np.float32)
+    params = _pack_params(batch, np.ones(n, np.float32))[order]
+    params[:, _PROW - 1] = valid
+
+    # -- auto-size the fold's static window capacity --------------------------
+    # Probe the first step's views for the worst per-block tile-window
+    # demand; later views are re-measured inside every step and overflow
+    # the run loudly (never silently dropping counts).
+    w_cap = config.fold_w_cap
+    if fused and auto_size_fold:
+        n_probe = min(n, step_views)
+
+        @jax.jit
+        def probe_windows(tri_soa, params_probe):
+            from geograypher_tpu.ops.agg_tiled import fold_window_overflow
+
+            worst = jnp.zeros((), jnp.int32)
+            for k in range(n_probe):
+                w2c_k, f_k, dist_k, _ = _unpack_row(params_probe[k], use_dist)
+                setup = setup_from_soa(
+                    tri_soa, w2c_k, f_k, w, h, config.znear, distortion=dist_k
+                )
+                binned = bin_triangles(setup, config, h, w)
+                over_k, win_k = fold_window_overflow(
+                    binned.cand[0], n_faces=n_faces, w_cap=504,
+                    block=fold_block,
+                )
+                worst = jnp.maximum(worst, win_k + over_k)
+            return worst
+
+        max_win = int(np.asarray(probe_windows(tri_soa, params[:n_probe])))
+        w_cap = 8 * ((max_win * 3 // 2 + 7) // 8)  # 1.5x margin
+        config = dataclasses.replace(config, fold_w_cap=w_cap)
+
+    def count_one_view(setup, binned, cls_img):
+        """(F, C) counts for one prepared view, sharing its binning."""
+        if fused:
+            from geograypher_tpu.ops import agg_tiled
+            from geograypher_tpu.ops.pallas_raster import raster_tiles_pallas
+
+            _p2f, outs, _kp = raster_tiles_pallas(
+                binned, setup.planes, config, h, w,
+                return_tiles=True, class_image=cls_img,
+                n_classes=n_classes, return_pix2face=False,
+            )
+            return agg_tiled.fold_tile_counts(
+                outs, binned, config, h, w, n_faces, n_classes,
+                w_cap=w_cap, block=fold_block,
+            )
+        from geograypher_tpu.ops.aggregate import project_image_class_counts
+        from geograypher_tpu.ops.rasterize import (
+            _raster_tiles_xla,
+            concat_candidates_for_tiles,
+        )
+
+        cand = concat_candidates_for_tiles(binned, config, h, w)
+        p2f = _raster_tiles_xla(cand, setup.planes, config, h, w)
+        return project_image_class_counts(
+            p2f, cls_img, n_faces=n_faces, n_classes=n_classes
+        )
+
+    @functools.partial(jax.jit, donate_argnums=(3, 4))
+    def device_step(tri_soa, params_shard, imgs_shard, acc_fracs, acc_views):
+        def per_device(tri_soa, params_b, imgs_b, acc_fracs, acc_views):
+            # collapse the local-shard=1 leading axis
+            params_b = params_b.reshape(-1, _PROW)
             imgs_b = imgs_b.reshape((-1,) + imgs_b.shape[2:])
 
             fracs = jnp.zeros((n_faces, n_classes), jnp.float32)
             views = jnp.zeros((n_faces,), jnp.float32)
+            csum = jnp.zeros((), jnp.float32)
+            over = jnp.zeros((), jnp.int32)
             # python-unrolled view loop: Mosaic kernels inside lax.scan
             # corrupt on the current runtime (docs/DESIGN.md)
-            for k in range(w2c_b.shape[0]):
+            for k in range(group):
+                w2c_k, f_k, dist_k, valid_k = _unpack_row(
+                    params_b[k], use_dist
+                )
                 setup = setup_from_soa(
-                    tri_soa, w2c_b[k], f_b[k], w, h, config.znear,
-                    distortion=(
-                        (dist_b[k], pcx_b[k], pcy_b[k]) if use_dist else None
-                    ),
+                    tri_soa, w2c_k, f_k, w, h, config.znear,
+                    distortion=dist_k,
                 )
-                counts = rasterize_and_count(
-                    setup, imgs_b[k].astype(jnp.int32), config, h, w,
-                    n_faces, n_classes,
+                binned = bin_triangles(setup, config, h, w)
+                counts = count_one_view(
+                    setup, binned, imgs_b[k].astype(jnp.int32)
                 )
-                counts = counts * valid_b[k]
+                counts = counts * valid_k
+                if fused:
+                    from geograypher_tpu.ops.agg_tiled import (
+                        fold_window_overflow,
+                    )
+
+                    over_k, _ = fold_window_overflow(
+                        binned.cand[0], n_faces=n_faces, w_cap=w_cap,
+                        block=fold_block,
+                    )
+                    over = jnp.maximum(
+                        over, (over_k * valid_k.astype(jnp.int32)).astype(jnp.int32)
+                    )
                 face_total = jnp.sum(counts, axis=1)
                 seen = (face_total > 0).astype(jnp.float32)
                 # per-view class fraction: this view's vote, weighted
                 # equally with every other view that saw the face
                 fracs = fracs + counts / jnp.maximum(face_total, 1.0)[:, None]
                 views = views + seen
+                csum = csum + jnp.sum(face_total)
             return (
                 acc_fracs + jax.lax.psum(fracs, VIEW_AXIS),
                 acc_views + jax.lax.psum(views, VIEW_AXIS),
+                jax.lax.psum(csum, VIEW_AXIS),
+                jax.lax.pmax(over, VIEW_AXIS),
             )
 
         return jax.shard_map(
             per_device,
             mesh=device_mesh,
-            in_specs=(
-                P(), P(VIEW_AXIS), P(VIEW_AXIS), P(VIEW_AXIS), P(VIEW_AXIS),
-                P(VIEW_AXIS), P(VIEW_AXIS), P(VIEW_AXIS), P(), P(),
-            ),
-            out_specs=(P(), P()),
+            in_specs=(P(), P(VIEW_AXIS), P(VIEW_AXIS), P(), P()),
+            out_specs=(P(), P(), P(), P()),
             check_vma=False,
-        )(tri_soa, w2c_shard, f_shard, dist_shard, pcx_shard, pcy_shard,
-          valid_shard, imgs_shard, acc_fracs, acc_views)
+        )(tri_soa, params_shard, imgs_shard, acc_fracs, acc_views)
 
-    n = len(cameras)
-    n_pad = -(-n // n_dev) * n_dev
-    order = list(range(n)) + [0] * (n_pad - n)
-    valid = np.array([1.0] * n + [0.0] * (n_pad - n), np.float32)
-    w2c_all = np.asarray(batch.world_to_cam)
-    f_all = np.asarray(batch.f)
     img_dtype = np.int8 if n_classes < 128 else np.int32
 
     total_fracs = jax.device_put(
         jnp.zeros((n_faces, n_classes), jnp.float32), replicated
     )
     total_views = jax.device_put(jnp.zeros((n_faces,), jnp.float32), replicated)
+    worst_overflow = 0
+    first_csum = None
+    first_over = None
+    first_imgs = None
 
     with concurrent.futures.ThreadPoolExecutor(prefetch_workers) as pool:
         futures: dict = {}
@@ -187,11 +327,11 @@ def aggregate_class_images_distributed(
             if i not in futures and i < n_pad:
                 futures[i] = pool.submit(class_image_provider, order[i])
 
-        window = n_dev * 3  # slots kept in flight ahead of the device
+        window = step_views * 2  # slots kept in flight ahead of the device
         for i in range(min(n_pad, window)):
             ensure(i)
-        for start in range(0, n_pad, n_dev):
-            idx = list(range(start, start + n_dev))
+        for start in range(0, n_pad, step_views):
+            idx = list(range(start, start + step_views))
             imgs = np.stack(
                 [
                     np.clip(futures.pop(i).result(), -1, None).astype(
@@ -201,21 +341,92 @@ def aggregate_class_images_distributed(
                 ],
                 axis=0,
             )
-            for j in range(start + n_dev, min(start + n_dev + window, n_pad)):
+            for j in range(
+                start + step_views, min(start + 2 * step_views, n_pad)
+            ):
                 ensure(j)
-            sel = [order[i] for i in idx]
-            # reshape per-device leading dim: (n_dev, 1, ...) so the view
-            # loop runs once per step per device
-            total_fracs, total_views = device_step(
+            total_fracs, total_views, csum, over = device_step(
                 tri_soa,
-                jax.device_put(w2c_all[sel][:, None], sharding),
-                jax.device_put(f_all[sel][:, None], sharding),
-                jax.device_put(dist_all[sel][:, None], sharding),
-                jax.device_put(pcx_all[sel][:, None], sharding),
-                jax.device_put(pcy_all[sel][:, None], sharding),
-                jax.device_put(valid[idx][:, None], sharding),
-                jax.device_put(jnp.asarray(imgs[:, None]), sharding),
+                jax.device_put(
+                    params[idx].reshape(n_dev, group, _PROW), sharding
+                ),
+                jax.device_put(
+                    imgs.reshape((n_dev, group) + imgs.shape[1:]), sharding
+                ),
                 total_fracs,
                 total_views,
             )
+            if start == 0:
+                first_csum, first_over = csum, over
+                first_imgs = imgs
+            else:
+                # cheap scalar fetch; dispatches have already queued
+                worst_overflow = max(worst_overflow, int(np.asarray(over)))
+
+    if fused and first_over is not None:
+        worst_overflow = max(worst_overflow, int(np.asarray(first_over)))
+    if worst_overflow:
+        raise RuntimeError(
+            f"fold window overflow: a view needed {worst_overflow} entries "
+            f"beyond the auto-sized capacity ({w_cap}); counts would be "
+            "dropped. Re-run (the probe now covers this scene) or pass a "
+            "RasterConfig with a larger fold_w_cap."
+        )
+
+    if integrity_check and fused and first_csum is not None:
+        _check_first_step(
+            tri_soa, params, first_imgs, first_csum, config, use_dist,
+            w, h, n_faces, n_classes, step_views,
+        )
+
     return np.asarray(total_fracs), np.asarray(total_views)
+
+
+def _check_first_step(
+    tri_soa, params, imgs, group_csum, config, use_dist,
+    w, h, n_faces, n_classes, step_views,
+):
+    """Warmup corruption guard: recompute one first-step view with the
+    standalone single-view fused program (the structure validated clean on
+    this runtime, docs/DESIGN.md) and require the grouped program's count
+    total to cover it.  A grouped program that compiled into a corrupting
+    structure returns (near-)zero counts and fails here instead of
+    returning wrong labels."""
+
+    @jax.jit
+    def one_view_counts(tri_soa, row, img):
+        w2c_k, f_k, dist_k, _ = _unpack_row(row, use_dist)
+        setup = setup_from_soa(
+            tri_soa, w2c_k, f_k, w, h, config.znear, distortion=dist_k
+        )
+        return jnp.sum(
+            rasterize_and_count(
+                setup, img.astype(jnp.int32), config, h, w,
+                n_faces, n_classes,
+            )
+        )
+
+    got = float(np.asarray(group_csum))
+    for k in range(step_views):
+        if params[k, _PROW - 1] == 0:
+            continue
+        ref = float(np.asarray(one_view_counts(tri_soa, params[k], imgs[k])))
+        if ref == 0.0:
+            continue  # view saw nothing labeled; try the next one
+        if got < 0.5 * ref:
+            raise RuntimeError(
+                "aggregation integrity check failed: grouped-program count "
+                f"total {got:.6g} < half the single-view reference {ref:.6g} "
+                "— the compiled program is corrupting Mosaic outputs "
+                "(docs/DESIGN.md); reduce views_per_step or report the "
+                "toolchain roll"
+            )
+        logger.debug(
+            "integrity check ok: group counts %.6g vs single-view %.6g",
+            got, ref,
+        )
+        return
+    logger.warning(
+        "integrity check inconclusive: no first-step view saw labeled "
+        "pixels; corruption guard not exercised"
+    )

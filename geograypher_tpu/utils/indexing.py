@@ -18,13 +18,21 @@ import numpy as np
 def find_argmax_nonzero_value(
     array: np.ndarray, keepdims: bool = False, axis: int = 1
 ) -> np.ndarray:
-    """Argmax with NaN rows for zero-sum / non-finite rows
-    (reference indexing.py:9-33)."""
-    argmax = np.argmax(array, axis=axis, keepdims=keepdims).astype(float)
-    zero_sum_mask = np.sum(array, axis=axis) == 0
-    infinite_mask = np.any(~np.isfinite(array), axis=axis)
-    argmax[np.logical_or(zero_sum_mask, infinite_mask)] = np.nan
-    return argmax
+    """Per-row argmax, with NaN wherever a row is degenerate.
+
+    A row is degenerate when it contains any non-finite value or when it
+    sums to zero (no votes at all) — behavioral twin of reference
+    utils/indexing.py:9-33, reformulated as a single masked select.
+    """
+    array = np.asarray(array)
+    finite = np.isfinite(array)
+    # summing only finite entries keeps the zero-sum test well-defined
+    # even on rows that fail the all-finite test
+    row_ok = finite.all(axis=axis) & (array.sum(axis=axis, where=finite) != 0)
+    out = np.where(row_ok, np.argmax(array, axis=axis), np.nan)
+    if keepdims:
+        out = np.expand_dims(out, axis)
+    return out
 
 
 def determine_IDs_to_labels(

@@ -108,3 +108,93 @@ def test_distributed_pipeline_matches_single_device():
     # and the argmax recovers the labels
     pred = np.argmax(frac_sums, axis=1)
     assert (pred[observed] == labels[observed]).all()
+
+
+def _pipeline_scene(n_views=5, backend="pallas", seed=5):
+    from geograypher_tpu.cameras.core import CameraSet
+    from geograypher_tpu.cameras.segmentor_set import SegmentorCameraSet
+    from geograypher_tpu.meshes.mesh import TexturedMesh
+    from geograypher_tpu.predictors.segmentors import ArraySegmentor
+
+    rng = np.random.default_rng(seed)
+    verts, faces = make_grid_mesh(n=13, size=4.0)
+    cfg = RasterConfig(caps=(256, 64, 32, 16), backend=backend)
+    mesh = TexturedMesh((verts, faces), raster_config=cfg)
+    labels = rng.integers(0, 3, mesh.n_faces).astype(float)
+    mesh.set_texture(labels, is_vertex=False)
+    c2ws = []
+    for k in range(n_views):
+        c2w = nadir_camera(4.0, 40.0, 80)
+        c2w[0, 3] += 0.15 * k
+        c2ws.append(c2w)
+    cams = CameraSet(
+        c2ws,
+        {0: {"f": 40.0, "cx": 0.0, "cy": 0.0,
+             "image_width": 80, "image_height": 80}},
+    )
+    renders = [r[..., 0] for r in mesh.render_flat(cams)]
+    seg_cams = SegmentorCameraSet(cams, ArraySegmentor(renders, num_classes=3))
+    return mesh, cams, seg_cams, labels
+
+
+def test_distributed_pipeline_fused_backend_matches():
+    """The FUSED (pallas) grouped pipeline — the production TPU path —
+    must match the single-device aggregation exactly, with the integrity
+    guards enabled."""
+    from geograypher_tpu.parallel.pipeline import (
+        aggregate_class_images_distributed,
+    )
+
+    mesh, cams, seg_cams, labels = _pipeline_scene(backend="pallas")
+    frac_sums, views = aggregate_class_images_distributed(
+        mesh, seg_cams, n_classes=3, views_per_step=2,
+    )
+    avg, info = mesh.aggregate_projected_images(seg_cams)
+    observed = info["projection_counts"] > 0
+    assert np.allclose(views[observed], info["projection_counts"][observed])
+    with np.errstate(invalid="ignore"):
+        frac = frac_sums / views[:, None]
+    assert np.allclose(frac[observed], avg[observed], atol=1e-5, equal_nan=True)
+    pred = np.argmax(frac_sums, axis=1)
+    assert (pred[observed] == labels[observed]).all()
+
+
+def test_pipeline_raises_on_undersized_fold_capacity():
+    """Deliberately undersized fold windows must RAISE, not silently drop
+    counts (docs/DESIGN.md integrity doctrine)."""
+    from geograypher_tpu.parallel.pipeline import (
+        aggregate_class_images_distributed,
+    )
+
+    mesh, cams, seg_cams, _ = _pipeline_scene(backend="pallas")
+    import dataclasses
+
+    mesh.raster_config = dataclasses.replace(
+        mesh.raster_config, fold_w_cap=8
+    )
+    with pytest.raises(RuntimeError, match="fold window overflow"):
+        aggregate_class_images_distributed(
+            mesh, seg_cams, n_classes=3, auto_size_fold=False,
+            integrity_check=False,
+        )
+
+
+def test_pipeline_warmup_guard_detects_corruption(monkeypatch):
+    """The warmup guard must fail when the grouped program's counts
+    disagree with the standalone single-view reference (simulated Mosaic
+    corruption)."""
+    import geograypher_tpu.parallel.pipeline as pipeline_mod
+    from geograypher_tpu.ops.rasterize import rasterize_and_count
+
+    mesh, cams, seg_cams, _ = _pipeline_scene(backend="pallas")
+
+    def inflated(*args, **kwargs):
+        # the "reference" computation claims 10x the pixels: as if the
+        # grouped program had silently dropped ~90% of its counts
+        return rasterize_and_count(*args, **kwargs) * 10.0
+
+    monkeypatch.setattr(pipeline_mod, "rasterize_and_count", inflated)
+    with pytest.raises(RuntimeError, match="integrity check failed"):
+        pipeline_mod.aggregate_class_images_distributed(
+            mesh, seg_cams, n_classes=3
+        )
