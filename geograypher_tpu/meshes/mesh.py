@@ -918,21 +918,182 @@ class TexturedMesh:
             else:
                 yield img
 
+    @staticmethod
+    def _as_class_image(img: np.ndarray) -> typing.Optional[np.ndarray]:
+        """int32 class-index image when ``img`` is an exact one-hot stack
+        (segmentor output: finite rows are 0/1 summing to 1; all-NaN rows
+        are unlabeled), else None.  Gates the fused count path — soft or
+        continuous images must keep full per-channel mean semantics."""
+        img = np.asarray(img)
+        if img.ndim != 3 or img.shape[-1] < 2:
+            return None
+        finite = np.isfinite(img)
+        rows_f = finite.all(axis=-1)
+        if not np.array_equal(rows_f, finite.any(axis=-1)):
+            return None  # mixed-finite rows: not a one-hot stack
+        vals = img[rows_f]
+        if vals.size and (
+            ((vals != 0) & (vals != 1)).any()
+            or (vals.sum(axis=-1) != 1).any()
+        ):
+            return None
+        cls = np.full(img.shape[:2], -1, np.int32)
+        cls[rows_f] = np.argmax(img[rows_f], axis=-1)
+        return cls
+
+    def _tri_soa_device(self, cameras) -> jax.Array:
+        """(9, F_pad) coordinate-row triangles (see ops/rasterize.tri_to_soa),
+        cached on device alongside the (F, 3, 3) form."""
+        from geograypher_tpu.ops.rasterize import tri_to_soa
+
+        key = None
+        if isinstance(cameras, CameraSet):
+            t = cameras.get_local_to_epsg_4978_transform()
+            key = None if t is None else hashlib.sha256(t.tobytes()).hexdigest()
+        cache = getattr(self, "_tri_soa_cache", None)
+        if cache is None:
+            cache = self._tri_soa_cache = {}
+        if key not in cache:
+            cache[key] = jnp.asarray(
+                tri_to_soa(self.get_tri_verts_device(cameras))
+            )
+        return cache[key]
+
+    def _fold_sized_config(
+        self,
+        cameras: CameraSet,
+        index: int,
+        scale: float,
+        config: RasterConfig,
+        use_dist: bool,
+    ) -> RasterConfig:
+        """``config`` with ``fold_w_cap`` auto-sized from a probe of view
+        ``index`` (1.5x margin; cached per (scale, config)).  Later views
+        are covered by the runtime overflow guard in the fused chain."""
+        import dataclasses
+
+        from geograypher_tpu.ops.rasterize import probe_fold_window
+
+        cache = getattr(self, "_fold_cap_cache", None)
+        if cache is None:
+            cache = self._fold_cap_cache = {}
+        key = (round(scale, 6), config)
+        if key not in cache:
+            batch = cameras.get_camera_batch([index], image_scale=scale)
+            win = int(
+                np.asarray(
+                    probe_fold_window(
+                        self._tri_soa_device(cameras),
+                        batch.world_to_cam[0],
+                        batch.f[0],
+                        jnp.asarray(batch.distortion[0], jnp.float32),
+                        batch.cx[0],
+                        batch.cy[0],
+                        batch.image_width,
+                        batch.image_height,
+                        config,
+                        self._face_bucket(self.n_faces),
+                        use_dist,
+                    )
+                )
+            )
+            cache[key] = dataclasses.replace(
+                config, fold_w_cap=8 * ((win * 3 // 2 + 7) // 8)
+            )
+        return cache[key]
+
     def project_images(
         self,
         cameras: CameraSet,
         batch_size: int = 1,
         aggregate_img_scale: float = 1.0,
         check_null_image: bool = False,
+        integrity_check: bool = True,
         **pix2face_kwargs,
     ):
         """Generator of per-view per-face (mean values, pixel counts)
         (reference meshes.py:1911-1969; see ops/aggregate.py for the
-        deliberate last-pixel-wins -> per-face-mean semantics fix)."""
+        deliberate last-pixel-wins -> per-face-mean semantics fix).
+
+        On the pallas backend, one-hot segmentor images run through the
+        FUSED scatter-free chain (``ops.rasterize.fused_view_class_counts``
+        — the raster kernel emits class counts in-kernel, face-block folds
+        densify them), so no XLA scatter ever consumes a Mosaic output
+        (docs/DESIGN.md corruption doctrine).  Lens distortion is then
+        applied natively in the rasterizer (vertices warped into the
+        sensor's distorted pixel space) rather than by the reference's NN
+        remap of the rendered map (meshes.py:1805-1821) — sub-pixel
+        equivalent at survey triangle sizes.  Continuous/soft images keep
+        the general per-channel mean path.  Fold-window overflow or a
+        corrupted first view raise instead of returning wrong counts.
+        """
+        from geograypher_tpu.ops.rasterize import fused_view_class_counts
+
+        config = pix2face_kwargs.get("config") or self.raster_config
+        apply_distortion = pix2face_kwargs.get("apply_distortion")
+        use_fused = config.backend == "pallas"
+        overflow_acc = None
+        first_fused_checked = False
         for i in range(len(cameras)):
             img = cameras.get_image_by_index(i, aggregate_img_scale)
             if check_null_image and not np.any(np.isfinite(img)):
                 yield None
+                continue
+            cls = self._as_class_image(img) if use_fused else None
+            if cls is not None:
+                distort_i = self._resolve_distortion(
+                    cameras, i, apply_distortion
+                )
+                sized = self._fold_sized_config(
+                    cameras, i, aggregate_img_scale, config, distort_i
+                )
+                batch = cameras.get_camera_batch(
+                    [i], image_scale=aggregate_img_scale
+                )
+                n_classes = img.shape[-1]
+                counts, over, ncand = fused_view_class_counts(
+                    self._tri_soa_device(cameras),
+                    batch.world_to_cam[0],
+                    batch.f[0],
+                    jnp.asarray(batch.distortion[0], jnp.float32),
+                    batch.cx[0],
+                    batch.cy[0],
+                    jnp.asarray(cls),
+                    batch.image_width,
+                    batch.image_height,
+                    sized,
+                    self._face_bucket(self.n_faces),
+                    n_classes,
+                    distort_i,
+                )
+                overflow_acc = (
+                    over if overflow_acc is None
+                    else jnp.maximum(overflow_acc, over)
+                )
+                if integrity_check and not first_fused_checked:
+                    first_fused_checked = True
+                    labeled = int((cls >= 0).sum())
+                    got = float(np.asarray(jnp.sum(counts)))
+                    if (
+                        got == 0.0
+                        and labeled > 0.01 * cls.size
+                        and int(np.asarray(ncand)) > 0
+                    ):
+                        raise RuntimeError(
+                            "aggregation integrity check failed: view "
+                            f"{i} has {labeled} labeled pixels and a "
+                            "non-empty rasterization, but the fused "
+                            "kernel chain produced zero counts — the "
+                            "runtime is corrupting Mosaic outputs "
+                            "(docs/DESIGN.md); pass "
+                            "integrity_check=False only if this scene "
+                            "legitimately has no labeled mesh pixels"
+                        )
+                counts = counts[: self.n_faces]
+                face_total = jnp.sum(counts, axis=1)
+                yield counts, jnp.broadcast_to(
+                    face_total[:, None], counts.shape
+                )
                 continue
             p2f = self._pix2face_device(
                 cameras, i, render_img_scale=aggregate_img_scale,
@@ -947,6 +1108,14 @@ class TexturedMesh:
             # device arrays: downstream accumulation stays on device; callers
             # wanting numpy can np.asarray (tiny (F, C) transfers)
             yield sums[: self.n_faces], counts[: self.n_faces]
+        if overflow_acc is not None:
+            worst = int(np.asarray(overflow_acc))
+            if worst:
+                raise RuntimeError(
+                    f"fold window overflow: a view needed {worst} entries "
+                    "beyond the auto-sized capacity; counts were dropped. "
+                    "Pass a RasterConfig with a larger fold_w_cap."
+                )
 
     def aggregate_projected_images(
         self,

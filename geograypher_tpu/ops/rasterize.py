@@ -585,6 +585,108 @@ def rasterize_and_count(
 
 
 @functools.partial(
+    jax.jit,
+    static_argnames=("image_w", "image_h", "config", "n_faces", "use_dist"),
+)
+def probe_fold_window(
+    tri_soa: jax.Array,
+    world_to_cam: jax.Array,
+    f: jax.Array,
+    dist8: jax.Array,
+    pcx: jax.Array,
+    pcy: jax.Array,
+    image_w: int,
+    image_h: int,
+    config: RasterConfig,
+    n_faces: int,
+    use_dist: bool,
+) -> jax.Array:
+    """Worst-case fold-window demand for one view (for auto-sizing
+    ``RasterConfig.fold_w_cap``; see ops/agg_tiled.fold_window_overflow)."""
+    from geograypher_tpu.ops.agg_tiled import fold_window_overflow
+
+    setup = setup_from_soa(
+        tri_soa, world_to_cam, f, image_w, image_h, config.znear,
+        distortion=(dist8, pcx, pcy) if use_dist else None,
+    )
+    binned = bin_triangles(setup, config, image_h, image_w)
+    over, win = fold_window_overflow(
+        binned.cand[0], n_faces=n_faces, w_cap=504, block=config.fold_block
+    )
+    return over + win
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "image_w", "image_h", "config", "n_faces", "n_classes", "use_dist"
+    ),
+)
+def fused_view_class_counts(
+    tri_soa: jax.Array,
+    world_to_cam: jax.Array,
+    f: jax.Array,
+    dist8: jax.Array,
+    pcx: jax.Array,
+    pcy: jax.Array,
+    class_image: jax.Array,
+    image_w: int,
+    image_h: int,
+    config: RasterConfig,
+    n_faces: int,
+    n_classes: int,
+    use_dist: bool,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """One view's (counts, fold_overflow, total_candidates), fully fused.
+
+    The single-device production aggregation step on TPU: camera
+    transform + triangle setup + binning + the fused raster/count kernel
+    + face-block folds in ONE program — no XLA scatter ever consumes a
+    Mosaic output (docs/DESIGN.md corruption doctrine).  ``use_dist``
+    rasterizes directly in the sensor's distorted pixel space.
+
+    ``fold_overflow > 0`` means ``config.fold_w_cap`` is undersized for
+    this view and counts were dropped — callers must fail loudly.
+    ``total_candidates`` (from the XLA binning stage, trustworthy even
+    when Mosaic outputs corrupt) supports cheap integrity checks.
+    """
+    from geograypher_tpu.ops import agg_tiled
+
+    setup = setup_from_soa(
+        tri_soa, world_to_cam, f, image_w, image_h, config.znear,
+        distortion=(dist8, pcx, pcy) if use_dist else None,
+    )
+    binned = bin_triangles(setup, config, image_h, image_w)
+    if config.backend == "pallas":
+        from geograypher_tpu.ops.pallas_raster import raster_tiles_pallas
+
+        _p2f, outs, _kp = raster_tiles_pallas(
+            binned, setup.planes, config, image_h, image_w,
+            return_tiles=True, class_image=class_image,
+            n_classes=n_classes, return_pix2face=False,
+        )
+        counts = agg_tiled.fold_tile_counts(
+            outs, binned, config, image_h, image_w, n_faces, n_classes,
+            w_cap=config.fold_w_cap, block=config.fold_block,
+        )
+        over, _ = agg_tiled.fold_window_overflow(
+            binned.cand[0], n_faces=n_faces, w_cap=config.fold_w_cap,
+            block=config.fold_block,
+        )
+    else:
+        from geograypher_tpu.ops.aggregate import project_image_class_counts
+
+        cand = concat_candidates_for_tiles(binned, config, image_h, image_w)
+        p2f = _raster_tiles_xla(cand, setup.planes, config, image_h, image_w)
+        counts = project_image_class_counts(
+            p2f, class_image, n_faces=n_faces, n_classes=n_classes
+        )
+        over = jnp.zeros((), jnp.int32)
+    ncand = sum(jnp.sum(c).astype(jnp.int32) for c in binned.counts)
+    return counts, over, ncand
+
+
+@functools.partial(
     jax.jit, static_argnames=("image_w", "image_h", "config")
 )
 def rasterize_triangles(

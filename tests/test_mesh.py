@@ -366,3 +366,36 @@ def test_spatial_sort_faces_morton_locality():
     step = np.linalg.norm(np.diff(cent[:, :2], axis=0), axis=1)
     cell = 4.0 / 20
     assert np.median(step) < 2 * cell
+
+
+def test_aggregate_fused_pallas_matches_xla_path():
+    """The pallas-backend single-device aggregation (fused scatter-free
+    chain, the production TPU structure) must match the XLA segment-sum
+    path exactly for one-hot segmentor images."""
+    import dataclasses
+
+    from geograypher_tpu.cameras.segmentor_set import SegmentorCameraSet
+    from geograypher_tpu.predictors.segmentors import ArraySegmentor
+
+    mesh, _ = make_geo_mesh(n=15, size=40.0)
+    cams = local_camera_set(mesh, n_cams=3)
+    rng = np.random.default_rng(3)
+    face_labels = rng.integers(0, 4, mesh.n_faces).astype(float)
+    mesh.set_texture(face_labels, is_vertex=False)
+    renders = list(mesh.render_flat(cams))
+    seg = ArraySegmentor([r[..., 0] for r in renders], num_classes=4)
+    seg_cams = SegmentorCameraSet(cams, seg)
+
+    avg_xla, info_xla = mesh.aggregate_projected_images(seg_cams)
+
+    mesh.raster_config = dataclasses.replace(CFG, backend="pallas")
+    avg_pal, info_pal = mesh.aggregate_projected_images(seg_cams)
+    mesh.raster_config = CFG
+
+    assert np.allclose(
+        info_pal["projection_counts"], info_xla["projection_counts"]
+    )
+    assert np.allclose(avg_pal, avg_xla, atol=1e-5, equal_nan=True)
+    observed = info_pal["projection_counts"] > 0
+    pred = np.argmax(avg_pal, axis=1).astype(float)
+    assert (pred[observed] == face_labels[observed]).mean() > 0.99
