@@ -5,6 +5,12 @@ per-face class aggregation — on the available accelerator(s), matching the
 BASELINE.json target: 1000 x 4K views over a 1M-face mesh in < 10 s on a
 v5e-8, i.e. 100 views/s (12.5 views/s per chip).
 
+The workload is deliberately VARIED (not tuned-friendly): a mix of nadir
+and oblique poses (off-nadir pitches verified through the camera-set
+view-angle API), two focal lengths, and an independent label image per
+view; all static capacities (binning caps, fold windows) are sized from
+the WORST view and checked, never assumed.
+
 Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
@@ -35,6 +41,7 @@ def main():
         gather_tri_verts,
         make_grid_mesh,
         nadir_camera,
+        oblique_camera,
     )
 
     on_tpu = jax.default_backend() not in ("cpu",)
@@ -43,7 +50,7 @@ def main():
     if on_tpu:
         H, W = 2160, 3840
         n_grid = 708  # -> 999,698 faces
-        focal = 2000.0
+        focals = (2000.0, 2600.0)
         n_views = 20
         n_classes = 10
         caps = (256, 128, 128, 128)
@@ -51,7 +58,7 @@ def main():
     else:
         H, W = 216, 384
         n_grid = 71
-        focal = 200.0
+        focals = (200.0, 260.0)
         n_views = 2
         n_classes = 10
         caps = (256, 64, 32, 16)
@@ -68,18 +75,67 @@ def main():
     )
     config = RasterConfig(caps=caps, backend=backend)
 
-    # a sweep of slightly-different views (translated/raised nadir passes)
+    # Varied view suite: translated nadir passes + an oblique orbit at
+    # 15-35 deg off-nadir, alternating between two focal lengths.
     rng = np.random.default_rng(0)
-    w2cs = []
+    c2ws, fls = [], []
     for k in range(n_views):
-        c2w = nadir_camera(4.0, focal, W)
-        c2w[0, 3] += rng.uniform(-0.3, 0.3)
-        c2w[1, 3] += rng.uniform(-0.3, 0.3)
-        c2w[2, 3] += rng.uniform(0.0, 0.3)
-        w2cs.append(np.linalg.inv(c2w))
-    w2c = jnp.asarray(np.stack(w2cs), jnp.float32)
-    fl = jnp.float32(focal)
-    labels = jnp.asarray(rng.integers(0, n_classes, (H, W)), jnp.int32)
+        focal = focals[k % len(focals)]
+        if k % 2 == 0:
+            c2w = nadir_camera(4.0, focal, W)
+            c2w[0, 3] += rng.uniform(-0.3, 0.3)
+            c2w[1, 3] += rng.uniform(-0.3, 0.3)
+            c2w[2, 3] += rng.uniform(0.0, 0.3)
+        else:
+            c2w = oblique_camera(
+                4.0, focal, W,
+                pitch_deg=float(rng.uniform(15.0, 35.0)),
+                azimuth_deg=float(360.0 * k / n_views),
+            )
+        c2ws.append(c2w)
+        fls.append(focal)
+    w2c = jnp.asarray(
+        np.stack([np.linalg.inv(m) for m in c2ws]), jnp.float32
+    )
+    fl = jnp.asarray(np.array(fls), jnp.float32)
+
+    # verify the pose spread through the production camera API: build a
+    # georeferenced CameraSet at a mid-latitude site and measure off-nadir
+    # angles the way the reference does (cameras.py:244-326)
+    if n_views >= 4:
+        from geograypher_tpu.cameras.core import CameraSet
+        from geograypher_tpu.utils import crs as crs_utils
+
+        centroid = np.asarray(
+            crs_utils.lla_to_ecef(36.0, -119.0, 100.0), np.float64
+        ).reshape(3)
+        up = centroid / np.linalg.norm(centroid)
+        east = np.cross([0, 0, 1], up)
+        east /= np.linalg.norm(east)
+        north = np.cross(up, east)
+        l2e = np.eye(4)
+        l2e[:3, 0], l2e[:3, 1], l2e[:3, 2], l2e[:3, 3] = (
+            east, north, up, centroid,
+        )
+        angle_cams = CameraSet(
+            c2ws,
+            {0: {"f": fls[0], "cx": 0.0, "cy": 0.0,
+                 "image_width": W, "image_height": H}},
+            local_to_epsg_4978_transform=l2e,
+        )
+        pitches = np.abs(angle_cams.get_camera_view_angles()[:, 0])
+        if not (pitches.max() > 14.0 and pitches.min() < 6.0):
+            raise RuntimeError(
+                f"benchmark pose suite lost its spread: off-nadir pitches "
+                f"{pitches.min():.1f}..{pitches.max():.1f} deg"
+            )
+
+    # Independent per-view label images, generated on device (the dev
+    # host<->device tunnel is ~40 MB/s; production links are not the
+    # benchmark target here — the streaming metric below includes them)
+    labels = jax.random.randint(
+        jax.random.PRNGKey(7), (n_views, H, W), 0, n_classes, jnp.int32
+    )
 
     # All views inside one dispatch — amortizes the host->device dispatch
     # latency (~6 ms/view through this runtime).  The pipeline is the
@@ -89,23 +145,33 @@ def main():
     # commutes with the fold).  No XLA scatter ever consumes a Mosaic
     # output, and the view loop is python-unrolled, not lax.scan — both
     # of which this runtime corrupts silently.
-    # the fold's per-block tile windows are a static capacity: measure the
-    # scene's true max window on one representative view and size w_cap
-    # (views are near-identical here; drops would silently corrupt counts)
+    # Static capacities are sized from the WORST view of the suite: the
+    # rasterizer's binning caps (drops checked via binned.overflow) and
+    # the fold's per-block tile windows (fold_window_overflow).
     @jax.jit
-    def window_stats(tri, w2c_k):
-        setup = setup_from_soa(tri, w2c_k, fl, W, H, config.znear)
+    def window_stats(tri, w2c_k, f_k):
+        setup = setup_from_soa(tri, w2c_k, f_k, W, H, config.znear)
         binned = bin_triangles(setup, config, H, W)
-        return fold_window_overflow(
+        over, win = fold_window_overflow(
             binned.cand[0], n_faces=n_faces, w_cap=504, block=4096
         )
+        return over, win, binned.overflow
 
-    over, max_win = (int(np.asarray(x)) for x in window_stats(tri, w2c[0]))
-    if over:
-        raise RuntimeError(
-            f"fold window overflow ({over} entries) even at w_cap=504"
+    max_win = 0
+    for k in range(n_views):
+        over, win, bin_over = (
+            int(np.asarray(x)) for x in window_stats(tri, w2c[k], fl[k])
         )
-    w_cap = 8 * ((group * max_win * 5 // 4 + 7) // 8)  # 1.25x margin
+        if over:
+            raise RuntimeError(
+                f"view {k}: fold window overflow ({over}) even at w_cap=504"
+            )
+        if bin_over:
+            raise RuntimeError(
+                f"view {k}: rasterizer cap overflow ({bin_over} candidates "
+                f"dropped) — raise caps {caps}"
+            )
+        max_win = max(max_win, win)
 
     # One jit program per GROUP of views, chained on a device-resident
     # accumulator.  Large many-chain programs trigger the runtime's
@@ -115,16 +181,16 @@ def main():
     # asynchronously, so the per-program overhead is pipelined away.
     def make_group_step(g):
         @jax.jit
-        def group_step(tri, w2cs_g, labels, acc):
+        def group_step(tri, w2cs_g, fls_g, labels_g, acc):
             views = []
             for k in range(g):
                 setup = setup_from_soa(
-                    tri, w2cs_g[k], fl, W, H, config.znear
+                    tri, w2cs_g[k], fls_g[k], W, H, config.znear
                 )
                 binned = bin_triangles(setup, config, H, W)
                 _p2f, outs, _kp = raster_tiles_pallas(
                     binned, setup.planes, config, H, W,
-                    return_tiles=True, class_image=labels,
+                    return_tiles=True, class_image=labels_g[k],
                     n_classes=n_classes, return_pix2face=False,
                 )
                 views.append((outs, binned))
@@ -138,7 +204,9 @@ def main():
     def run_all(group_step, g, warm_check=False):
         acc = jnp.zeros((n_faces, n_classes), jnp.float32)
         for g0 in range(0, n_views, g):
-            acc = group_step(tri, w2c[g0:g0 + g], labels, acc)
+            acc = group_step(
+                tri, w2c[g0:g0 + g], fl[g0:g0 + g], labels[g0:g0 + g], acc
+            )
             if warm_check:
                 got = float(np.asarray(jnp.sum(acc)))
                 want = 0.85 * (g0 + g) * H * W * cover_min
@@ -149,7 +217,10 @@ def main():
                     )
         return acc
 
-    cover_min = 0.6  # this scene covers ~93% of pixels
+    # oblique views see past the finite test plane: nadir views cover
+    # ~93% of pixels, 35-deg oblique ones ~60+% — the guard only needs to
+    # catch empty/corrupted kernel output, not certify exact coverage
+    cover_min = 0.45
     group_step = None
     for g in (group, 10, 5, 4, 3, 2, 1):
         if n_views % g:
@@ -180,8 +251,8 @@ def main():
 
     # Second, honest END-TO-END number through the production streaming
     # path: aggregate_class_images_distributed with host-thread label
-    # prefetch and per-group device_put of int8 label images.  On this
-    # development environment the host<->device link is a ~40 MB/s
+    # prefetch, grouped views per device step and packed transfers.  On
+    # this development environment the host<->device link is a ~40 MB/s
     # tunnel, so this measures the full pipeline including transfer
     # (production PCIe/ICI links are orders of magnitude faster).
     pipeline_vps = None
@@ -194,17 +265,18 @@ def main():
 
         tmesh = TexturedMesh(
             (verts, faces),
-            raster_config=RasterConfig(
-                caps=caps, backend=backend,
-                fold_w_cap=8 * ((max_win * 5 // 4 + 7) // 8),
-            ),
+            raster_config=RasterConfig(caps=caps, backend=backend),
         )
-        sensor = {
-            "f": focal, "cx": 0.0, "cy": 0.0,
-            "image_width": W, "image_height": H,
+        sensors = {
+            si: {
+                "f": focal, "cx": 0.0, "cy": 0.0,
+                "image_width": W, "image_height": H,
+            }
+            for si, focal in enumerate(focals)
         }
         cams = CameraSet(
-            [np.linalg.inv(m) for m in w2cs], {0: sensor}
+            c2ws, sensors,
+            sensor_IDs=[k % len(focals) for k in range(n_views)],
         )
         label_imgs = [
             rng.integers(0, n_classes, (H, W)).astype(np.int32)
@@ -228,7 +300,10 @@ def main():
         print(f"pipeline metric failed: {e!r}", file=sys.stderr)
 
     out = {
-        "metric": "4K views rasterized+aggregated per second (1M-face mesh)"
+        "metric": (
+            "4K mixed nadir/oblique views rasterized+aggregated per second "
+            "(1M-face mesh)"
+        )
         if on_tpu
         else "smoke views/s (CPU, reduced scale)",
         "value": round(views_per_sec, 3),

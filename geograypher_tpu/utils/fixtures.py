@@ -47,6 +47,39 @@ def make_grid_mesh(
     return verts, faces.astype(np.int32)
 
 
+def oblique_camera(
+    scene_width: float = 4.0,
+    focal: float = 100.0,
+    sensor_width: int = 200,
+    pitch_deg: float = 25.0,
+    azimuth_deg: float = 0.0,
+) -> np.ndarray:
+    """cam-to-world of a camera tilted ``pitch_deg`` off nadir, orbited
+    ``azimuth_deg`` about the scene center, at the same triangle-ratio
+    distance as :func:`nadir_camera` (x right, y down, z = view).
+
+    Exercises the off-nadir capture geometry real drone surveys mix with
+    nadir passes (reference cameras.py:244-326 measures these angles).
+    """
+    d = scene_width * focal / sensor_width
+    pitch = np.deg2rad(pitch_deg)
+    az = np.deg2rad(azimuth_deg)
+    eye = d * np.array(
+        [np.sin(pitch) * np.cos(az), np.sin(pitch) * np.sin(az), np.cos(pitch)]
+    )
+    z_cam = -eye / np.linalg.norm(eye)  # look at the scene center
+    x_cam = np.cross(z_cam, np.array([0.0, 0.0, 1.0]))
+    n = np.linalg.norm(x_cam)
+    if n < 1e-9:  # nadir fallback
+        x_cam = np.array([1.0, 0.0, 0.0])
+    else:
+        x_cam = x_cam / n
+    y_cam = np.cross(z_cam, x_cam)  # right-handed, points downward
+    c2w = np.eye(4)
+    c2w[:3, 0], c2w[:3, 1], c2w[:3, 2], c2w[:3, 3] = x_cam, y_cam, z_cam, eye
+    return c2w
+
+
 def nadir_camera(
     scene_width: float = 4.0, focal: float = 100.0, sensor_width: int = 200
 ) -> np.ndarray:
