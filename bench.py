@@ -34,6 +34,7 @@ def main():
     from geograypher_tpu.ops.rasterize import (
         RasterConfig,
         bin_triangles,
+        l0_face_ids,
         setup_from_soa,
         tri_to_soa,
     )
@@ -53,7 +54,6 @@ def main():
         focals = (2000.0, 2600.0)
         n_views = 20
         n_classes = 10
-        caps = (256, 128, 128, 128)
         group = 20  # views folded per face-block-kernel launch
     else:
         H, W = 216, 384
@@ -61,19 +61,26 @@ def main():
         focals = (200.0, 260.0)
         n_views = 2
         n_classes = 10
-        caps = (256, 64, 32, 16)
         group = 2
     backend = "pallas"
+    bin_block = 8  # faces per binned unit (scanline runs -> ~8x cheaper
+    #                sort/gathers; see RasterConfig.bin_block)
 
     verts, faces = make_grid_mesh(
         n=n_grid, size=4.0, z_fn=lambda x, y: 0.1 * np.sin(3 * x) * np.cos(3 * y)
     )
     n_faces = faces.shape[0]
+    # pad to a bin_block multiple with degenerate (zero-area -> culled)
+    # filler triangles, mirroring TexturedMesh's face-bucket padding
+    f_pad = -(-n_faces // bin_block) * bin_block
+    tv = gather_tri_verts(verts, faces).astype(np.float32)
+    if f_pad != n_faces:
+        filler = np.broadcast_to(
+            verts.mean(axis=0).astype(np.float32), (f_pad - n_faces, 3, 3)
+        )
+        tv = np.concatenate([tv, filler], axis=0)
     # (9, F) coordinate rows: full-lane VPU geometry (see tri_to_soa)
-    tri = jnp.asarray(
-        tri_to_soa(gather_tri_verts(verts, faces).astype(np.float32))
-    )
-    config = RasterConfig(caps=caps, backend=backend)
+    tri = jnp.asarray(tri_to_soa(tv))
 
     # Varied view suite: translated nadir passes + an oblique orbit at
     # 15-35 deg off-nadir, alternating between two focal lengths.
@@ -145,15 +152,36 @@ def main():
     # commutes with the fold).  No XLA scatter ever consumes a Mosaic
     # output, and the view loop is python-unrolled, not lax.scan — both
     # of which this runtime corrupts silently.
-    # Static capacities are sized from the WORST view of the suite: the
-    # rasterizer's binning caps (drops checked via binned.overflow) and
-    # the fold's per-block tile windows (fold_window_overflow).
+    # Static capacities are sized from the WORST view of the suite: an
+    # exact binning census fixes the per-level caps (oblique far-field
+    # tiles hold several hundred faces — no guessed cap survives a varied
+    # suite), then the fold's per-block tile windows are measured, and
+    # binned.overflow re-checks the chosen caps.
+    census_cfg = RasterConfig(
+        caps=(8, 8, 8, 8), backend=backend, bin_block=bin_block
+    )
+
+    @jax.jit
+    def census(tri, w2c_k, f_k):
+        setup = setup_from_soa(tri, w2c_k, f_k, W, H, census_cfg.znear)
+        return bin_triangles(setup, census_cfg, H, W, return_census=True)
+
+    worst = np.zeros(4, np.int64)
+    for k in range(n_views):
+        worst = np.maximum(worst, np.asarray(census(tri, w2c[k], fl[k])))
+    caps = tuple(
+        int(max(16, -(-int(c * 5 // 4) // 16) * 16)) for c in worst
+    )  # 1.25x margin, multiples of 16 units
+    print(f"census caps (x{bin_block} faces): {caps}", file=sys.stderr)
+    config = RasterConfig(caps=caps, backend=backend, bin_block=bin_block)
+
     @jax.jit
     def window_stats(tri, w2c_k, f_k):
         setup = setup_from_soa(tri, w2c_k, f_k, W, H, config.znear)
         binned = bin_triangles(setup, config, H, W)
         over, win = fold_window_overflow(
-            binned.cand[0], n_faces=n_faces, w_cap=504, block=4096
+            l0_face_ids(binned, config), n_faces=n_faces, w_cap=504,
+            block=4096,
         )
         return over, win, binned.overflow
 
@@ -265,7 +293,7 @@ def main():
 
         tmesh = TexturedMesh(
             (verts, faces),
-            raster_config=RasterConfig(caps=caps, backend=backend),
+            raster_config=config,
         )
         sensors = {
             si: {

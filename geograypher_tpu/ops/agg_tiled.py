@@ -607,19 +607,29 @@ def _per_level_entries(outs, binned, config, image_h, image_w):
     the true grid must be all-zero.  Ancestor levels are child-summed
     here, so their entries are small.
     """
+    from geograypher_tpu.ops.rasterize import expand_block_ids
+
     grids = config.grids(image_h, image_w)
     (nty1, ntx1), (nty2, ntx2) = grids[1], grids[2]
     s1_sc, s2_sc = config.level_scales[1], config.level_scales[2]
+    bb = config.bin_block
+    # count-array columns and candidate ids are FACE slots: bin_block
+    # packs bb faces per binned unit, so capacities scale by bb
+    cap0f, cap1f = config.caps[0] * bb, config.caps[1] * bb
     merged = len(outs) == 2
     if merged:
         om, cand2m = outs
         kp = om.shape[2]
-        cap0, cap1 = config.caps[0], config.caps[1]
-        o0 = om[..., :cap0]
-        o1 = om[..., cap0:cap0 + cap1]
-        o2 = om[..., cap0 + cap1:]
+        o0 = om[..., :cap0f]
+        o1 = om[..., cap0f:cap0f + cap1f]
+        o2 = om[..., cap0f + cap1f:]
         levels3 = True
     else:
+        if bb != 1:
+            raise NotImplementedError(
+                "stage-1 tile_class_counts path requires bin_block == 1; "
+                "use the fused raster kernel for block-granular binning"
+            )
         o0, o1, o2, o3 = outs
         kp = o0.shape[2]
         levels3 = False
@@ -637,23 +647,26 @@ def _per_level_entries(outs, binned, config, image_h, image_w):
             o, ((0, nty0g - ty), (0, ntx0g - tx), (0, 0), (0, 0))
         )
 
-    c0 = pad_grid(o0).reshape(nty0g * ntx0g, kp, config.caps[0])
-    ids0 = jnp.pad(
-        binned.cand[0].reshape(grids[0][0], grids[0][1], -1),
-        (
-            (0, nty0g - grids[0][0]),
-            (0, ntx0g - grids[0][1]),
-            (0, 0),
-        ),
-        constant_values=-1,
-    ).reshape(nty0g * ntx0g, -1)
+    c0 = pad_grid(o0).reshape(nty0g * ntx0g, kp, cap0f)
+    ids0 = expand_block_ids(
+        jnp.pad(
+            binned.cand[0].reshape(grids[0][0], grids[0][1], -1),
+            (
+                (0, nty0g - grids[0][0]),
+                (0, ntx0g - grids[0][1]),
+                (0, 0),
+            ),
+            constant_values=-1,
+        ).reshape(nty0g * ntx0g, -1),
+        bb,
+    )
 
     # parent columns beyond the true L1 grid (possible when the pair
     # padding exceeds s1) hold only padded tiles' all-zero counts
     c1 = _child_sum(pad_grid(o1), s1_sc, s1_sc)[:nty1, :ntx1].reshape(
-        nty1 * ntx1, kp, config.caps[1]
+        nty1 * ntx1, kp, cap1f
     )
-    ids1 = binned.cand[1].reshape(nty1 * ntx1, -1)
+    ids1 = expand_block_ids(binned.cand[1].reshape(nty1 * ntx1, -1), bb)
 
     c2 = jnp.pad(
         pad_grid(o2),

@@ -73,10 +73,11 @@ def _split_hi_lo(x: jax.Array):
 def _prep_level_slab(
     cand: jax.Array,
     planes_ext: jax.Array,
-    n_faces: int,
+    n_units: int,
     tile_origin: Optional[Tuple[jax.Array, jax.Array]] = None,
+    block: int = 1,
 ):
-    """(T, C) candidate ids -> (slab, (T, 1) counts).
+    """(T, C) candidate-unit ids -> (slab, (T, 1) face-slot counts).
 
     With ``tile_origin`` (level 0): tile-local hi/lo layout
     (T, 6, nch*5*CHUNK), plane blocks [e0|e1|e2|w|d] per chunk, rows
@@ -85,15 +86,32 @@ def _prep_level_slab(
     Without: global-coordinate 5-plane f32 layout (T, 3, nch*5*CHUNK),
     blocks [e0|e1|e2|w|id].
     Empty slots point at the sentinel plane row (coverage-false).
+
+    With ``block > 1`` each candidate unit is a BLOCK of ``block``
+    consecutive faces: ``planes_ext`` holds (n_units + 1, block*12)
+    block rows (sentinel last), so ONE gathered row covers ``block``
+    face slots — the row gather shrinks ``block``-fold.  Face ids are
+    reconstructed arithmetically (unit*block + offset); ride-along
+    invalid faces carry sentinel planes from setup and stay inert.
     """
     t, c = cand.shape
-    cp = _round_up(max(c, CHUNK), CHUNK)
-    if cp != c:
-        cand = jnp.pad(cand, ((0, 0), (0, cp - c)), constant_values=-1)
-    safe_ids = jnp.where(cand >= 0, cand, n_faces)
-    p = planes_ext[safe_ids]  # (T, Cp, 12): 4 planes x (a, b, c)
-    counts = jnp.sum(cand >= 0, axis=1, dtype=jnp.int32).reshape(t, 1)
+    upc = CHUNK // block  # candidate units per 128-face-slot chunk
+    cp_u = _round_up(max(c, upc), upc)
+    if cp_u != c:
+        cand = jnp.pad(cand, ((0, 0), (0, cp_u - c)), constant_values=-1)
+    safe_ids = jnp.where(cand >= 0, cand, n_units)
+    p = planes_ext[safe_ids]  # (T, Cp_u, block*12)
+    counts = (
+        jnp.sum(cand >= 0, axis=1, dtype=jnp.int32) * block
+    ).reshape(t, 1)
+    cp = cp_u * block
     nch = cp // CHUNK
+    if block > 1:
+        p = p.reshape(t, cp, 12)
+        offs = jnp.arange(block, dtype=jnp.int32)
+        cand = jnp.where(
+            (cand >= 0)[..., None], cand[..., None] * block + offs, -1
+        ).reshape(t, cp)
 
     if tile_origin is None:
         # empty slots carry id -2: they never win the resolve (their edge
@@ -467,10 +485,24 @@ def raster_tiles_pallas(
             candidate lists the L2 columns were matched against.
     """
     n_faces = planes.shape[0]
+    bb = config.bin_block
+    if CHUNK % bb or n_faces % bb:
+        raise ValueError(
+            f"bin_block {bb} must divide CHUNK ({CHUNK}) and the padded "
+            f"face count ({n_faces})"
+        )
     sentinel = jnp.asarray(
         [0, 0, -1, 0, 0, -1, 0, 0, -1, 0, 0, 0], planes.dtype
     )
-    planes_ext = jnp.concatenate([planes, sentinel[None]], axis=0)
+    # candidate-unit plane rows: one row covers bin_block face slots
+    n_units = n_faces // bb
+    planes_ext = jnp.concatenate(
+        [
+            planes.reshape(n_units, bb * 12),
+            jnp.tile(sentinel, bb)[None],
+        ],
+        axis=0,
+    )
 
     grids = config.grids(image_h, image_w)
     (nty0, ntx0), (nty1, ntx1), (nty2, ntx2) = grids
@@ -534,16 +566,25 @@ def raster_tiles_pallas(
     )
     cnt3 = jnp.sum(binned.cand[3] >= 0)
 
-    s0, c0 = _prep_level_slab(cand0, planes_ext, n_faces, tile_origin=origin)
+    s0, c0 = _prep_level_slab(
+        cand0, planes_ext, n_units, tile_origin=origin, block=bb
+    )
     slabs, counts = [s0], [c0.reshape(-1)]
     for lvl, cand_l, (nty_l, ntx_l, ntx_lp) in (
         (1, binned.cand[1], (nty1, ntx1, ntx1p)),
         (2, cand2m, (nty2, ntx2, ntx2p)),
     ):
-        s, c = _prep_level_slab(cand_l, planes_ext, n_faces)
+        s, c = _prep_level_slab(cand_l, planes_ext, n_units, block=bb)
         if lvl == 2:
-            c = jnp.where(
-                cnt3 > 0, cap2 + cnt3, jnp.sum(cand_l[:, :cap2] >= 0, axis=1)
+            # counts in FACE slots; the merged list's L2..global hole
+            # forces the loop bound to the last occupied global slot
+            c = (
+                jnp.where(
+                    cnt3 > 0,
+                    cap2 + cnt3,
+                    jnp.sum(cand_l[:, :cap2] >= 0, axis=1),
+                )
+                * bb
             ).reshape(c.shape)
         # (T, 3, cols) -> padded (nty, ntx_p, 3, cols) parent grid; padded
         # parents get zero counts (their slab rows are never read)
@@ -599,7 +640,7 @@ def raster_tiles_pallas(
                 memory_space=pltpu.VMEM,
             )
         ]
-        capsum = config.caps[0] + config.caps[1] + cap2 + cap3
+        capsum = (config.caps[0] + config.caps[1] + cap2 + cap3) * bb
         extra_out_shapes.append(
             jax.ShapeDtypeStruct((nty0p, ntx0p, kp, capsum), jnp.float32)
         )
@@ -615,7 +656,9 @@ def raster_tiles_pallas(
     kernel = _make_kernel(
         th, tw, grids, config.level_scales, pair, ntx0p, ntx1p, ntx2p,
         kp=kp,
-        caps=(config.caps[0], config.caps[1], cap2 + cap3),
+        caps=(
+            config.caps[0] * bb, config.caps[1] * bb, (cap2 + cap3) * bb
+        ),
         emit_p2f=emit_p2f,
     )
 
@@ -671,7 +714,10 @@ def raster_tiles_pallas(
     else:
         out = None
     if class_image is not None:
-        # merged per-level counts: columns [L0 | L1 | L2+global]
-        return out, (outs[-1], cand2m), kp
+        # merged per-level counts: columns [L0 | L1 | L2+global]; the
+        # merged candidate list goes back as FACE ids in slab slot order
+        from geograypher_tpu.ops.rasterize import expand_block_ids
+
+        return out, (outs[-1], expand_block_ids(cand2m, bb)), kp
     return out
 

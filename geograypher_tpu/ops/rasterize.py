@@ -66,6 +66,14 @@ class RasterConfig:
     # L0 tiles resolved per pallas grid step (0 = auto); must span a
     # whole number of L1/L2 parents or divide one evenly
     pair: int = 0
+    # faces binned per candidate unit.  With spatially-sorted faces
+    # (scanline order) a tile's candidates are contiguous id RUNS, so
+    # binning BLOCKS of bin_block consecutive faces shrinks the sort and
+    # the two big binning/slab gathers by ~bin_block while adding only a
+    # few percent of ride-along faces to the resolve (the dominant
+    # tile-row straddle duplication is granularity-independent).  caps
+    # then count BLOCKS per tile (face capacity = caps * bin_block).
+    bin_block: int = 1
     # face-block fold capacities for the fused aggregation path
     # (ops/agg_tiled.py); size via agg_tiled.fold_window_overflow for a
     # survey configuration (overflows drop counts, never corrupt)
@@ -246,6 +254,15 @@ def setup_from_soa(
     py1 = jnp.clip(py1, 0, image_h - 1)
 
     valid = in_front & nondegenerate & nonempty & on_screen
+    # Invalid faces get the coverage-false sentinel plane row so they are
+    # inert even when a candidate unit references them (block-granular
+    # binning evaluates whole id blocks; ride-along invalid faces must
+    # never cover a pixel).  Sentinel: all three edge tests always fail.
+    sentinel = jnp.asarray(
+        [0.0, 0.0, -1.0, 0.0, 0.0, -1.0, 0.0, 0.0, -1.0, 0.0, 0.0, 0.0],
+        ftype,
+    )
+    planes = jnp.where(valid[:, None], planes, sentinel[None, :])
     bbox = jnp.stack([py0, px0, py1, px1], axis=0)
     return TriangleSetup(planes=planes, bbox=bbox, valid=valid)
 
@@ -276,23 +293,65 @@ def setup_triangles(
     )
 
 
+def expand_block_ids(cand: jax.Array, block: int) -> jax.Array:
+    """(..., C) BLOCK-id candidate lists -> (..., C*block) face ids.
+
+    Empty slots (< 0) expand to -1.  Identity when ``block == 1``.  Face
+    ids within a block stay ascending, preserving the in-tile ordering
+    the resolve tie-break and the fold's band tests rely on.
+    """
+    if block == 1:
+        return cand
+    offs = jnp.arange(block, dtype=jnp.int32)
+    face = cand[..., None] * block + offs
+    face = jnp.where((cand >= 0)[..., None], face, -1)
+    return face.reshape(cand.shape[:-1] + (cand.shape[-1] * block,))
+
+
+def l0_face_ids(binned: BinnedTriangles, config: RasterConfig) -> jax.Array:
+    """Level-0 candidate lists as FACE ids (fold-window sizing input)."""
+    return expand_block_ids(binned.cand[0], config.bin_block)
+
+
 def bin_triangles(
     setup: TriangleSetup,
     config: RasterConfig,
     image_h: int,
     image_w: int,
-) -> BinnedTriangles:
+    return_census: bool = False,
+):
     """Assign triangles to tile candidate lists via one stable sort.
 
-    Each triangle goes to the finest hierarchy level where a 2x2 tile
-    window covers its bbox (level 3 = single global list), emitting <= 4
-    (key, face) pairs.  Sorting the 4F pairs groups them per tile; stable
-    sort keeps face ids ascending within a tile, which the raster kernel
-    relies on for deterministic tie-breaking.
+    Each candidate unit goes to the finest hierarchy level where a 2x2
+    tile window covers its bbox (level 3 = single global list), emitting
+    <= 4 (key, unit) pairs.  Sorting the pairs groups them per tile;
+    stable sort keeps ids ascending within a tile, which the raster
+    kernel relies on for deterministic tie-breaking.
+
+    With ``config.bin_block > 1`` the unit is a BLOCK of bin_block
+    consecutive faces (bbox = union of its valid members): the sort and
+    the candidate/slab gathers shrink ~bin_block-fold while the resolve
+    pays only the blocks' ride-along faces (inert via sentinel planes).
+    ``cand`` then holds block ids — expand with :func:`expand_block_ids`.
     """
     f_count = setup.valid.shape[0]
     grids = config.grids(image_h, image_w)
     py0, px0, py1, px1 = (setup.bbox[k] for k in range(4))
+    valid = setup.valid
+    bb = config.bin_block
+    if bb > 1:
+        if f_count % bb:
+            raise ValueError(
+                f"face count {f_count} not a multiple of bin_block {bb}; "
+                "pad the mesh bucket accordingly"
+            )
+        big = jnp.asarray(INT32_MAX, jnp.int32)
+        py0 = jnp.min(jnp.where(valid, py0, big).reshape(-1, bb), axis=1)
+        px0 = jnp.min(jnp.where(valid, px0, big).reshape(-1, bb), axis=1)
+        py1 = jnp.max(jnp.where(valid, py1, -1).reshape(-1, bb), axis=1)
+        px1 = jnp.max(jnp.where(valid, px1, -1).reshape(-1, bb), axis=1)
+        valid = jnp.any(valid.reshape(-1, bb), axis=1)
+        f_count = f_count // bb
 
     level_base = []
     base = 0
@@ -341,9 +400,9 @@ def bin_triangles(
             key = base_s + ty * ntx_s + tx
             if dy == 0 and dx == 0:
                 key = jnp.where(at_l3, base3, key)
-                ok = setup.valid & (in_window | at_l3)
+                ok = valid & (in_window | at_l3)
             else:
-                ok = setup.valid & in_window & ~at_l3
+                ok = valid & in_window & ~at_l3
             keys.append(jnp.where(ok, key, INT32_MAX))
 
     face_ids = jnp.arange(f_count, dtype=jnp.int32)
@@ -362,6 +421,20 @@ def bin_triangles(
     tile_ids = jnp.arange(total_tiles + 1, dtype=jnp.int32)
     starts = jnp.searchsorted(sorted_keys, tile_ids, side="left").astype(jnp.int32)
     tile_counts = starts[1:] - starts[:-1]
+
+    if return_census:
+        # exact per-level max tile occupancy (units = bin_block faces),
+        # independent of the configured caps — size caps from the WORST
+        # view of a survey instead of guessing (cf. check_raster_capacity)
+        maxes = []
+        for lvl in range(3):
+            nty_l, ntx_l = grids[lvl]
+            n_l = nty_l * ntx_l
+            maxes.append(
+                jnp.max(tile_counts[level_base[lvl]:level_base[lvl] + n_l])
+            )
+        maxes.append(tile_counts[base3])
+        return jnp.stack(maxes)
 
     def gather_level(base, n_tiles_l, cap):
         st = starts[base + jnp.arange(n_tiles_l, dtype=jnp.int32)]
@@ -410,21 +483,27 @@ def concat_candidates_for_tiles(
     (no duplication)."""
     grids = config.grids(image_h, image_w)
     (nty0, ntx0) = grids[0]
+    bb = config.bin_block
     ty, tx = jnp.meshgrid(
         jnp.arange(nty0, dtype=jnp.int32),
         jnp.arange(ntx0, dtype=jnp.int32),
         indexing="ij",
     )
     ty, tx = ty.reshape(-1), tx.reshape(-1)
-    parts = [binned.cand[0]]
+    parts = [expand_block_ids(binned.cand[0], bb)]
     for lvl in (1, 2):
         s = config.level_scales[lvl]
         nty_l, ntx_l = grids[lvl]
         parent = jnp.minimum(ty // s, nty_l - 1) * ntx_l + jnp.minimum(
             tx // s, ntx_l - 1
         )
-        parts.append(binned.cand[lvl][parent])
-    parts.append(jnp.broadcast_to(binned.cand[3], (ty.shape[0], config.caps[3])))
+        parts.append(expand_block_ids(binned.cand[lvl][parent], bb))
+    parts.append(
+        jnp.broadcast_to(
+            expand_block_ids(binned.cand[3], bb),
+            (ty.shape[0], config.caps[3] * bb),
+        )
+    )
     return jnp.concatenate(parts, axis=1)
 
 
@@ -611,7 +690,8 @@ def probe_fold_window(
     )
     binned = bin_triangles(setup, config, image_h, image_w)
     over, win = fold_window_overflow(
-        binned.cand[0], n_faces=n_faces, w_cap=504, block=config.fold_block
+        l0_face_ids(binned, config), n_faces=n_faces, w_cap=504,
+        block=config.fold_block,
     )
     return over + win
 
@@ -670,8 +750,8 @@ def fused_view_class_counts(
             w_cap=config.fold_w_cap, block=config.fold_block,
         )
         over, _ = agg_tiled.fold_window_overflow(
-            binned.cand[0], n_faces=n_faces, w_cap=config.fold_w_cap,
-            block=config.fold_block,
+            l0_face_ids(binned, config), n_faces=n_faces,
+            w_cap=config.fold_w_cap, block=config.fold_block,
         )
     else:
         from geograypher_tpu.ops.aggregate import project_image_class_counts

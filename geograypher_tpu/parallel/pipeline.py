@@ -69,6 +69,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from geograypher_tpu.ops.rasterize import (
     RasterConfig,
     bin_triangles,
+    l0_face_ids,
     rasterize_and_count,
     setup_from_soa,
     tri_to_soa,
@@ -212,8 +213,8 @@ def aggregate_class_images_distributed(
                 )
                 binned = bin_triangles(setup, config, h, w)
                 over_k, win_k = fold_window_overflow(
-                    binned.cand[0], n_faces=n_faces, w_cap=504,
-                    block=fold_block,
+                    l0_face_ids(binned, config), n_faces=n_faces,
+                    w_cap=504, block=fold_block,
                 )
                 worst = jnp.maximum(worst, win_k + over_k)
             return worst
@@ -281,8 +282,8 @@ def aggregate_class_images_distributed(
                     )
 
                     over_k, _ = fold_window_overflow(
-                        binned.cand[0], n_faces=n_faces, w_cap=w_cap,
-                        block=fold_block,
+                        l0_face_ids(binned, config), n_faces=n_faces,
+                        w_cap=w_cap, block=fold_block,
                     )
                     over = jnp.maximum(
                         over, (over_k * valid_k.astype(jnp.int32)).astype(jnp.int32)

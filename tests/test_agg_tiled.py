@@ -154,3 +154,19 @@ def test_fused_raster_counts_global_level():
         setup, cls, config, H, W, len(faces), N_CLASSES
     )
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_fused_raster_counts_block_binning():
+    """Fused counts under bin_block=8 equal the same-backend pix2face +
+    segment-sum reference exactly (including fold id expansion)."""
+    from geograypher_tpu.ops.rasterize import rasterize_and_count
+
+    config = RasterConfig(caps=(32, 16, 8, 8), backend="pallas", bin_block=8)
+    setup, n_faces = _scene(z_fn=lambda x, y: 0.15 * np.sin(2 * x) * y)
+    p2f_img, _ = rasterize_setup(setup, config, H, W)
+
+    rng = np.random.default_rng(9)
+    cls = jnp.asarray(rng.integers(-1, N_CLASSES, (H, W)), jnp.int32)
+    ref = project_image_class_counts(p2f_img, cls, n_faces, N_CLASSES)
+    got = rasterize_and_count(setup, cls, config, H, W, n_faces, N_CLASSES)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))

@@ -91,3 +91,53 @@ def test_pallas_occlusion_and_multichunk():
     assert_equiv(a, b)
     assert (a[100, 100] >= f_lo.shape[0])  # raised plane wins depth
     assert (b[100, 100] >= f_lo.shape[0])
+
+
+def test_pallas_block_binning_matches_xla():
+    """bin_block=8 (block-granular binning, the TPU production setting)
+    must reproduce the face-granular XLA reference."""
+    verts, faces = make_grid_mesh(
+        n=15, size=4.0, z_fn=lambda x, y: 0.25 * np.sin(2 * x) * np.cos(y)
+    )
+    assert faces.shape[0] % 8 == 0
+    c2w = nadir_camera(4.0, 50.0, 80)
+    tris = cam_tris(verts, faces, c2w)
+    a = np.asarray(
+        rasterize_triangles(
+            jnp.asarray(tris, jnp.float32), jnp.float32(50.0),
+            image_w=80, image_h=80, config=XLA,
+        )
+    )
+    blk = RasterConfig(caps=(64, 16, 8, 8), backend="pallas", bin_block=8)
+    b = np.asarray(
+        rasterize_triangles(
+            jnp.asarray(tris, jnp.float32), jnp.float32(50.0),
+            image_w=80, image_h=80, config=blk,
+        )
+    )
+    assert_equiv(a, b)
+    assert (b >= 0).any()
+
+
+def test_pallas_block_binning_unordered_faces():
+    """Blocks of spatially-UNRELATED faces (permuted order) are slower but
+    must stay exactly correct (ride-along faces are inert)."""
+    rng = np.random.default_rng(4)
+    verts, faces = make_grid_mesh(n=9, size=4.0)
+    faces = faces[rng.permutation(faces.shape[0])]
+    c2w = nadir_camera(4.0, 50.0, 80)
+    tris = cam_tris(verts, faces, c2w)
+    a = np.asarray(
+        rasterize_triangles(
+            jnp.asarray(tris, jnp.float32), jnp.float32(50.0),
+            image_w=80, image_h=80, config=XLA,
+        )
+    )
+    blk = RasterConfig(caps=(64, 32, 32, 32), backend="pallas", bin_block=8)
+    b = np.asarray(
+        rasterize_triangles(
+            jnp.asarray(tris, jnp.float32), jnp.float32(50.0),
+            image_w=80, image_h=80, config=blk,
+        )
+    )
+    assert_equiv(a, b)
