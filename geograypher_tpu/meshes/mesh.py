@@ -155,7 +155,7 @@ class TexturedMesh:
 
     def _apply_transform_file(self, transform_filename: PATH_TYPE):
         from geograypher_tpu.utils.parsing import (
-            extract_epsg,
+            crs_from_srs_text,
             parse_metashape_mesh_metadata,
             parse_transform_metashape,
         )
@@ -176,7 +176,7 @@ class TexturedMesh:
             except (AssertionError, AttributeError):
                 pass
             crs_text, shift = parse_metashape_mesh_metadata(transform_filename)
-            epsg = extract_epsg(crs_text)
+            epsg = crs_from_srs_text(crs_text)
             if shift is not None:
                 self.verts = self.verts + shift
             if epsg is not None:

@@ -239,6 +239,307 @@ def tm_to_lla(easting, northing, lon0_rad, k0, false_e, false_n):
     return np.rad2deg(lat), np.rad2deg(lon) + np.rad2deg(lon0_rad)
 
 
+# ---------------------------------------------------------------------------
+# Conic projections (Lambert Conformal Conic, Albers Equal Area) + registry
+#
+# Unlocks US state-plane zones (most are LCC or TM), CONUS Albers grids
+# (EPSG:5070/6350), and ARBITRARY WKT-described projected CRSs via
+# utils.parsing.projdef_from_wkt -> register_projected_crs.  The reference
+# gets all of this from pyproj (geospatial.py:60-72); formulas follow
+# Snyder, "Map Projections — A Working Manual" (USGS PP 1395).
+# ---------------------------------------------------------------------------
+
+GRS80_F = 1.0 / 298.257222101
+GRS80_E2 = GRS80_F * (2.0 - GRS80_F)
+
+_DATUM_E2 = {"WGS84": WGS84_E2, "NAD83": GRS80_E2, "ETRS89": GRS80_E2}
+
+
+def _ellipsoid(datum: str):
+    """(a, e2) for a named datum's ellipsoid (a is shared)."""
+    return WGS84_A, _DATUM_E2.get(str(datum).upper(), WGS84_E2)
+
+
+def make_projdef(
+    kind: str,
+    lat0: float = 0.0,
+    lon0: float = 0.0,
+    sp1: float = None,
+    sp2: float = None,
+    k0: float = 1.0,
+    fe: float = 0.0,
+    fn: float = 0.0,
+    unit: float = 1.0,
+    datum: str = "WGS84",
+) -> dict:
+    """Projection definition: ``kind`` in {"lcc2sp", "lcc1sp", "tm", "aea"};
+    angles in degrees, false easting/northing in METERS, ``unit`` = meters
+    per native coordinate unit (e.g. 0.3048006096012192 for US survey ft).
+    """
+    return {
+        "kind": kind, "lat0": float(lat0), "lon0": float(lon0),
+        "sp1": lat0 if sp1 is None else float(sp1),
+        "sp2": sp2 if sp2 is None else float(sp2),
+        "k0": float(k0), "fe": float(fe), "fn": float(fn),
+        "unit": float(unit), "datum": str(datum).upper(),
+    }
+
+
+def _m_snyder(lat, e2):
+    s = np.sin(lat)
+    return np.cos(lat) / np.sqrt(1.0 - e2 * s * s)
+
+
+def _t_snyder(lat, e):
+    s = np.sin(lat)
+    return np.tan(np.pi / 4.0 - lat / 2.0) / (
+        (1.0 - e * s) / (1.0 + e * s)
+    ) ** (e / 2.0)
+
+
+def _lcc_constants(p):
+    a, e2 = _ellipsoid(p["datum"])
+    e = np.sqrt(e2)
+    lat0 = np.deg2rad(p["lat0"])
+    sp1 = np.deg2rad(p["sp1"])
+    if p["kind"] == "lcc1sp" or p["sp2"] is None or p["sp2"] == p["sp1"]:
+        n = np.sin(sp1)
+    else:
+        sp2 = np.deg2rad(p["sp2"])
+        n = (np.log(_m_snyder(sp1, e2)) - np.log(_m_snyder(sp2, e2))) / (
+            np.log(_t_snyder(sp1, e)) - np.log(_t_snyder(sp2, e))
+        )
+    F = _m_snyder(sp1, e2) / (n * _t_snyder(sp1, e) ** n)
+    rho0 = a * p["k0"] * F * _t_snyder(lat0, e) ** n
+    return a, e2, e, n, F, rho0
+
+
+def lcc_forward(p: dict, lat_deg, lon_deg):
+    """Geodetic -> Lambert Conformal Conic easting/northing (meters)."""
+    a, e2, e, n, F, rho0 = _lcc_constants(p)
+    lat = np.deg2rad(np.asarray(lat_deg, np.float64))
+    dlon = np.deg2rad(np.asarray(lon_deg, np.float64) - p["lon0"])
+    dlon = np.arctan2(np.sin(dlon), np.cos(dlon))
+    rho = a * p["k0"] * F * _t_snyder(lat, e) ** n
+    theta = n * dlon
+    return p["fe"] + rho * np.sin(theta), p["fn"] + rho0 - rho * np.cos(theta)
+
+
+def lcc_inverse(p: dict, easting, northing):
+    """Lambert Conformal Conic easting/northing (meters) -> geodetic."""
+    a, e2, e, n, F, rho0 = _lcc_constants(p)
+    x = np.asarray(easting, np.float64) - p["fe"]
+    y = rho0 - (np.asarray(northing, np.float64) - p["fn"])
+    rho = np.sign(n) * np.hypot(x, y)
+    theta = np.arctan2(np.sign(n) * x, np.sign(n) * y)
+    t = (rho / (a * p["k0"] * F)) ** (1.0 / n)
+    lat = np.pi / 2.0 - 2.0 * np.arctan(t)
+    for _ in range(8):
+        s = np.sin(lat)
+        lat = np.pi / 2.0 - 2.0 * np.arctan(
+            t * ((1.0 - e * s) / (1.0 + e * s)) ** (e / 2.0)
+        )
+    lon = np.rad2deg(theta / n) + p["lon0"]
+    return np.rad2deg(lat), lon
+
+
+def _q_snyder(lat, e, e2):
+    s = np.sin(lat)
+    return (1.0 - e2) * (
+        s / (1.0 - e2 * s * s)
+        - (1.0 / (2.0 * e)) * np.log((1.0 - e * s) / (1.0 + e * s))
+    )
+
+
+def _aea_constants(p):
+    a, e2 = _ellipsoid(p["datum"])
+    e = np.sqrt(e2)
+    lat0 = np.deg2rad(p["lat0"])
+    sp1 = np.deg2rad(p["sp1"])
+    sp2 = np.deg2rad(p["sp2"] if p["sp2"] is not None else p["sp1"])
+    m1 = _m_snyder(sp1, e2)
+    q0, q1, q2 = (
+        _q_snyder(x, e, e2) for x in (lat0, sp1, sp2)
+    )
+    if abs(sp1 - sp2) < 1e-12:
+        n = np.sin(sp1)
+    else:
+        m2 = _m_snyder(sp2, e2)
+        n = (m1 * m1 - m2 * m2) / (q2 - q1)
+    C = m1 * m1 + n * q1
+    rho0 = a * np.sqrt(C - n * q0) / n
+    return a, e2, e, n, C, rho0
+
+
+def aea_forward(p: dict, lat_deg, lon_deg):
+    """Geodetic -> Albers Equal Area easting/northing (meters)."""
+    a, e2, e, n, C, rho0 = _aea_constants(p)
+    lat = np.deg2rad(np.asarray(lat_deg, np.float64))
+    dlon = np.deg2rad(np.asarray(lon_deg, np.float64) - p["lon0"])
+    dlon = np.arctan2(np.sin(dlon), np.cos(dlon))
+    q = _q_snyder(lat, e, e2)
+    rho = a * np.sqrt(C - n * q) / n
+    theta = n * dlon
+    return p["fe"] + rho * np.sin(theta), p["fn"] + rho0 - rho * np.cos(theta)
+
+
+def aea_inverse(p: dict, easting, northing):
+    """Albers Equal Area easting/northing (meters) -> geodetic."""
+    a, e2, e, n, C, rho0 = _aea_constants(p)
+    x = np.asarray(easting, np.float64) - p["fe"]
+    y = rho0 - (np.asarray(northing, np.float64) - p["fn"])
+    rho = np.hypot(x, y)
+    theta = np.arctan2(np.sign(n) * x, np.sign(n) * y)
+    q = (C - (rho * n / a) ** 2) / n
+    lat = np.arcsin(np.clip(q / 2.0, -1.0, 1.0))
+    for _ in range(8):
+        s = np.sin(lat)
+        lat = lat + (1.0 - e2 * s * s) ** 2 / (2.0 * np.cos(lat)) * (
+            q / (1.0 - e2)
+            - s / (1.0 - e2 * s * s)
+            + (1.0 / (2.0 * e)) * np.log((1.0 - e * s) / (1.0 + e * s))
+        )
+    return np.rad2deg(lat), np.rad2deg(theta / n) + p["lon0"]
+
+
+# Known projected EPSG codes beyond the UTM families.  Parameters are the
+# published zone definitions (meters); WKT-described CRSs with other codes
+# go through register_projected_crs instead.
+_EPSG_PROJ_TABLE = {
+    # CONUS Albers Equal Area (NAD83 / NAD83(2011))
+    5070: make_projdef("aea", lat0=23.0, lon0=-96.0, sp1=29.5, sp2=45.5,
+                       datum="NAD83"),
+    6350: make_projdef("aea", lat0=23.0, lon0=-96.0, sp1=29.5, sp2=45.5,
+                       datum="NAD83"),
+    # California State Plane NAD83, zones 1-6 (LCC 2SP, meters)
+    26941: make_projdef("lcc2sp", lat0=39.0 + 1 / 3, lon0=-122.0,
+                        sp1=40.0, sp2=41.0 + 2 / 3,
+                        fe=2000000.0, fn=500000.0, datum="NAD83"),
+    26942: make_projdef("lcc2sp", lat0=37.0 + 2 / 3, lon0=-122.0,
+                        sp1=38.0 + 1 / 3, sp2=39.0 + 5 / 6,
+                        fe=2000000.0, fn=500000.0, datum="NAD83"),
+    26943: make_projdef("lcc2sp", lat0=36.5, lon0=-120.5,
+                        sp1=37.0 + 1 / 15, sp2=38.0 + 26 / 60,
+                        fe=2000000.0, fn=500000.0, datum="NAD83"),
+    26944: make_projdef("lcc2sp", lat0=35.0 + 1 / 3, lon0=-119.0,
+                        sp1=36.0, sp2=37.25,
+                        fe=2000000.0, fn=500000.0, datum="NAD83"),
+    26945: make_projdef("lcc2sp", lat0=33.5, lon0=-118.0,
+                        sp1=34.0 + 2 / 60, sp2=35.0 + 28 / 60,
+                        fe=2000000.0, fn=500000.0, datum="NAD83"),
+    26946: make_projdef("lcc2sp", lat0=32.0 + 1 / 6, lon0=-116.25,
+                        sp1=32.0 + 47 / 60, sp2=33.0 + 53 / 60,
+                        fe=2000000.0, fn=500000.0, datum="NAD83"),
+}
+
+# custom (WKT-described) projected CRSs get synthetic codes from here up
+_CUSTOM_CRS_BASE = 900001
+_custom_crs: dict = {}
+
+
+def register_projected_crs(projdef: dict) -> int:
+    """Register a projection definition (see :func:`make_projdef`) and
+    return a synthetic CRS code usable anywhere an EPSG int is accepted.
+    Re-registering an identical definition returns the same code."""
+    for code, p in _custom_crs.items():
+        if p == projdef:
+            return code
+    code = _CUSTOM_CRS_BASE + len(_custom_crs)
+    _custom_crs[code] = dict(projdef)
+    return code
+
+
+def _proj_def(epsg: int):
+    epsg = int(epsg)
+    if epsg in _custom_crs:
+        return _custom_crs[epsg]
+    return _EPSG_PROJ_TABLE.get(epsg)
+
+
+def _projdef_forward(p: dict, lat, lon):
+    kind = p["kind"]
+    if kind in ("lcc2sp", "lcc1sp"):
+        e, n = lcc_forward(p, lat, lon)
+    elif kind == "aea":
+        e, n = aea_forward(p, lat, lon)
+    elif kind == "tm":
+        e, n = lla_to_tm(
+            lat, lon, np.deg2rad(p["lon0"]), p["k0"], 0.0, 0.0
+        )
+        # Karney series is referenced to the equator; shift to lat0 and
+        # apply the false origin afterwards
+        if p["lat0"] != 0.0:
+            _, n0 = lla_to_tm(
+                p["lat0"], p["lon0"], np.deg2rad(p["lon0"]), p["k0"], 0.0, 0.0
+            )
+            n = n - n0
+        e, n = e + p["fe"], n + p["fn"]
+    else:
+        raise ValueError(f"unsupported projection kind {kind!r}")
+    return e / p["unit"], n / p["unit"]
+
+
+def _projdef_inverse(p: dict, easting, northing):
+    easting = np.asarray(easting, np.float64) * p["unit"]
+    northing = np.asarray(northing, np.float64) * p["unit"]
+    kind = p["kind"]
+    if kind in ("lcc2sp", "lcc1sp"):
+        return lcc_inverse(p, easting, northing)
+    if kind == "aea":
+        return aea_inverse(p, easting, northing)
+    if kind == "tm":
+        n0 = 0.0
+        if p["lat0"] != 0.0:
+            _, n0 = lla_to_tm(
+                p["lat0"], p["lon0"], np.deg2rad(p["lon0"]), p["k0"], 0.0, 0.0
+            )
+        return tm_to_lla(
+            easting - p["fe"], northing - p["fn"] + n0,
+            np.deg2rad(p["lon0"]), p["k0"], 0.0, 0.0,
+        )
+    raise ValueError(f"unsupported projection kind {kind!r}")
+
+
+# ---------------------------------------------------------------------------
+# NAD83 <-> WGS84 datum shift (opt-in)
+# ---------------------------------------------------------------------------
+
+# Time-independent Helmert evaluated at epoch 2010.0 from the published
+# ITRF2008 -> NAD83(2011) transformation (EPSG:1515 / NGS HTDP):
+# translations in meters, rotations in arc-seconds, scale in ppm.
+# WGS84 (G1762) is coincident with ITRF2008 at the few-cm level, so this
+# captures the ~1.2-1.5 m CONUS datum offset to better than a decimeter.
+_NAD83_T = np.array([0.99343, -1.90331, -0.52655])
+_NAD83_R_ARCSEC = np.array([0.02591467, 0.00942645, 0.01159935])
+_NAD83_S_PPM = 0.00171504
+
+
+def helmert_nad83_from_wgs84(xyz: np.ndarray, inverse: bool = False):
+    """Apply the WGS84->NAD83(2011) 7-parameter Helmert to ECEF points.
+
+    OPT-IN (``transform_points(..., datum_shift=True)``): survey exports
+    overwhelmingly treat NAD83 and WGS84 as coincident (the reference's
+    pyproj does the same without an explicit pipeline), and the offset
+    (~1.4 m in CONUS) is below typical photogrammetric georeferencing
+    error.  Rotations use the COORDINATE-FRAME convention NGS publishes
+    these parameters in (the position-vector reading yields a ~3 m shift,
+    double the documented CONUS offset).
+    """
+    xyz = np.asarray(xyz, np.float64)
+    r = np.deg2rad(_NAD83_R_ARCSEC / 3600.0)
+    s = 1.0 + _NAD83_S_PPM * 1e-6
+    rot = np.array(
+        [
+            [1.0, r[2], -r[1]],
+            [-r[2], 1.0, r[0]],
+            [r[1], -r[0], 1.0],
+        ]
+    )
+    if inverse:
+        return (xyz - _NAD83_T) @ np.linalg.inv(s * rot).T
+    return s * (xyz @ rot.T) + _NAD83_T
+
+
 def crs_is_projected(epsg: int) -> bool:
     """True for supported projected codes, False for geographic/geocentric;
     ValueError (naming the supported families) otherwise — matching how
@@ -246,11 +547,11 @@ def crs_is_projected(epsg: int) -> bool:
     epsg = int(epsg)
     if epsg in GEOGRAPHIC_EPSG or epsg == 4978:
         return False
-    if epsg == WEB_MERCATOR_EPSG or _is_utm(epsg):
+    if epsg == WEB_MERCATOR_EPSG or _is_utm(epsg) or _proj_def(epsg):
         return True
     raise ValueError(
         f"EPSG:{epsg} is not supported; supported families: "
-        f"{_SUPPORTED_FAMILIES}"
+        f"{_SUPPORTED_FAMILIES}, conic table/WKT-registered codes"
     )
 
 
@@ -258,12 +559,35 @@ def crs_is_geocentric(epsg: int) -> bool:
     return int(epsg) == 4978
 
 
-def transform_points(points: np.ndarray, input_epsg: int, output_epsg: int):
+def _datum_of(epsg: int) -> str:
+    """Datum family of a supported CRS code (for opt-in datum shifts)."""
+    epsg = int(epsg)
+    p = _proj_def(epsg)
+    if p is not None:
+        return p["datum"]
+    if epsg == 4269 or 26901 <= epsg <= 26923:
+        return "NAD83"
+    if epsg == 4258 or 25828 <= epsg <= 25838:
+        return "ETRS89"
+    return "WGS84"
+
+
+def transform_points(
+    points: np.ndarray,
+    input_epsg: int,
+    output_epsg: int,
+    datum_shift: bool = False,
+):
     """Transform an (N, 3) point array between supported CRSs.
 
     Column convention matches the reference's ``convert_CRS_3D_points``
     (geospatial.py:60-72): EPSG:4326 columns are (lat, lon, alt); ECEF and
     UTM are (x, y, z)/(easting, northing, alt).
+
+    ``datum_shift=True`` applies the published WGS84<->NAD83(2011) Helmert
+    when the endpoints' datums differ (see
+    :func:`helmert_nad83_from_wgs84`); the default keeps the identity
+    ("ballpark") datum mapping the reference's pyproj usage implies.
     """
     points = np.asarray(points, dtype=np.float64)
     squeeze = points.ndim == 1
@@ -276,7 +600,11 @@ def transform_points(points: np.ndarray, input_epsg: int, output_epsg: int):
         return out[0] if squeeze else out
 
     # Stage 1: to geodetic (lat, lon, alt)
-    if input_epsg in GEOGRAPHIC_EPSG:
+    pdef = _proj_def(input_epsg)
+    if pdef is not None:
+        lat, lon = _projdef_inverse(pdef, points[:, 0], points[:, 1])
+        alt = points[:, 2]
+    elif input_epsg in GEOGRAPHIC_EPSG:
         lat, lon, alt = points[:, 0], points[:, 1], points[:, 2]
     elif input_epsg == 4978:
         lat, lon, alt = ecef_to_lla(points[:, 0], points[:, 1], points[:, 2])
@@ -290,8 +618,19 @@ def transform_points(points: np.ndarray, input_epsg: int, output_epsg: int):
         )
         alt = points[:, 2]
 
+    if datum_shift:
+        d_in, d_out = _datum_of(input_epsg), _datum_of(output_epsg)
+        if (d_in == "NAD83") != (d_out == "NAD83"):
+            xyz = np.stack(lla_to_ecef(lat, lon, alt), axis=1)
+            xyz = helmert_nad83_from_wgs84(xyz, inverse=d_in == "NAD83")
+            lat, lon, alt = ecef_to_lla(xyz[:, 0], xyz[:, 1], xyz[:, 2])
+
     # Stage 2: from geodetic to target
-    if output_epsg in GEOGRAPHIC_EPSG:
+    pdef = _proj_def(output_epsg)
+    if pdef is not None:
+        e, n = _projdef_forward(pdef, lat, lon)
+        out = np.stack([e, n, alt], axis=1)
+    elif output_epsg in GEOGRAPHIC_EPSG:
         out = np.stack([lat, lon, alt], axis=1)
     elif output_epsg == 4978:
         x, y, z = lla_to_ecef(lat, lon, alt)

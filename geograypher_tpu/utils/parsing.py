@@ -51,6 +51,121 @@ def extract_epsg(crs_text: typing.Optional[str]) -> typing.Optional[int]:
     return None
 
 
+_WKT_PROJ_KINDS = {
+    "lambertconformalconic2sp": "lcc2sp",
+    "lambertconformalconic": "lcc2sp",
+    "lambertconformalconic1sp": "lcc1sp",
+    "transversemercator": "tm",
+    "albersconicequalarea": "aea",
+    "albers": "aea",
+    "albersequalarea": "aea",
+}
+
+_WKT_PARAM_MAP = {
+    "latitudeoforigin": "lat0",
+    "latitudeofcenter": "lat0",
+    "centralmeridian": "lon0",
+    "longitudeofcenter": "lon0",
+    "standardparallel1": "sp1",
+    "standardparallel2": "sp2",
+    "scalefactor": "k0",
+    "falseeasting": "fe",
+    "falsenorthing": "fn",
+}
+
+
+def _wkt_key(name: str) -> str:
+    return re.sub(r"[^a-z0-9]", "", name.lower())
+
+
+def projdef_from_wkt(wkt: str) -> typing.Optional[dict]:
+    """Parse a WKT1 ``PROJCS`` into a :func:`geograypher_tpu.utils.crs
+    .make_projdef` dict (Lambert Conformal Conic / Transverse Mercator /
+    Albers), or None when the string is not a parseable PROJCS.
+
+    Covers state-plane and national-grid exports (ESRI .prj, GeoTIFF WKT)
+    that carry no usable ``AUTHORITY`` code — the reference feeds such
+    strings straight to pyproj (geospatial.py:60-72).  False origins are
+    converted to meters via the PROJCS linear UNIT (US survey foot etc.).
+    """
+    if not wkt or "PROJCS" not in wkt:
+        return None
+    m = re.search(r'PROJECTION\["([^"]+)"', wkt)
+    if not m:
+        return None
+    kind = _WKT_PROJ_KINDS.get(_wkt_key(m.group(1)))
+    if kind is None:
+        return None
+    params = {}
+    for name, value in re.findall(
+        r'PARAMETER\["([^"]+)"\s*,\s*([-+0-9.eE]+)', wkt
+    ):
+        key = _WKT_PARAM_MAP.get(_wkt_key(name))
+        if key:
+            params[key] = float(value)
+    # linear unit: the last UNIT in the PROJCS (the first, inside GEOGCS,
+    # is angular).  Factor = meters per unit.
+    units = re.findall(r'UNIT\["([^"]+)"\s*,\s*([-+0-9.eE]+)', wkt)
+    unit = float(units[-1][1]) if units else 1.0
+    if unit < 0.01:  # angular factor (radian-per-degree): no linear unit
+        unit = 1.0
+    upper = wkt.upper()
+    if "NAD" in upper and "83" in upper:
+        datum = "NAD83"
+    elif "ETRS" in upper:
+        datum = "ETRS89"
+    else:
+        datum = "WGS84"
+    if kind == "lcc2sp" and "sp2" not in params and "k0" in params:
+        kind = "lcc1sp"
+    from geograypher_tpu.utils.crs import make_projdef
+
+    return make_projdef(
+        kind,
+        lat0=params.get("lat0", 0.0),
+        lon0=params.get("lon0", 0.0),
+        sp1=params.get("sp1", params.get("lat0", 0.0)),
+        sp2=params.get("sp2"),
+        k0=params.get("k0", 1.0),
+        fe=params.get("fe", 0.0) * unit,
+        fn=params.get("fn", 0.0) * unit,
+        unit=unit,
+        datum=datum,
+    )
+
+
+def crs_from_srs_text(crs_text: typing.Optional[str]) -> typing.Optional[int]:
+    """SRS text (WKT or EPSG syntax) -> a CRS code the crs engine accepts.
+
+    Resolution order: a supported AUTHORITY/EPSG code; else the PROJCS
+    parameters themselves (registered as a synthetic code); else None with
+    a LOUD warning — silently treating georeferenced data as local-frame
+    is how surveys get mislocated.
+    """
+    import logging
+
+    from geograypher_tpu.utils import crs as crs_utils
+
+    if crs_text is None:
+        return None
+    epsg = extract_epsg(crs_text)
+    if epsg is not None:
+        try:
+            crs_utils.crs_is_projected(epsg)
+            return epsg
+        except ValueError:
+            pass  # unsupported code: try the WKT parameters directly
+    projdef = projdef_from_wkt(crs_text)
+    if projdef is not None:
+        return crs_utils.register_projected_crs(projdef)
+    logging.getLogger(__name__).warning(
+        "SRS text present but not parseable as EPSG or PROJCS WKT — "
+        "data will be treated as LOCAL-FRAME (unreferenced): %.120s",
+        crs_text,
+    )
+    return None
+
+
 def assemble_transform(
     rotation: np.ndarray, translation: np.ndarray, scale: float = 1.0
 ) -> np.ndarray:

@@ -462,9 +462,9 @@ def _read_shapefile(path: Path) -> VectorData:
     epsg = None
     prj = Path(path).with_suffix(".prj")
     if prj.exists():
-        from geograypher_tpu.utils.parsing import extract_epsg
+        from geograypher_tpu.utils.parsing import crs_from_srs_text
 
-        epsg = extract_epsg(prj.read_text())
+        epsg = crs_from_srs_text(prj.read_text())
 
     geoms: List[Union[Polygon, np.ndarray]] = []
     attrs: Dict[str, list] = {}

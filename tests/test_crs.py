@@ -139,3 +139,138 @@ def test_unsupported_epsg_raises_with_families():
     assert crs.crs_is_projected(3857)
     assert crs.crs_is_projected(26910)
     assert not crs.crs_is_projected(4269)
+
+
+# -- conic projections / WKT registry / datum shift (round 3) --------------
+
+
+def test_lcc_round_trip_and_origin():
+    """CA State Plane zone 3 (EPSG:26943, LCC 2SP): the false origin maps
+    exactly to (FE, FN), round trips are sub-mm, and scale is 1 on the
+    standard parallels (the defining property of the projection)."""
+    p = crs._proj_def(26943)
+    e0, n0 = crs.lcc_forward(p, p["lat0"], p["lon0"])
+    assert abs(e0 - 2000000.0) < 1e-6 and abs(n0 - 500000.0) < 1e-6
+
+    pts = np.array([
+        [37.5, -121.0, 10.0], [38.0, -120.0, 0.0], [36.8, -121.9, 250.0],
+    ])
+    proj = crs.transform_points(pts, 4269, 26943)
+    back = crs.transform_points(proj, 26943, 4269)
+    assert np.allclose(back[:, :2], pts[:, :2], atol=1e-9)
+    assert np.allclose(back[:, 2], pts[:, 2])
+
+    # unit scale on a standard parallel: a 0.01-deg east step projects to
+    # its ellipsoidal parallel arc length
+    sp1 = p["sp1"]
+    a, e2 = crs._ellipsoid(p["datum"])
+    nu = a / np.sqrt(1 - e2 * np.sin(np.deg2rad(sp1)) ** 2)
+    arc = np.deg2rad(0.01) * nu * np.cos(np.deg2rad(sp1))
+    q = crs.transform_points(
+        np.array([[sp1, -120.5, 0.0], [sp1, -120.49, 0.0]]), 4269, 26943
+    )
+    assert abs(np.hypot(*(q[1, :2] - q[0, :2])) / arc - 1) < 1e-6
+
+
+def test_albers_conus_round_trip():
+    """EPSG:5070 (CONUS Albers): origin property + sub-mm round trip +
+    scale 1 along the standard parallels."""
+    p = crs._proj_def(5070)
+    e0, n0 = crs.aea_forward(p, p["lat0"], p["lon0"])
+    assert abs(e0) < 1e-6 and abs(n0) < 1e-6
+    pts = np.array([[45.0, -110.0, 0.0], [30.0, -85.0, 5.0], [40.0, -96.0, 0.0]])
+    proj = crs.transform_points(pts, 4269, 5070)
+    back = crs.transform_points(proj, 5070, 4269)
+    assert np.allclose(back[:, :2], pts[:, :2], atol=1e-9)
+    a, e2 = crs._ellipsoid("NAD83")
+    sp = 29.5
+    nu = a / np.sqrt(1 - e2 * np.sin(np.deg2rad(sp)) ** 2)
+    arc = np.deg2rad(0.01) * nu * np.cos(np.deg2rad(sp))
+    q = crs.transform_points(
+        np.array([[sp, -96.0, 0.0], [sp, -95.99, 0.0]]), 4269, 5070
+    )
+    assert abs(np.hypot(*(q[1, :2] - q[0, :2])) / arc - 1) < 1e-6
+
+
+CA3_FT_WKT = (
+    'PROJCS["NAD83 / California zone 3 (ftUS)",'
+    'GEOGCS["NAD83",DATUM["North_American_Datum_1983",'
+    'SPHEROID["GRS 1980",6378137,298.257222101]],'
+    'UNIT["degree",0.0174532925199433]],'
+    'PROJECTION["Lambert_Conformal_Conic_2SP"],'
+    'PARAMETER["standard_parallel_1",38.43333333333333],'
+    'PARAMETER["standard_parallel_2",37.06666666666667],'
+    'PARAMETER["latitude_of_origin",36.5],'
+    'PARAMETER["central_meridian",-120.5],'
+    'PARAMETER["false_easting",6561666.667],'
+    'PARAMETER["false_northing",1640416.667],'
+    'UNIT["US survey foot",0.3048006096012192]]'
+)
+
+
+def test_wkt_projcs_registration_matches_epsg_table():
+    """A state-plane WKT in US survey feet (no usable AUTHORITY code)
+    registers as a custom CRS whose output matches the metric EPSG twin
+    after unit conversion."""
+    from geograypher_tpu.utils.parsing import crs_from_srs_text
+
+    code = crs_from_srs_text(CA3_FT_WKT)
+    assert code is not None and code >= 900001
+    pts = np.array([[37.5, -121.0, 0.0]])
+    ft = crs.transform_points(pts, 4269, code)
+    m = crs.transform_points(pts, 4269, 26943)
+    assert np.allclose(ft[0, :2] * 0.3048006096012192, m[0, :2], atol=5e-3)
+    # and the inverse round-trips through the custom code
+    back = crs.transform_points(ft, code, 4269)
+    assert np.allclose(back[:, :2], pts[:, :2], atol=1e-9)
+    # re-registering the same WKT reuses the code
+    assert crs_from_srs_text(CA3_FT_WKT) == code
+
+
+def test_wkt_tm_with_origin_round_trip():
+    """A custom Transverse Mercator PROJCS with nonzero latitude_of_origin
+    (the common national-grid form) round-trips exactly."""
+    p = crs.make_projdef(
+        "tm", lat0=49.0, lon0=-2.0, k0=0.9996012717,
+        fe=400000.0, fn=-100000.0,
+    )
+    code = crs.register_projected_crs(p)
+    pts = np.array([[52.0, 1.0, 0.0], [50.5, -4.0, 0.0]])
+    proj = crs.transform_points(pts, 4326, code)
+    back = crs.transform_points(proj, code, 4326)
+    assert np.allclose(back[:, :2], pts[:, :2], atol=1e-9)
+    e0, n0 = crs.transform_points(
+        np.array([[49.0, -2.0, 0.0]]), 4326, code
+    )[0, :2]
+    assert abs(e0 - 400000.0) < 1e-6 and abs(n0 + 100000.0) < 1e-6
+
+
+def test_datum_shift_opt_in():
+    """datum_shift=True applies the published ~1.2-1.5 m WGS84->NAD83
+    Helmert (CONUS magnitude) and is self-consistent; the default stays
+    the identity mapping the reference's pyproj usage implies."""
+    pts = np.array([[38.0, -120.0, 100.0]])
+    ident = crs.transform_points(pts, 4326, 4269)
+    assert np.allclose(ident, pts)
+    shifted = crs.transform_points(pts, 4326, 4269, datum_shift=True)
+    dxyz = np.stack(
+        crs.lla_to_ecef(*shifted[0]), axis=0
+    ) - np.stack(crs.lla_to_ecef(*pts[0]), axis=0)
+    mag = np.linalg.norm(dxyz)
+    assert 0.5 < mag < 3.0
+    back = crs.transform_points(shifted, 4269, 4326, datum_shift=True)
+    assert np.allclose(back, pts, atol=1e-9)
+    # no shift when both endpoints share the datum
+    same = crs.transform_points(pts, 4269, 26911, datum_shift=True)
+    assert np.allclose(same, crs.transform_points(pts, 4269, 26911))
+
+
+def test_crs_from_srs_text_warns_on_garbage(caplog):
+    from geograypher_tpu.utils.parsing import crs_from_srs_text
+
+    import logging
+
+    with caplog.at_level(logging.WARNING):
+        out = crs_from_srs_text('LOCAL_CS["arbitrary mesh frame"]')
+    assert out is None
+    assert any("LOCAL-FRAME" in r.message for r in caplog.records)
