@@ -331,10 +331,36 @@ def _block_windows(
 
 
 _RING = 4   # in-flight DMA batches (VMEM + semaphore bounded)
-_KB = 8     # window entries per DMA batch (entries are sequential rows)
+_KB = 8     # max window entries per DMA batch (entries are sequential rows)
 
 
-def _stage2_kernel(block: int, kp: int, s: int, w_cap: int, planes: int):
+def _stage2_batch_entries(block: int, kp: int, s: int, planes: int) -> int:
+    """Largest power-of-two DMA batch width whose kernel VMEM footprint
+    (ring buffers + the radix-deposit temporaries, all O(kb*s)) fits the
+    16 MB scoped limit with margin.  Large per-tile slot counts s (census
+    caps on oblique scenes) would otherwise stack-OOM the Mosaic kernel.
+    """
+    nq = block // 128
+    fixed = planes * nq * kp * 128 * 4 + block * kp * 4
+    kb = _KB
+    while kb > 1:
+        sb = kb * s
+        vmem = (
+            _RING * (kp + 1) * sb * 4  # cnt/ids ring buffers
+            + planes * nq * kp * sb * 2  # cq radix deposit (bf16)
+            + sb * 128 * 2  # oh_r
+            + nq * sb * 2  # oh_q
+            + fixed
+        )
+        if vmem <= 12 * 1024 * 1024:
+            break
+        kb //= 2
+    return kb
+
+
+def _stage2_kernel(
+    block: int, kp: int, s: int, w_cap: int, planes: int, kb: int = _KB
+):
     """Grid over face blocks; each step folds its window of tiles into the
     block's dense slice.
 
@@ -359,19 +385,19 @@ def _stage2_kernel(block: int, kp: int, s: int, w_cap: int, planes: int):
     """
     ring = _RING
     nq = block // 128  # 128-face sub-blocks per block
-    sb = _KB * s       # slot-lanes per DMA batch
+    sb = kb * s        # slot-lanes per DMA batch
 
     def kernel(lo_ref, wl_ref, cnt_hbm, ids_hbm, out_ref,
                cnt_buf, ids_buf, acc2_ref, sems):
         b = pl.program_id(0)
         lo_b = lo_ref[b]
         wl = wl_ref[b]
-        nwb = (wl + _KB - 1) // _KB  # DMA batches for this block
+        nwb = (wl + kb - 1) // kb  # DMA batches for this block
         b0i = b * block
 
         def dmas(w8):
             slot = jax.lax.rem(w8, ring)
-            lane0 = (lo_b + w8 * _KB) * s
+            lane0 = (lo_b + w8 * kb) * s
             return (
                 pltpu.make_async_copy(
                     cnt_hbm.at[:, pl.ds(lane0, sb)], cnt_buf.at[slot],
@@ -531,12 +557,13 @@ def face_counts_from_tiles(
     tmax = jnp.max(jnp.where(valid, ids, -1), axis=1).astype(jnp.int32)
     w_cap = min(_round_up(max(w_cap, 1), 8), _round_up(max(t, 8), 8))
     win = _block_windows(tmin, tmax, nb, block, w_cap)
+    kb = _stage2_batch_entries(block, kp, s, planes)
     # permute entries into the sorted window order (block windows become
     # contiguous LANE ranges of slot-major flats: one sequential batched
-    # DMA per _KB entries, unconditionally radix-deposited) and pad so
+    # DMA per kb entries, unconditionally radix-deposited) and pad so
     # the last batch of the largest window never reads OOB — padding
     # holds empty ids, which match nothing
-    pad_n = _round_up(w_cap, _KB) + _KB
+    pad_n = _round_up(w_cap, kb) + kb
     counts = jnp.pad(counts[win.order], ((0, pad_n), (0, 0), (0, 0)))
     ids = jnp.pad(
         ids[win.order], ((0, pad_n), (0, 0)), constant_values=-1
@@ -546,7 +573,7 @@ def face_counts_from_tiles(
     counts = counts.transpose(1, 0, 2).reshape(kp, tp * s)
     ids = ids.reshape(1, tp * s)
 
-    kernel = _stage2_kernel(block, kp, s, w_cap, planes)
+    kernel = _stage2_kernel(block, kp, s, w_cap, planes, kb=kb)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(nb,),
@@ -558,8 +585,8 @@ def face_counts_from_tiles(
             (1, block, kp), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((_RING, kp, _KB * s), jnp.float32),
-            pltpu.VMEM((_RING, 1, _KB * s), jnp.int32),
+            pltpu.VMEM((_RING, kp, kb * s), jnp.float32),
+            pltpu.VMEM((_RING, 1, kb * s), jnp.int32),
             pltpu.VMEM((planes * (block // 128) * kp, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((_RING, 2)),
         ],
