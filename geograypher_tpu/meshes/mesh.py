@@ -1169,12 +1169,21 @@ class TexturedMesh:
         crs: typing.Optional[int] = None,
         resolution_m: float = 0.2,
         max_pixels: int = 8192,
+        max_total_pixels: int = 2 ** 28,
     ):
         """Orthographic top-down pix2face over the mesh footprint.
 
         The building block for vector export and polygon labeling: an
         orthographic view is a pinhole camera at a great distance with a
         long focal length (0.06% perspective error at the defaults).
+
+        Footprints needing more than ``max_pixels`` per axis are rendered
+        as a grid of TILES at the full requested resolution (one shared
+        device compile; the camera translates per tile), so resolution is
+        never silently degraded.  Only when the total pixel count would
+        exceed ``max_total_pixels`` (host-memory guard, default 268M px =
+        1 GB int32) is the resolution clamped — with a loud warning
+        stating the effective resolution.
 
         Returns (pix2face (H, W), bounds (x0, y0, x1, y1), epsg).
         """
@@ -1192,50 +1201,84 @@ class TexturedMesh:
         # centroid), so downstream pixel->CRS mapping via (bounds, shape) is
         # exact on both axes.
         res = resolution_m
-        if max(span_x, span_y) / res > max_pixels:
-            res = max(span_x, span_y) / max_pixels
+        if (span_x / res) * (span_y / res) > max_total_pixels:
+            scale = np.sqrt((span_x / res) * (span_y / res) / max_total_pixels)
+            res = res * scale
             logger.warning(
-                "ortho_pix2face: requested %.3g m/px needs %d px; clamped "
-                "to max_pixels=%d -> %.3g m/px",
+                "ortho_pix2face: %.3g m/px over this footprint needs %.2g "
+                "pixels (> max_total_pixels=%d); EFFECTIVE RESOLUTION "
+                "DEGRADED to %.3g m/px — raise max_total_pixels to keep "
+                "the requested resolution",
                 resolution_m,
-                int(np.ceil(max(span_x, span_y) / resolution_m)),
-                max_pixels,
+                (span_x / resolution_m) * (span_y / resolution_m),
+                max_total_pixels,
                 res,
             )
         w = max(int(np.ceil(span_x / res)), 1)
         h = max(int(np.ceil(span_y / res)), 1)
         cx, cy = (x0 + x1) / 2.0, (y0 + y1) / 2.0
-        # Nadir camera far above the scene: distance D, f = D / res
         depth_range = zmax - verts[:, 2].min()
-        dist = max(span_x, span_y, depth_range) * 40.0
-        cam_z = zmax + dist
-        f = dist / res
+        # triangles in the footprint-centered frame, uploaded once; the
+        # per-tile camera translates within this frame
         tri = jnp.asarray(
             verts[self.faces] - np.array([[cx, cy, 0.0]]), jnp.float32
         )
-        # camera in the origin-centered frame to keep f32 precision
-        c2w_local = np.array(
-            [
-                [1.0, 0.0, 0.0, 0.0],
-                [0.0, -1.0, 0.0, 0.0],
-                [0.0, 0.0, -1.0, cam_z],
-                [0.0, 0.0, 0.0, 1.0],
-            ]
-        )
-        w2c = jnp.asarray(np.linalg.inv(c2w_local), jnp.float32)
-        p2f = rasterize_triangles(
-            transform_to_camera(tri, w2c),
-            jnp.float32(f),
-            image_w=w,
-            image_h=h,
-            config=self.raster_config,
-        )
+        x_left = cx - w * res / 2.0
+        y_top = cy + h * res / 2.0
+
+        def render(tile_w, tile_h, dx, dy):
+            # Nadir camera far above the (sub-)scene: distance D, f = D/res
+            dist = max(tile_w * res, tile_h * res, depth_range, 1e-6) * 40.0
+            cam_z = zmax + dist
+            c2w_local = np.array(
+                [
+                    [1.0, 0.0, 0.0, dx],
+                    [0.0, -1.0, 0.0, dy],
+                    [0.0, 0.0, -1.0, cam_z],
+                    [0.0, 0.0, 0.0, 1.0],
+                ]
+            )
+            w2c = jnp.asarray(np.linalg.inv(c2w_local), jnp.float32)
+            return np.asarray(
+                rasterize_triangles(
+                    transform_to_camera(tri, w2c),
+                    jnp.float32(dist / res),
+                    image_w=tile_w,
+                    image_h=tile_h,
+                    config=self.raster_config,
+                )
+            )
+
+        if w <= max_pixels and h <= max_pixels:
+            p2f = render(w, h, 0.0, 0.0)
+        else:
+            tiles_x = -(-w // max_pixels)
+            tiles_y = -(-h // max_pixels)
+            tw = -(-w // tiles_x)
+            th = -(-h // tiles_y)
+            logger.info(
+                "ortho_pix2face: tiling %dx%d px footprint into %dx%d "
+                "tiles of %dx%d at the full %.3g m/px",
+                w, h, tiles_x, tiles_y, tw, th, res,
+            )
+            p2f = np.full((h, w), -1, np.int32)
+            for ti in range(tiles_y):
+                for tj in range(tiles_x):
+                    i0, j0 = ti * th, tj * tw
+                    # every tile renders the SAME (th, tw) shape (one jit
+                    # compile); edge tiles crop the paste
+                    dx = (x_left + (j0 + tw / 2.0) * res) - cx
+                    dy = (y_top - (i0 + th / 2.0) * res) - cy
+                    tile = render(tw, th, dx, dy)
+                    h_eff = min(th, h - i0)
+                    w_eff = min(tw, w - j0)
+                    p2f[i0:i0 + h_eff, j0:j0 + w_eff] = tile[:h_eff, :w_eff]
         # pixel (0, 0) is top-left = (cx - w*res/2, cy + h*res/2)
         bounds = (
-            cx - w * res / 2.0,
+            x_left,
             cy - h * res / 2.0,
             cx + w * res / 2.0,
-            cy + h * res / 2.0,
+            y_top,
         )
         return np.asarray(p2f), bounds, crs
 

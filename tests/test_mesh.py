@@ -399,3 +399,43 @@ def test_aggregate_fused_pallas_matches_xla_path():
     observed = info_pal["projection_counts"] > 0
     pred = np.argmax(avg_pal, axis=1).astype(float)
     assert (pred[observed] == face_labels[observed]).mean() > 0.99
+
+
+def test_ortho_pix2face_tiling_matches_single_shot():
+    """Auto-tiled ortho rendering (max_pixels smaller than the footprint)
+    must reproduce the single-shot map at the SAME resolution — tiling
+    must never degrade resolution (only max_total_pixels may, loudly)."""
+    mesh, _ = make_geo_mesh(n=15, size=40.0)
+    # a resolution that does NOT divide the footprint exactly: otherwise
+    # the mesh boundary passes exactly through edge-pixel centers, whose
+    # inclusive coverage flips on ~1e-7 arithmetic noise in either path
+    res = 0.43
+    a, bounds_a, crs_a = mesh.ortho_pix2face(resolution_m=res)
+    b, bounds_b, crs_b = mesh.ortho_pix2face(resolution_m=res, max_pixels=48)
+    assert a.shape == b.shape and a.shape[0] > 48
+    assert bounds_a == bounds_b and crs_a == crs_b
+    # knife-edge pixels may flip between the per-tile cameras' slightly
+    # different (still ~0.06%-error) perspective centers
+    agree = a == b
+    assert agree.mean() > 0.995
+    if (~agree).any():
+        assert ((a[~agree] >= 0) == (b[~agree] >= 0)).mean() > 0.9
+
+
+def test_export_face_labels_subresolution_feature():
+    """A single-cell labeled feature (reference GEOS would union it
+    exactly: utils/geometric.py:13) survives vector export at fine
+    resolution with the analytically-correct area."""
+    mesh, (e0, n0) = make_geo_mesh(n=15, size=40.0)
+    cell = 40.0 / 14.0  # grid step in meters
+    labels = np.zeros(mesh.n_faces)
+    # faces 2*k and 2*k+1 are the two triangles of one grid cell
+    cell_idx = 3 * 14 + 5
+    labels[2 * cell_idx] = 1.0
+    labels[2 * cell_idx + 1] = 1.0
+    mesh.set_texture(labels, is_vertex=False)
+    out = mesh.export_face_labels_vector(resolution_m=cell / 8.0)
+    ids = np.asarray(out.attributes["class_ID"])
+    areas = np.array([p.area for p in out.geometries])
+    got = areas[ids == 1].sum()
+    assert abs(got - cell * cell) < 0.2 * cell * cell
