@@ -158,7 +158,8 @@ def main():
     # suite), then the fold's per-block tile windows are measured, and
     # binned.overflow re-checks the chosen caps.
     census_cfg = RasterConfig(
-        caps=(8, 8, 8, 8), backend=backend, bin_block=bin_block
+        caps=(8, 8, 8, 8), backend=backend, bin_block=bin_block,
+        l0_window=3,
     )
 
     @jax.jit
@@ -173,7 +174,9 @@ def main():
         int(max(16, -(-int(c * 5 // 4) // 16) * 16)) for c in worst
     )  # 1.25x margin, multiples of 16 units
     print(f"census caps (x{bin_block} faces): {caps}", file=sys.stderr)
-    config = RasterConfig(caps=caps, backend=backend, bin_block=bin_block)
+    config = RasterConfig(
+        caps=caps, backend=backend, bin_block=bin_block, l0_window=3
+    )
 
     @jax.jit
     def window_stats(tri, w2c_k, f_k):

@@ -141,3 +141,31 @@ def test_pallas_block_binning_unordered_faces():
         )
     )
     assert_equiv(a, b)
+
+
+def test_pallas_l0_window3_matches_xla():
+    """A 3x3 level-0 window (keeps tall oblique bboxes out of the L1
+    resolve) must reproduce the 2x2 XLA reference exactly."""
+    verts, faces = make_grid_mesh(
+        n=15, size=4.0, z_fn=lambda x, y: 0.25 * np.sin(2 * x) * np.cos(y)
+    )
+    c2w = nadir_camera(4.0, 50.0, 80)
+    # zoom in so faces span several 8-px tile rows (the l0_window case)
+    tris = cam_tris(verts, faces, c2w)
+    a = np.asarray(
+        rasterize_triangles(
+            jnp.asarray(tris, jnp.float32), jnp.float32(160.0),
+            image_w=160, image_h=96, config=XLA,
+        )
+    )
+    w3 = RasterConfig(
+        caps=(64, 16, 8, 8), backend="pallas", bin_block=8, l0_window=3
+    )
+    b = np.asarray(
+        rasterize_triangles(
+            jnp.asarray(tris, jnp.float32), jnp.float32(160.0),
+            image_w=160, image_h=96, config=w3,
+        )
+    )
+    assert_equiv(a, b)
+    assert (b >= 0).any()
