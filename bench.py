@@ -159,7 +159,7 @@ def main():
     # binned.overflow re-checks the chosen caps.
     census_cfg = RasterConfig(
         caps=(8, 8, 8, 8), backend=backend, bin_block=bin_block,
-        l0_window=3,
+        l0_window=(5, 2),
     )
 
     @jax.jit
@@ -175,7 +175,7 @@ def main():
     )  # 1.25x margin, multiples of 16 units
     print(f"census caps (x{bin_block} faces): {caps}", file=sys.stderr)
     config = RasterConfig(
-        caps=caps, backend=backend, bin_block=bin_block, l0_window=3
+        caps=caps, backend=backend, bin_block=bin_block, l0_window=(5, 2)
     )
 
     @jax.jit

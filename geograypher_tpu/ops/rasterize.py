@@ -41,7 +41,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -74,13 +74,14 @@ class RasterConfig:
     # tile-row straddle duplication is granularity-independent).  caps
     # then count BLOCKS per tile (face capacity = caps * bin_block).
     bin_block: int = 1
-    # level-0 tile window span: a candidate stays at L0 when an
-    # (l0_window x l0_window) tile window covers its bbox (ancestor
-    # levels keep 2x2).  3 keeps oblique near-field geometry (bboxes
-    # taller than 2 tile rows = 16 px) at cheap L0 instead of flooding
-    # the 16x-per-candidate L1 resolve; costs up to l0_window^2 sort
+    # level-0 tile window span (rows, cols) — or an int for square: a
+    # candidate stays at L0 when a (wy x wx) tile window covers its bbox
+    # (ancestor levels keep 2x2).  Tiles are short (8 px) and wide
+    # (128 px), so oblique near-field geometry overflows ROWS first:
+    # (5, 2) keeps bboxes up to 32 px tall at cheap L0 instead of
+    # flooding the 16x-per-candidate L1 resolve, at up to wy*wx sort
     # pairs per unit (cheap under bin_block).
-    l0_window: int = 2
+    l0_window: Union[int, Tuple[int, int]] = 2
     # face-block fold capacities for the fused aggregation path
     # (ops/agg_tiled.py); size via agg_tiled.fold_window_overflow for a
     # survey configuration (overflows drop counts, never corrupt)
@@ -370,8 +371,10 @@ def bin_triangles(
 
     # Tile coordinates and fit test per level, then assign each unit to
     # the finest level whose window covers it (level 3 = global
-    # fallback).  Level 0 uses an (l0_window)^2 window; ancestors 2x2.
-    l0w = max(2, int(config.l0_window))
+    # fallback).  Level 0 uses the (wy x wx) l0_window; ancestors 2x2.
+    w0 = config.l0_window
+    wy0, wx0 = (w0, w0) if isinstance(w0, int) else w0
+    wy0, wx0 = max(2, int(wy0)), max(2, int(wx0))
     per_level = []  # (ty0, ty1, tx0, tx1, fits) per level
     for lvl, (scale, (nty, ntx)) in enumerate(
         zip(config.level_scales, grids)
@@ -379,8 +382,8 @@ def bin_triangles(
         th, tw = config.tile_h * scale, config.tile_w * scale
         ty0, ty1 = py0 // th, py1 // th
         tx0, tx1 = px0 // tw, px1 // tw
-        win = l0w if lvl == 0 else 2
-        fits = (ty1 - ty0 < win) & (tx1 - tx0 < win)
+        wy, wx = (wy0, wx0) if lvl == 0 else (2, 2)
+        fits = (ty1 - ty0 < wy) & (tx1 - tx0 < wx)
         per_level.append((ty0, ty1, tx0, tx1, fits))
 
     fits0, fits1, fits2 = (pl[4] for pl in per_level)
@@ -401,12 +404,12 @@ def bin_triangles(
     ).astype(jnp.int32)
     at_l3 = level == 3
 
-    # <= l0w^2 (key, unit) pairs per unit: the window cells at its level
+    # <= wy*wx (key, unit) pairs per unit: the window cells at its level
     # (ancestor-level units never reach cells >= 2 — their fit test
     # bounds the bbox to 2x2), or a single global-list entry for level 3
     keys = []
-    for dy in range(l0w):
-        for dx in range(l0w):
+    for dy in range(wy0):
+        for dx in range(wx0):
             ty = ty0_s + dy
             tx = tx0_s + dx
             in_window = (ty <= ty1_s) & (tx <= tx1_s)
@@ -419,12 +422,12 @@ def bin_triangles(
             keys.append(jnp.where(ok, key, INT32_MAX))
 
     face_ids = jnp.arange(f_count, dtype=jnp.int32)
-    # full-lane (l0w^2*F,) pair layout (an (F, k) stack would run every
+    # full-lane (wy*wx*F,) pair layout (an (F, k) stack would run every
     # subsequent op at k/128 lane occupancy); sorting with num_keys=2
     # (key, then face) restores ascending face ids within each tile,
     # which the raster tie-break and the fold's band tests rely on
     key_flat = jnp.concatenate(keys, axis=0).astype(jnp.int32)
-    face_flat = jnp.concatenate([face_ids] * (l0w * l0w), axis=0)
+    face_flat = jnp.concatenate([face_ids] * (wy0 * wx0), axis=0)
 
     sorted_keys, sorted_faces = jax.lax.sort(
         (key_flat, face_flat), num_keys=2
