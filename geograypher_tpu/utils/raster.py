@@ -122,6 +122,69 @@ class Raster:
             return out
         raise ValueError(f"Unknown sampling method {method}")
 
+    def reprojected(
+        self,
+        dst_epsg: int,
+        resolution: Optional[float] = None,
+        method: str = "nearest",
+    ) -> "Raster":
+        """Resample this raster into another CRS (reference
+        utils/geospatial.py:333-360 ``reproject_raster``).
+
+        The destination grid is north-up, covering the reprojected corner
+        bounds at ``resolution`` (defaults to the source pixel size
+        expressed in destination units via the corner mapping).  Each
+        destination pixel center is mapped BACK to the source CRS and
+        sampled (inverse warping — no holes).
+        """
+        from geograypher_tpu.utils import crs as crs_utils
+
+        if self.epsg is None:
+            raise ValueError("Raster has no CRS to reproject from")
+        h, w = self.data.shape[:2]
+        # reproject a corner+edge ring to bound the destination footprint
+        cols = np.linspace(0, w, 9)
+        rows = np.linspace(0, h, 9)
+        ring_c = np.concatenate([cols, np.full(9, w), cols, np.zeros(9)])
+        ring_r = np.concatenate([np.zeros(9), rows, np.full(9, h), rows])
+        xs, ys = self.pixel_to_world(ring_c, ring_r)
+        pts = np.stack([xs, ys, np.zeros_like(xs)], axis=1)
+        dst = crs_utils.transform_points(pts, self.epsg, dst_epsg)
+        dx0, dy0 = dst[:, 0].min(), dst[:, 1].min()
+        dx1, dy1 = dst[:, 0].max(), dst[:, 1].max()
+        if resolution is None:
+            # source pixel footprint in destination units
+            src_res = float(
+                np.hypot(self.transform[0], self.transform[3])
+            ) or 1.0
+            span_ratio = np.hypot(dx1 - dx0, dy1 - dy0) / max(
+                np.hypot(*np.subtract(self.bounds[2:], self.bounds[:2])),
+                1e-12,
+            )
+            resolution = src_res * span_ratio
+        dw = max(int(np.ceil((dx1 - dx0) / resolution)), 1)
+        dh = max(int(np.ceil((dy1 - dy0) / resolution)), 1)
+        dcol, drow = np.meshgrid(
+            np.arange(dw) + 0.5, np.arange(dh) + 0.5
+        )
+        dxs = dx0 + dcol * resolution
+        dys = dy1 - drow * resolution
+        back = crs_utils.transform_points(
+            np.stack(
+                [dxs.ravel(), dys.ravel(), np.zeros(dxs.size)], axis=1
+            ),
+            dst_epsg,
+            self.epsg,
+        )
+        vals = self.sample(back[:, 0], back[:, 1], method=method)
+        data = vals.reshape((dh, dw) + self.data.shape[2:])
+        return Raster(
+            data,
+            (resolution, 0.0, dx0, 0.0, -resolution, dy1),
+            dst_epsg,
+            nodata=None,
+        )
+
     def downsampled(self, factor: int) -> "Raster":
         """Blockwise-subsampled raster (reference geospatial.py:362-392)."""
         import cv2
@@ -209,3 +272,23 @@ def write_geotiff(path: PATH_TYPE, raster: Raster) -> None:
         ifd[42113] = str(raster.nodata)
     img = Image.fromarray(raster.data)
     img.save(str(path), format="TIFF", tiffinfo=ifd)
+
+
+def reproject_raster(
+    input_filename: PATH_TYPE,
+    output_filename: PATH_TYPE,
+    dst_epsg: int,
+    resolution: Optional[float] = None,
+    method: str = "nearest",
+) -> None:
+    """File-level raster reprojection (reference utils/geospatial.py:333).
+
+    Reads a GeoTIFF, resamples it into ``dst_epsg`` (see
+    :meth:`Raster.reprojected`), writes the result.
+    """
+    write_geotiff(
+        output_filename,
+        read_geotiff(input_filename).reprojected(
+            dst_epsg, resolution=resolution, method=method
+        ),
+    )

@@ -224,3 +224,42 @@ def test_read_shapefile(tmp_path):
     assert np.allclose(pt, [7.5, 8.5])
     assert vd.attributes["NAME"] == ["plot", "tree"]
     assert vd.attributes["AREA"] == [14.5, 0.25]
+
+
+def test_reproject_raster_round_trip(tmp_path):
+    """reproject_raster twin (reference geospatial.py:333): values survive
+    a UTM-zone change, sampled back at transformed coordinates."""
+    from geograypher_tpu.utils import crs as crs_utils
+    from geograypher_tpu.utils.raster import (
+        Raster, read_geotiff, reproject_raster, write_geotiff,
+    )
+
+    e0, n0 = crs_utils.lla_to_tm(
+        36.0, -119.0, np.deg2rad(-117.0), crs_utils.UTM_K0, 500000.0, 0.0
+    )
+    # smooth field: NN resampling across the rotated zone-10 grid lands
+    # within one source cell, so values must agree to one cell's gradient
+    col, row = np.meshgrid(np.arange(60), np.arange(40))
+    data = (0.5 * col + 0.25 * row).astype(np.float32)
+    src = Raster(
+        data, (2.0, 0.0, e0, 0.0, -2.0, n0), epsg=32611
+    )
+    p_in = tmp_path / "src.tif"
+    p_out = tmp_path / "dst.tif"
+    write_geotiff(p_in, src)
+    reproject_raster(p_in, p_out, 32610)
+    out = read_geotiff(p_out)
+    assert out.epsg == 32610
+    # sample both rasters at the same world points
+    xs = e0 + np.linspace(5, 115, 12)
+    ys = n0 - np.linspace(5, 75, 12)
+    src_vals = src.sample(xs, ys)
+    pts10 = crs_utils.transform_points(
+        np.stack([xs, ys, np.zeros_like(xs)], axis=1), 32611, 32610
+    )
+    dst_vals = out.sample(pts10[:, 0], pts10[:, 1])
+    ok = np.isfinite(src_vals) & np.isfinite(dst_vals)
+    assert ok.mean() > 0.9
+    # one destination-cell NN displacement = at most ~1.5 source cells of
+    # the ramp's gradient (0.5/cell + 0.25/cell)
+    assert np.abs(src_vals[ok] - dst_vals[ok]).max() < 1.5 * 0.75 + 1e-6
