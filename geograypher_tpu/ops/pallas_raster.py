@@ -100,69 +100,80 @@ def _prep_level_slab(
     if cp_u != c:
         cand = jnp.pad(cand, ((0, 0), (0, cp_u - c)), constant_values=-1)
     safe_ids = jnp.where(cand >= 0, cand, n_units)
-    p = planes_ext[safe_ids]  # (T, Cp_u, block*12)
+    # (T, Cp_u, 12, block): planes_ext rows are COEFFICIENT-MAJOR block
+    # rows ([coef0 x block | coef1 x block | ...]), so every per-coef
+    # slice below is CANDIDATE-MINOR — the slab assembles from (T, nch,
+    # CHUNK)-shaped pieces with plain stacks, no rank-5 transposes.  (The
+    # earlier plane-major layout needed a full relayout transpose whose
+    # chain materialized ~13 GB of rank-5 intermediates per 4K view.)
+    p2 = planes_ext[safe_ids].reshape(t, cp_u, 12, block)
     counts = (
         jnp.sum(cand >= 0, axis=1, dtype=jnp.int32) * block
     ).reshape(t, 1)
     cp = cp_u * block
     nch = cp // CHUNK
+
+    def coef(k):  # (T, nch, CHUNK), candidate-minor
+        return p2[:, :, k, :].reshape(t, nch, CHUNK)
+
     if block > 1:
-        p = p.reshape(t, cp, 12)
         offs = jnp.arange(block, dtype=jnp.int32)
         cand = jnp.where(
             (cand >= 0)[..., None], cand[..., None] * block + offs, -1
         ).reshape(t, cp)
+    cand_ch = cand.reshape(t, nch, CHUNK)
+    zeros = jnp.zeros((t, nch, CHUNK), jnp.float32)
 
     if tile_origin is None:
-        # empty slots carry id -2: they never win the resolve (their edge
-        # planes are the coverage-false sentinel), and -2 can never equal
-        # a face id OR the background value (-1) in the fused class-count
-        # match (raster_tiles_pallas(class_rows=...)).
-        id_plane = jnp.stack(
-            [
-                jnp.zeros_like(cand, jnp.float32),
-                jnp.zeros_like(cand, jnp.float32),
-                jnp.where(cand >= 0, cand, -2).astype(jnp.float32),
-            ],
-            axis=-1,
-        )
-        full = jnp.concatenate([p, id_plane], axis=-1)  # (T, Cp, 15)
-        slab = (
-            full.reshape(t, nch, CHUNK, 5, 3)
-            .transpose(0, 4, 1, 3, 2)
-            .reshape(t, 3, nch * 5 * CHUNK)
-        )
+        # rows [a | b | c] per (chunk, plane) with the 5th plane = the id
+        # plane [0, 0, id]; empty slots carry id -2: they never win the
+        # resolve (their edge planes are the coverage-false sentinel),
+        # and -2 can never equal a face id OR the background value (-1)
+        # in the fused class-count match.
+        idv = jnp.where(cand_ch >= 0, cand_ch, -2).astype(jnp.float32)
+        rows = []
+        for r in range(3):
+            pieces = [coef(3 * p + r) for p in range(4)]
+            pieces.append(idv if r == 2 else zeros)
+            rows.append(jnp.stack(pieces, axis=2))  # (T, nch, 5, CHUNK)
+        slab = jnp.stack(rows, axis=1).reshape(t, 3, nch * 5 * CHUNK)
         return slab, counts
 
     x0, y0 = tile_origin  # (T,) pixel coords of each tile's corner
-    pl4 = p.reshape(t, cp, 4, 3)
-    a, b, cc = pl4[..., 0], pl4[..., 1], pl4[..., 2]  # (T, Cp, 4)
-    c_local = a * x0[:, None, None] + b * y0[:, None, None] + cc
     # empty slots get digit id 2^24-1: never wins the resolve (sentinel
     # edge planes) and never matches a real face or the -1 background in
     # the fused class-count match
-    ids = jnp.where(cand >= 0, cand, (1 << 24) - 1)
-    d0 = (ids % 256).astype(jnp.float32)
-    d1 = ((ids // 256) % 256).astype(jnp.float32)
-    d2 = (ids // 65536).astype(jnp.float32)
+    ids = jnp.where(cand_ch >= 0, cand_ch, (1 << 24) - 1)
+    digs = (
+        (ids % 256).astype(jnp.float32),
+        ((ids // 256) % 256).astype(jnp.float32),
+        (ids // 65536).astype(jnp.float32),
+    )
     # 4 evaluated planes (hi/lo pairs) + one DIGIT block [d0 d1 d2 0 0 0]:
     # face-id digits are constant over pixels, so they never enter the
     # pixel dot — the kernel reads them straight off the slab and
-    # transposes via a tiny exact digit dot.  This keeps the per-chunk
-    # dot output (and its VMEM footprint) to 4 plane blocks.
-    hi, lo = _split_hi_lo(jnp.stack([a, b, c_local], axis=-1))
-    both4 = jnp.concatenate([hi, lo], axis=-1)  # (T, Cp, 4, 6)
-    dblock = jnp.stack(
-        [d0, d1, d2, jnp.zeros_like(d0), jnp.zeros_like(d0),
-         jnp.zeros_like(d0)],
-        axis=-1,
-    )[:, :, None, :]  # (T, Cp, 1, 6): digits <= 255 are bf16-exact
-    both = jnp.concatenate([both4, dblock], axis=2)  # (T, Cp, 5, 6)
-    slab = (
-        both.reshape(t, nch, CHUNK, 5, 6)
-        .transpose(0, 4, 1, 3, 2)  # (T, coef6, chunk, plane, cand)
-        .reshape(t, 6, nch * 5 * CHUNK)
-    )
+    # transposes via a tiny exact digit dot.  Rows 0-2 = bf16-hi of
+    # (a, b, c_local), rows 3-5 = bf16-lo.
+    x0b = x0.reshape(t, 1, 1)
+    y0b = y0.reshape(t, 1, 1)
+    his, los = [], []
+    for p in range(4):
+        a, b, cc = coef(3 * p), coef(3 * p + 1), coef(3 * p + 2)
+        c_local = a * x0b + b * y0b + cc
+        hi3, lo3 = [], []
+        for v in (a, b, c_local):
+            h, l = _split_hi_lo(v)
+            hi3.append(h)
+            lo3.append(l)
+        his.append(hi3)
+        los.append(lo3)
+    rows = []
+    for r in range(6):
+        half, j = (his, r) if r < 3 else (los, r - 3)
+        pieces = [half[p][j] for p in range(4)]
+        pieces.append(digs[r] if r < 3 else zeros)
+        rows.append(jnp.stack(pieces, axis=2))  # (T, nch, 5, CHUNK)
+    slab = jnp.stack(rows, axis=1).reshape(t, 6, nch * 5 * CHUNK)
     return slab, counts
 
 
@@ -494,12 +505,17 @@ def raster_tiles_pallas(
     sentinel = jnp.asarray(
         [0, 0, -1, 0, 0, -1, 0, 0, -1, 0, 0, 0], planes.dtype
     )
-    # candidate-unit plane rows: one row covers bin_block face slots
+    # candidate-unit plane rows, COEFFICIENT-MAJOR within the row
+    # ([coef0 x bb | coef1 x bb | ...]) so _prep_level_slab's per-coef
+    # slices come out candidate-minor (see its docstring).  One small
+    # (12, F) relayout per view.
     n_units = n_faces // bb
     planes_ext = jnp.concatenate(
         [
-            planes.reshape(n_units, bb * 12),
-            jnp.tile(sentinel, bb)[None],
+            planes.T.reshape(12, n_units, bb)
+            .transpose(1, 0, 2)
+            .reshape(n_units, bb * 12),
+            jnp.repeat(sentinel, bb)[None],
         ],
         axis=0,
     )
