@@ -27,8 +27,11 @@ def visualize(
     mesh_downsample: float = 1.0,
     screenshot_filename: typing.Optional[PATH_TYPE] = None,
     resolution_m: float = 0.5,
+    export_html: typing.Optional[PATH_TYPE] = None,
 ):
-    """Top-down composite of the mesh texture and camera track."""
+    """Top-down composite of the mesh texture and camera track; with
+    ``export_html``, also write the interactive WebGL viewer (mesh +
+    frustums — the headless twin of the reference's VTK window)."""
     import matplotlib
 
     matplotlib.use("Agg")
@@ -69,6 +72,13 @@ def visualize(
             pts = crs_utils.transform_points(lla, 4326, crs)
             ax.plot(pts[:, 0], pts[:, 1], "r.", markersize=2)
     ax.set_title(str(mesh_file))
+    if export_html is not None:
+        cams = None
+        if cameras_file is not None and image_folder is not None:
+            from geograypher_tpu.cameras.metashape import MetashapeCameraSet
+
+            cams = MetashapeCameraSet(cameras_file, image_folder)
+        mesh.export_html_viewer(export_html, cameras=cams)
     if screenshot_filename is not None:
         fig.savefig(screenshot_filename, dpi=150, bbox_inches="tight")
     plt.close(fig)
@@ -88,6 +98,7 @@ def parse_args():
     parser.add_argument("--texture-column-name", default=None)
     parser.add_argument("--mesh-downsample", type=float, default=1.0)
     parser.add_argument("--screenshot-filename", default=None)
+    parser.add_argument("--export-html", default=None)
     return parser.parse_args()
 
 

@@ -1514,6 +1514,63 @@ class TexturedMesh:
         )
         return top, bottom
 
+    def export_html_viewer(
+        self,
+        path: PATH_TYPE,
+        cameras: typing.Optional[CameraSet] = None,
+        max_faces: int = 400_000,
+        frustum_scale: typing.Optional[float] = None,
+    ) -> None:
+        """Write a self-contained interactive 3D viewer HTML (mesh colored
+        by its texture + camera frustums).
+
+        The headless counterpart of the reference's interactive VTK
+        window (entrypoints/visualize.py:13-90, meshes.py:2054): instead
+        of opening a window on the TPU host, export one WebGL HTML file
+        to open in any browser (see utils/html_viewer.py).
+        """
+        from geograypher_tpu.utils.html_viewer import (
+            export_html_viewer,
+            frustum_lines,
+        )
+
+        mesh = self
+        if self.n_faces > max_faces:
+            mesh = self.downsample(max_faces / self.n_faces)
+        verts = mesh.get_verts_in_local_frame(cameras)
+        tex = mesh.get_texture(
+            request_vertex_texture=False, try_verts_faces_conversion=True
+        )
+        face_values = None
+        if tex is not None:
+            tex = np.asarray(tex)
+            face_values = (
+                np.nanargmax(np.nan_to_num(tex), axis=1).astype(float)
+                if tex.ndim == 2 and tex.shape[1] > 1
+                else tex.reshape(-1)
+            )
+        frustums = None
+        if cameras is not None and len(cameras):
+            span = float(
+                np.abs(verts - verts.mean(axis=0)).max()
+            ) or 1.0
+            scale = frustum_scale or span * 0.08
+            batch = cameras.get_camera_batch()
+            frustums = [
+                frustum_lines(
+                    np.asarray(batch.cam_to_world[i]),
+                    float(batch.f[i]),
+                    batch.image_width,
+                    batch.image_height,
+                    scale=scale,
+                )
+                for i in range(len(cameras))
+            ]
+        export_html_viewer(
+            path, verts, mesh.faces, face_values=face_values,
+            frustums=frustums, title=str(path),
+        )
+
     def save_mesh(self, savepath: PATH_TYPE, write_texture: bool = True):
         from geograypher_tpu.utils.meshio import save_mesh
 

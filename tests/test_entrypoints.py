@@ -170,3 +170,32 @@ def test_render_labels_chunked(survey, tmp_path):
 
     mask = cv2.imread(str(files[0]), cv2.IMREAD_UNCHANGED)
     assert mask is not None and 255 in np.unique(mask)
+
+
+def test_visualize_exports_html_viewer(tmp_path, survey):
+    """The interactive-viewer artifact (headless twin of the reference's
+    VTK window) embeds the mesh buffers and frustum lines."""
+    from geograypher_tpu.entrypoints.visualize import visualize
+
+    out = tmp_path / "viewer.html"
+    visualize(
+        mesh_file=survey["mesh_file"],
+        cameras_file=survey["cameras_file"],
+        image_folder=survey["image_folder"],
+        export_html=out,
+    )
+    text = out.read_text()
+    assert "webgl" in text and "drawArrays" in text
+    import base64 as b64mod
+    import json
+    import re
+
+    m = re.search(r"const MESH = (\{.*?\});", text, re.S)
+    mesh = json.loads(m.group(1))
+    pos = np.frombuffer(
+        b64mod.b64decode(mesh["pos"]), dtype=np.float32
+    ).reshape(-1, 3)
+    assert pos.shape[0] % 3 == 0 and pos.shape[0] > 0
+    assert np.abs(pos).max() <= 1.0 + 1e-5  # normalized frame
+    lines = np.frombuffer(b64mod.b64decode(mesh["lines"]), dtype=np.float32)
+    assert lines.size > 0  # frustums present
