@@ -41,7 +41,8 @@ levels with more digit planes); nothing in this module scatters.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Tuple
+import typing
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -503,17 +504,57 @@ def _stage2_kernel(
     return kernel
 
 
+_ENTRY_SLOTS = 128  # fold entry width: one 128-slot chunk of a tile's row
+
+
+def _chunk_entries(counts: Optional[jax.Array], ids: jax.Array):
+    """Split (T, kp, S) / (T, S) tile rows into 128-slot CHUNK entries.
+
+    Wide slot rows (census-sized caps reach S ~ 768+) made the fold pay
+    the full row area for every window entry, and a tile's whole-row id
+    band can span several face blocks (oblique near-field tiles collect
+    faces from many mesh rows) — measured 110 ms/view at bench scale.
+    Each 128-slot chunk is a contiguous subrange of the tile's SORTED
+    candidate ids, so its band is ~S/128x narrower, empty chunks drop out
+    of the windows entirely, and the per-entry deposit area shrinks to
+    (kp, 128).  Entries stay slot-major, so downstream flattening is
+    unchanged.
+    """
+    t, s = ids.shape
+    if s <= _ENTRY_SLOTS:
+        return counts, ids
+    se = _ENTRY_SLOTS
+    pad = (-s) % se
+    if pad:
+        ids = jnp.pad(ids, ((0, 0), (0, pad)), constant_values=-1)
+        if counts is not None:
+            counts = jnp.pad(counts, ((0, 0), (0, 0), (0, pad)))
+        s += pad
+    nch = s // se
+    ids = ids.reshape(t * nch, se)
+    if counts is not None:
+        kp = counts.shape[1]
+        counts = (
+            counts.reshape(t, kp, nch, se)
+            .transpose(0, 2, 1, 3)
+            .reshape(t * nch, kp, se)
+        )
+    return counts, ids
+
+
 @functools.partial(jax.jit, static_argnames=("n_faces", "block", "w_cap"))
 def fold_window_overflow(
     ids: jax.Array, n_faces: int, block: int = 1024, w_cap: int = 96
 ):
     """(dropped entries, max window) of the face-block fold at ``w_cap``.
 
-    The fold's per-block tile windows are a static capacity, like the
+    The fold's per-block windows are a static capacity, like the
     rasterizer caps: run this once per survey configuration
     (cf. TexturedMesh.check_raster_capacity) and size ``w_cap`` from the
     max (or raise it while entries are dropped).  ``ids`` as passed to
-    :func:`face_counts_from_tiles`."""
+    :func:`face_counts_from_tiles`; windows are counted in the same
+    128-slot chunk entries the fold uses."""
+    _, ids = _chunk_entries(None, ids)
     t = ids.shape[0]
     valid = ids >= 0
     tmin = jnp.min(jnp.where(valid, ids, _BIG), axis=1).astype(jnp.int32)
@@ -550,6 +591,7 @@ def face_counts_from_tiles(
 
     Returns (NB*block, kp) f32 with NB = ceil(n_faces / block).
     """
+    counts, ids = _chunk_entries(counts, ids)
     t, kp, s = counts.shape
     nb = _round_up(n_faces, block) // block
     valid = ids >= 0
