@@ -287,6 +287,7 @@ class _Windows(NamedTuple):
     lo: jax.Array  # (NB,) each block's window start in the sorted order
     win_len: jax.Array  # (NB,)
     overflow: jax.Array  # () tiles dropped by w_cap (0 when sized right)
+    max_len: jax.Array  # () true (unclipped) max window over blocks
 
 
 def _block_windows(
@@ -324,10 +325,15 @@ def _block_windows(
     b0 = jnp.arange(n_blocks, dtype=jnp.int32) * block
     lo = jnp.searchsorted(tmax_sorted, b0, side="left").astype(jnp.int32)
     hi = jnp.searchsorted(mn, b0 + block, side="left").astype(jnp.int32)
-    lens = jnp.clip(hi - lo, 0, w_cap)
-    over = jnp.sum(jnp.maximum(hi - lo - w_cap, 0))
+    raw = jnp.maximum(hi - lo, 0)
+    lens = jnp.minimum(raw, w_cap)
+    over = jnp.sum(raw - lens)
     return _Windows(
-        order=order, lo=lo, win_len=lens, overflow=over.astype(jnp.int32)
+        order=order,
+        lo=lo,
+        win_len=lens,
+        overflow=over.astype(jnp.int32),
+        max_len=jnp.max(raw).astype(jnp.int32),
     )
 
 
@@ -551,7 +557,9 @@ def fold_window_overflow(
     The fold's per-block windows are a static capacity, like the
     rasterizer caps: run this once per survey configuration
     (cf. TexturedMesh.check_raster_capacity) and size ``w_cap`` from the
-    max (or raise it while entries are dropped).  ``ids`` as passed to
+    returned max — it is the TRUE (unclipped) per-block maximum, exact
+    regardless of the probe ``w_cap``, so a single probe sizes the
+    capacity in one shot.  ``ids`` as passed to
     :func:`face_counts_from_tiles`; windows are counted in the same
     128-slot chunk entries the fold uses."""
     _, ids = _chunk_entries(None, ids)
@@ -562,7 +570,7 @@ def fold_window_overflow(
     nb = _round_up(n_faces, block) // block
     w_cap = min(_round_up(max(w_cap, 1), 8), _round_up(max(t, 8), 8))
     win = _block_windows(tmin, tmax, nb, block, w_cap)
-    return win.overflow, jnp.max(win.win_len) + win.overflow
+    return win.overflow, win.max_len
 
 
 @functools.partial(

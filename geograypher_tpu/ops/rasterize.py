@@ -705,11 +705,11 @@ def probe_fold_window(
         distortion=(dist8, pcx, pcy) if use_dist else None,
     )
     binned = bin_triangles(setup, config, image_h, image_w)
-    over, win = fold_window_overflow(
+    _over, win = fold_window_overflow(
         l0_face_ids(binned, config), n_faces=n_faces, w_cap=504,
         block=config.fold_block,
     )
-    return over + win
+    return win  # exact unclipped per-block max (probe cap irrelevant)
 
 
 @functools.partial(

@@ -72,7 +72,6 @@ from geograypher_tpu.ops.rasterize import (
     l0_face_ids,
     rasterize_and_count,
     setup_from_soa,
-    tri_to_soa,
 )
 from geograypher_tpu.parallel.sharding import VIEW_AXIS, make_view_mesh
 
@@ -106,122 +105,51 @@ def _unpack_row(row: jax.Array, use_dist: bool):
     return w2c, f, distortion, row[27]
 
 
-def aggregate_class_images_distributed(
-    mesh,
-    cameras,
-    n_classes: int,
-    class_image_provider: typing.Optional[typing.Callable[[int], np.ndarray]] = None,
-    aggregate_img_scale: float = 1.0,
-    device_mesh: typing.Optional[Mesh] = None,
-    prefetch_workers: int = 4,
-    config: typing.Optional[RasterConfig] = None,
-    apply_distortion: typing.Optional[bool] = None,
-    views_per_step: int = 4,
-    integrity_check: bool = True,
-    auto_size_fold: bool = True,
+# ---------------------------------------------------------------------------
+# Program builders.  jax.jit caches per wrapped-function OBJECT, so programs
+# must be built once per static configuration and reused across
+# ``aggregate_class_images_distributed`` calls — a fresh closure per call
+# recompiles the full multi-view 4K program every time (minutes through this
+# environment's remote compiler; the round-2 pipeline lost ~30x to exactly
+# this).  All static context rides in the hashable cache key.
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=32)
+def _build_probe_windows(
+    config: RasterConfig, use_dist: bool, n_probe: int, w: int, h: int,
+    n_faces: int, fold_block: int,
 ):
-    """Aggregate per-view class images onto mesh faces across all devices.
+    @jax.jit
+    def probe_windows(tri_soa, params_probe):
+        from geograypher_tpu.ops.agg_tiled import fold_window_overflow
 
-    Args:
-        mesh: TexturedMesh.
-        cameras: CameraSet (or SegmentorCameraSet).
-        n_classes: number of classes in the label images.
-        class_image_provider: ``f(view_index) -> (H, W)`` integer class
-            image (negative/255 = unlabeled).  Defaults to argmaxing
-            ``cameras.get_image_by_index`` (segmentor one-hots).
-        aggregate_img_scale: label/raster scale fraction.
-        device_mesh: jax device mesh (defaults to all devices).
-        apply_distortion: None (default) rasterizes each view directly in
-            the sensor's distorted pixel space whenever the sensor is
-            calibrated with distortion (reference behavior:
-            meshes.py:1805-1821, via NN remap there); False disables.
-        views_per_step: views processed per device per jitted step.
-        integrity_check: verify the grouped program against the
-            standalone single-view fused program at warmup, and fail on
-            fold-window overflow (see module docstring).  Disable only
-            for micro-benchmarks of known-good configurations.
-        auto_size_fold: size the fold-window capacity from a probe of the
-            first step's views (default).  When False, ``config.fold_w_cap``
-            is used as-is — the in-step overflow guard still fails loudly
-            if it is undersized.
+        worst = jnp.zeros((), jnp.int32)
+        for k in range(n_probe):
+            w2c_k, f_k, dist_k, _ = _unpack_row(params_probe[k], use_dist)
+            setup = setup_from_soa(
+                tri_soa, w2c_k, f_k, w, h, config.znear, distortion=dist_k
+            )
+            binned = bin_triangles(setup, config, h, w)
+            _over_k, win_k = fold_window_overflow(
+                l0_face_ids(binned, config), n_faces=n_faces,
+                w_cap=504, block=fold_block,
+            )
+            worst = jnp.maximum(worst, win_k)
+        return worst
 
-    Returns (fraction_sums (F, n_classes), view_counts (F,)) as numpy
-    arrays: ``fraction_sums`` is the sum over views of each view's
-    per-face class fraction; the cross-view average is
-    ``fraction_sums / view_counts`` (NaN where ``view_counts == 0``),
-    identical to ``TexturedMesh.aggregate_projected_images``.
-    """
-    if device_mesh is None:
-        device_mesh = make_view_mesh()
-    n_dev = device_mesh.devices.size
-    group = max(1, int(views_per_step))
-    config = config or mesh.raster_config
-    n_faces = mesh.n_faces
+    return probe_windows
+
+
+@functools.lru_cache(maxsize=32)
+def _build_device_step(
+    device_mesh: Mesh, config: RasterConfig, use_dist: bool, fused: bool,
+    group: int, w: int, h: int, n_faces: int, n_classes: int,
+):
+    """The jitted per-step program (``config.fold_w_cap`` is the auto-sized
+    fold-window capacity; part of the cache key via ``config``)."""
     fold_block = config.fold_block
-    tri_soa = jnp.asarray(tri_to_soa(mesh.get_tri_verts_device(cameras)))
-    batch = cameras.get_camera_batch(image_scale=aggregate_img_scale)
-    h, w = batch.image_height, batch.image_width
-
-    if class_image_provider is None:
-
-        def class_image_provider(i: int) -> np.ndarray:
-            img = np.asarray(cameras.get_image_by_index(i, aggregate_img_scale))
-            if img.ndim == 3:
-                finite = np.isfinite(img).all(axis=-1)
-                cls = np.argmax(np.nan_to_num(img), axis=-1)
-                return np.where(finite, cls, -1).astype(np.int32)
-            return np.nan_to_num(img, nan=-1).astype(np.int32)
-
-    sharding = NamedSharding(device_mesh, P(VIEW_AXIS))
-    replicated = NamedSharding(device_mesh, P())
-
-    use_dist = bool(
-        (apply_distortion is None or apply_distortion)
-        and (
-            np.any(np.asarray(batch.distortion))
-            or np.any(np.asarray(batch.cx))
-            or np.any(np.asarray(batch.cy))
-        )
-    )
-    fused = config.backend == "pallas"
-
-    n = len(cameras)
-    step_views = n_dev * group
-    n_pad = -(-n // step_views) * step_views
-    order = list(range(n)) + [0] * (n_pad - n)
-    valid = np.array([1.0] * n + [0.0] * (n_pad - n), np.float32)
-    params = _pack_params(batch, np.ones(n, np.float32))[order]
-    params[:, _PROW - 1] = valid
-
-    # -- auto-size the fold's static window capacity --------------------------
-    # Probe the first step's views for the worst per-block tile-window
-    # demand; later views are re-measured inside every step and overflow
-    # the run loudly (never silently dropping counts).
     w_cap = config.fold_w_cap
-    if fused and auto_size_fold:
-        n_probe = min(n, step_views)
-
-        @jax.jit
-        def probe_windows(tri_soa, params_probe):
-            from geograypher_tpu.ops.agg_tiled import fold_window_overflow
-
-            worst = jnp.zeros((), jnp.int32)
-            for k in range(n_probe):
-                w2c_k, f_k, dist_k, _ = _unpack_row(params_probe[k], use_dist)
-                setup = setup_from_soa(
-                    tri_soa, w2c_k, f_k, w, h, config.znear, distortion=dist_k
-                )
-                binned = bin_triangles(setup, config, h, w)
-                over_k, win_k = fold_window_overflow(
-                    l0_face_ids(binned, config), n_faces=n_faces,
-                    w_cap=504, block=fold_block,
-                )
-                worst = jnp.maximum(worst, win_k + over_k)
-            return worst
-
-        max_win = int(np.asarray(probe_windows(tri_soa, params[:n_probe])))
-        w_cap = 8 * ((max_win * 3 // 2 + 7) // 8)  # 1.5x margin
-        config = dataclasses.replace(config, fold_w_cap=w_cap)
 
     def count_one_view(setup, binned, cls_img):
         """(F, C) counts for one prepared view, sharing its binning."""
@@ -286,7 +214,8 @@ def aggregate_class_images_distributed(
                         w_cap=w_cap, block=fold_block,
                     )
                     over = jnp.maximum(
-                        over, (over_k * valid_k.astype(jnp.int32)).astype(jnp.int32)
+                        over,
+                        (over_k * valid_k.astype(jnp.int32)).astype(jnp.int32),
                     )
                 face_total = jnp.sum(counts, axis=1)
                 seen = (face_total > 0).astype(jnp.float32)
@@ -309,6 +238,137 @@ def aggregate_class_images_distributed(
             out_specs=(P(), P(), P(), P()),
             check_vma=False,
         )(tri_soa, params_shard, imgs_shard, acc_fracs, acc_views)
+
+    return device_step
+
+
+@functools.lru_cache(maxsize=32)
+def _build_one_view_counts(
+    config: RasterConfig, use_dist: bool, w: int, h: int, n_faces: int,
+    n_classes: int,
+):
+    @jax.jit
+    def one_view_counts(tri_soa, row, img):
+        w2c_k, f_k, dist_k, _ = _unpack_row(row, use_dist)
+        setup = setup_from_soa(
+            tri_soa, w2c_k, f_k, w, h, config.znear, distortion=dist_k
+        )
+        return jnp.sum(
+            rasterize_and_count(
+                setup, img.astype(jnp.int32), config, h, w,
+                n_faces, n_classes,
+            )
+        )
+
+    return one_view_counts
+
+
+def aggregate_class_images_distributed(
+    mesh,
+    cameras,
+    n_classes: int,
+    class_image_provider: typing.Optional[typing.Callable[[int], np.ndarray]] = None,
+    aggregate_img_scale: float = 1.0,
+    device_mesh: typing.Optional[Mesh] = None,
+    prefetch_workers: int = 4,
+    config: typing.Optional[RasterConfig] = None,
+    apply_distortion: typing.Optional[bool] = None,
+    views_per_step: int = 4,
+    integrity_check: bool = True,
+    auto_size_fold: bool = True,
+):
+    """Aggregate per-view class images onto mesh faces across all devices.
+
+    Args:
+        mesh: TexturedMesh.
+        cameras: CameraSet (or SegmentorCameraSet).
+        n_classes: number of classes in the label images.
+        class_image_provider: ``f(view_index) -> (H, W)`` integer class
+            image (negative/255 = unlabeled).  Defaults to argmaxing
+            ``cameras.get_image_by_index`` (segmentor one-hots).
+        aggregate_img_scale: label/raster scale fraction.
+        device_mesh: jax device mesh (defaults to all devices).
+        apply_distortion: None (default) rasterizes each view directly in
+            the sensor's distorted pixel space whenever the sensor is
+            calibrated with distortion (reference behavior:
+            meshes.py:1805-1821, via NN remap there); False disables.
+        views_per_step: views processed per device per jitted step.
+        integrity_check: verify the grouped program against the
+            standalone single-view fused program at warmup, and fail on
+            fold-window overflow (see module docstring).  Disable only
+            for micro-benchmarks of known-good configurations.
+        auto_size_fold: size the fold-window capacity from a probe of the
+            first step's views (default).  When False, ``config.fold_w_cap``
+            is used as-is — the in-step overflow guard still fails loudly
+            if it is undersized.
+
+    Returns (fraction_sums (F, n_classes), view_counts (F,)) as numpy
+    arrays: ``fraction_sums`` is the sum over views of each view's
+    per-face class fraction; the cross-view average is
+    ``fraction_sums / view_counts`` (NaN where ``view_counts == 0``),
+    identical to ``TexturedMesh.aggregate_projected_images``.
+    """
+    if device_mesh is None:
+        device_mesh = make_view_mesh()
+    n_dev = device_mesh.devices.size
+    group = max(1, int(views_per_step))
+    config = config or mesh.raster_config
+    n_faces = mesh.n_faces
+    fold_block = config.fold_block
+    # device-resident (9, F) SOA, cached on the mesh (re-transferring the
+    # ~36 MB mesh per call costs ~1 s through the dev tunnel alone)
+    tri_soa = mesh._tri_soa_device(cameras)
+    batch = cameras.get_camera_batch(image_scale=aggregate_img_scale)
+    h, w = batch.image_height, batch.image_width
+
+    if class_image_provider is None:
+
+        def class_image_provider(i: int) -> np.ndarray:
+            img = np.asarray(cameras.get_image_by_index(i, aggregate_img_scale))
+            if img.ndim == 3:
+                finite = np.isfinite(img).all(axis=-1)
+                cls = np.argmax(np.nan_to_num(img), axis=-1)
+                return np.where(finite, cls, -1).astype(np.int32)
+            return np.nan_to_num(img, nan=-1).astype(np.int32)
+
+    sharding = NamedSharding(device_mesh, P(VIEW_AXIS))
+    replicated = NamedSharding(device_mesh, P())
+
+    use_dist = bool(
+        (apply_distortion is None or apply_distortion)
+        and (
+            np.any(np.asarray(batch.distortion))
+            or np.any(np.asarray(batch.cx))
+            or np.any(np.asarray(batch.cy))
+        )
+    )
+    fused = config.backend == "pallas"
+
+    n = len(cameras)
+    step_views = n_dev * group
+    n_pad = -(-n // step_views) * step_views
+    order = list(range(n)) + [0] * (n_pad - n)
+    valid = np.array([1.0] * n + [0.0] * (n_pad - n), np.float32)
+    params = _pack_params(batch, np.ones(n, np.float32))[order]
+    params[:, _PROW - 1] = valid
+
+    # -- auto-size the fold's static window capacity --------------------------
+    # Probe the first step's views for the worst per-block tile-window
+    # demand; later views are re-measured inside every step and overflow
+    # the run loudly (never silently dropping counts).
+    w_cap = config.fold_w_cap
+    if fused and auto_size_fold:
+        n_probe = min(n, step_views)
+        probe_windows = _build_probe_windows(
+            config, use_dist, n_probe, w, h, n_faces, fold_block
+        )
+        max_win = int(np.asarray(probe_windows(tri_soa, params[:n_probe])))
+        w_cap = 8 * ((max_win * 3 // 2 + 7) // 8)  # 1.5x margin
+        config = dataclasses.replace(config, fold_w_cap=w_cap)
+
+    device_step = _build_device_step(
+        device_mesh, config, use_dist, fused, group, w, h, n_faces, n_classes
+    )
 
     img_dtype = np.int8 if n_classes < 128 else np.int32
 
@@ -393,20 +453,9 @@ def _check_first_step(
     total to cover it.  A grouped program that compiled into a corrupting
     structure returns (near-)zero counts and fails here instead of
     returning wrong labels."""
-
-    @jax.jit
-    def one_view_counts(tri_soa, row, img):
-        w2c_k, f_k, dist_k, _ = _unpack_row(row, use_dist)
-        setup = setup_from_soa(
-            tri_soa, w2c_k, f_k, w, h, config.znear, distortion=dist_k
-        )
-        return jnp.sum(
-            rasterize_and_count(
-                setup, img.astype(jnp.int32), config, h, w,
-                n_faces, n_classes,
-            )
-        )
-
+    one_view_counts = _build_one_view_counts(
+        config, use_dist, w, h, n_faces, n_classes
+    )
     got = float(np.asarray(group_csum))
     for k in range(step_views):
         if params[k, _PROW - 1] == 0:

@@ -194,7 +194,14 @@ def test_pipeline_warmup_guard_detects_corruption(monkeypatch):
         return rasterize_and_count(*args, **kwargs) * 10.0
 
     monkeypatch.setattr(pipeline_mod, "rasterize_and_count", inflated)
-    with pytest.raises(RuntimeError, match="integrity check failed"):
-        pipeline_mod.aggregate_class_images_distributed(
-            mesh, seg_cams, n_classes=3
-        )
+    # the jitted single-view program is built once per static config and
+    # cached; drop it so the patched reference is traced
+    pipeline_mod._build_one_view_counts.cache_clear()
+    try:
+        with pytest.raises(RuntimeError, match="integrity check failed"):
+            pipeline_mod.aggregate_class_images_distributed(
+                mesh, seg_cams, n_classes=3
+            )
+    finally:
+        # don't leak the inflated traced program to later tests
+        pipeline_mod._build_one_view_counts.cache_clear()
