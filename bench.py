@@ -261,6 +261,16 @@ def main():
             break
         except RuntimeError as e:
             print(f"group={g}: {e}; retrying smaller", file=sys.stderr)
+            # drop every reference to the failed attempt's device buffers
+            # (incl. the exception traceback) before trying the next
+            # size — OOM-failed dispatches otherwise pin HBM and cascade
+            # smaller groups into spurious RESOURCE_EXHAUSTED
+            import gc
+
+            e = None
+            acc = None
+            candidate = None
+            gc.collect()
     if group_step is None:
         raise RuntimeError("all group sizes produced corrupted output")
     warm_sum = float(np.asarray(jnp.sum(acc)))

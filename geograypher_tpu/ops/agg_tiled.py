@@ -404,14 +404,16 @@ def _stage2_kernel(
 
         def dmas(w8):
             slot = jax.lax.rem(w8, ring)
-            lane0 = (lo_b + w8 * kb) * s
+            row0 = lo_b + w8 * kb
             return (
+                # counts are chunk-major (E, kp, 128) entry ROWS: one
+                # contiguous kb-row block per batch, no relayout anywhere
                 pltpu.make_async_copy(
-                    cnt_hbm.at[:, pl.ds(lane0, sb)], cnt_buf.at[slot],
+                    cnt_hbm.at[pl.ds(row0, kb)], cnt_buf.at[slot],
                     sems.at[slot, 0],
                 ),
                 pltpu.make_async_copy(
-                    ids_hbm.at[:, pl.ds(lane0, sb)], ids_buf.at[slot],
+                    ids_hbm.at[:, pl.ds(row0 * s, sb)], ids_buf.at[slot],
                     sems.at[slot, 1],
                 ),
             )
@@ -439,7 +441,9 @@ def _stage2_kernel(
             r_row = jnp.where(relm >= 0, relm & 127, 0)
             oh_q = (iota_q == q_row).astype(jnp.bfloat16)  # (nq, sb)
             # r as an exact column via a tiny digit dot (r <= 127 is
-            # bf16-exact), then the r one-hot
+            # bf16-exact), then the r one-hot: (sb, 128) block-diagonal
+            # over the kb entries (entry e's rows only match its own
+            # 128-lane segment of cq below)
             r_col = jax.lax.dot_general(
                 r_row.astype(jnp.bfloat16), onesk,
                 (((0,), (0,)), ((), ())),
@@ -449,7 +453,16 @@ def _stage2_kernel(
                 jnp.bfloat16
             )  # (sb, 128)
 
-            cnt = cnt_buf[slot]  # (kp, sb) f32
+            # per-entry (kp, 128) count rows -> (kp, sb) with entry e on
+            # lanes [e*128, (e+1)*128): a lane-concat of sublane slices,
+            # no transposes
+            cnt = jnp.concatenate(
+                [
+                    cnt_buf[slot, e].astype(jnp.float32)
+                    for e in range(kb)
+                ],
+                axis=1,
+            )  # (kp, sb)
             parts = []
             c = cnt
             for j in range(planes):
@@ -523,12 +536,16 @@ def _chunk_entries(counts: Optional[jax.Array], ids: jax.Array):
     Each 128-slot chunk is a contiguous subrange of the tile's SORTED
     candidate ids, so its band is ~S/128x narrower, empty chunks drop out
     of the windows entirely, and the per-entry deposit area shrinks to
-    (kp, 128).  Entries stay slot-major, so downstream flattening is
-    unchanged.
+    (kp, 128).  Entries come out as (E, kp, 128) / (E, 128) — the
+    layout the stage-2 kernel DMAs directly.
+
+    This is the LEGACY/test adapter: the slot-major (T, kp, S) form
+    needs a full-stack (kp, nch) relayout transpose, which at grouped 4K
+    scale materializes multi-GB copies.  The production raster kernel
+    emits counts ALREADY chunk-major (see pallas_raster: om is
+    (ty, tx, nch, kp, 128)), so ``_per_level_entries`` bypasses this.
     """
     t, s = ids.shape
-    if s <= _ENTRY_SLOTS:
-        return counts, ids
     se = _ENTRY_SLOTS
     pad = (-s) % se
     if pad:
@@ -540,12 +557,26 @@ def _chunk_entries(counts: Optional[jax.Array], ids: jax.Array):
     ids = ids.reshape(t * nch, se)
     if counts is not None:
         kp = counts.shape[1]
-        counts = (
-            counts.reshape(t, kp, nch, se)
-            .transpose(0, 2, 1, 3)
-            .reshape(t * nch, kp, se)
-        )
+        if nch == 1:
+            counts = counts.reshape(t, kp, se)
+        else:
+            counts = (
+                counts.reshape(t, kp, nch, se)
+                .transpose(0, 2, 1, 3)
+                .reshape(t * nch, kp, se)
+            )
     return counts, ids
+
+
+def _chunk_ids(ids: jax.Array, nch: int) -> jax.Array:
+    """(T, S) slot-row face ids -> (T*nch, 128) chunk-entry ids."""
+    t, s = ids.shape
+    se = _ENTRY_SLOTS
+    if s != nch * se:
+        ids = jnp.pad(
+            ids, ((0, 0), (0, nch * se - s)), constant_values=-1
+        )
+    return ids.reshape(t * nch, se)
 
 
 @functools.partial(jax.jit, static_argnames=("n_faces", "block", "w_cap"))
@@ -599,7 +630,8 @@ def face_counts_from_tiles(
 
     Returns (NB*block, kp) f32 with NB = ceil(n_faces / block).
     """
-    counts, ids = _chunk_entries(counts, ids)
+    if counts.shape[-1] != _ENTRY_SLOTS or counts.shape[-1] != ids.shape[-1]:
+        counts, ids = _chunk_entries(counts, ids)  # legacy slot-major form
     t, kp, s = counts.shape
     nb = _round_up(n_faces, block) // block
     valid = ids >= 0
@@ -609,18 +641,19 @@ def face_counts_from_tiles(
     win = _block_windows(tmin, tmax, nb, block, w_cap)
     kb = _stage2_batch_entries(block, kp, s, planes)
     # permute entries into the sorted window order (block windows become
-    # contiguous LANE ranges of slot-major flats: one sequential batched
-    # DMA per kb entries, unconditionally radix-deposited) and pad so
-    # the last batch of the largest window never reads OOB — padding
-    # holds empty ids, which match nothing
+    # contiguous ENTRY-ROW ranges: one sequential (kb, kp, 128) block DMA
+    # per kb entries, unconditionally radix-deposited) and pad so the
+    # last batch of the largest window never reads OOB — padding holds
+    # empty ids, which match nothing.  Entries are chunk-major rows, so
+    # the permutation is a contiguous axis-0 row gather and NO transpose
+    # ever touches the count stack (the old slot-major flat relayouted
+    # the whole multi-GB group stack).
     pad_n = _round_up(w_cap, kb) + kb
     counts = jnp.pad(counts[win.order], ((0, pad_n), (0, 0), (0, 0)))
     ids = jnp.pad(
         ids[win.order], ((0, pad_n), (0, 0)), constant_values=-1
     )
     tp = t + pad_n
-    # (T, kp, s) -> (kp, T*s): slots of consecutive entries on LANES
-    counts = counts.transpose(1, 0, 2).reshape(kp, tp * s)
     ids = ids.reshape(1, tp * s)
 
     kernel = _stage2_kernel(block, kp, s, w_cap, planes, kb=kb)
@@ -635,7 +668,7 @@ def face_counts_from_tiles(
             (1, block, kp), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((_RING, kp, kb * s), jnp.float32),
+            pltpu.VMEM((_RING, kb, kp, s), counts.dtype),
             pltpu.VMEM((_RING, 1, kb * s), jnp.int32),
             pltpu.VMEM((planes * (block // 128) * kp, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((_RING, 2)),
@@ -660,25 +693,30 @@ def face_counts_from_tiles(
 
 
 def _child_sum(level_counts: jax.Array, scale_y: int, scale_x: int):
-    """(ny, nx, kp, s) -> (ny/scale_y, nx/scale_x, kp, s) by summation."""
-    ny, nx, kp, s = level_counts.shape
+    """(ny, nx, ...) -> (ny/scale_y, nx/scale_x, ...) by summation."""
+    ny, nx = level_counts.shape[:2]
+    tail = level_counts.shape[2:]
     return level_counts.reshape(
-        ny // scale_y, scale_y, nx // scale_x, scale_x, kp, s
+        (ny // scale_y, scale_y, nx // scale_x, scale_x) + tail
     ).sum(axis=(1, 3))
 
 
 def _per_level_entries(outs, binned, config, image_h, image_w):
-    """One view's per-level (counts (T_l, kp, S_l), ids (T_l, S_l),
-    digit_planes) triples.
+    """One view's per-level (counts, ids, digit_planes) fold entries.
 
     Two input forms:
-    * fused raster kernel: ``outs = (om, cand2m)`` — one merged
-      (ty, tx, kp, sum(caps)) count array with columns
-      [L0 | L1 | L2+global] and the merged L2+global candidate lists
-      (three levels; the global list was folded into L2 by
-      raster_tiles_pallas).
+    * fused raster kernel: ``outs = (om, cand2m)`` — ONE merged
+      CHUNK-MAJOR count array (ty, tx, nch_tot, kp, 128) whose chunk
+      axis is [L0 chunks | L1 chunks | L2+global chunks] (the global
+      list was folded into L2 by raster_tiles_pallas), plus the merged
+      L2+global candidate lists.  Entries come out pre-chunked as
+      (E, kp, 128) / (E, 128) via PURE reshapes — the earlier
+      slot-major layout needed full-stack relayout transposes that
+      materialized multi-GB copies at grouped 4K scale (the round-3
+      group-20 OOM).
     * stage-1 kernel (tile_class_counts): ``outs = (o0, o1, o2, o3)``
-      per-level arrays (four levels).
+      slot-major per-level arrays (four levels; converted by the legacy
+      ``_chunk_entries`` adapter inside face_counts_from_tiles).
 
     Count arrays may arrive on ANY L0-grid padding — extra tiles beyond
     the true grid must be all-zero.  Ancestor levels are child-summed
@@ -693,13 +731,18 @@ def _per_level_entries(outs, binned, config, image_h, image_w):
     # count-array columns and candidate ids are FACE slots: bin_block
     # packs bb faces per binned unit, so capacities scale by bb
     cap0f, cap1f = config.caps[0] * bb, config.caps[1] * bb
+    se = _ENTRY_SLOTS
     merged = len(outs) == 2
     if merged:
         om, cand2m = outs
-        kp = om.shape[2]
-        o0 = om[..., :cap0f]
-        o1 = om[..., cap0f:cap0f + cap1f]
-        o2 = om[..., cap0f + cap1f:]
+        kp = om.shape[3]
+        nch0 = -(-cap0f // se)
+        nch1 = -(-cap1f // se)
+        o0 = om[:, :, :nch0]
+        o1 = om[:, :, nch0:nch0 + nch1]
+        o2 = om[:, :, nch0 + nch1:]
+        nch2 = o2.shape[2]
+        grid_tail = 3  # trailing non-grid dims of o_l
         levels3 = True
     else:
         if bb != 1:
@@ -709,6 +752,7 @@ def _per_level_entries(outs, binned, config, image_h, image_w):
             )
         o0, o1, o2, o3 = outs
         kp = o0.shape[2]
+        grid_tail = 2
         levels3 = False
     # grid covering both the L1-aligned grid and the rasterizer's
     # pair-padded grid (pair can exceed s1, e.g. 8 tiles/step vs scale 4),
@@ -721,11 +765,11 @@ def _per_level_entries(outs, binned, config, image_h, image_w):
         if ty == nty0g and tx == ntx0g:
             return o  # already aligned (the rasterizer pads its grid)
         return jnp.pad(
-            o, ((0, nty0g - ty), (0, ntx0g - tx), (0, 0), (0, 0))
+            o,
+            ((0, nty0g - ty), (0, ntx0g - tx)) + ((0, 0),) * grid_tail,
         )
 
-    c0 = pad_grid(o0).reshape(nty0g * ntx0g, kp, cap0f)
-    ids0 = expand_block_ids(
+    ids0_rows = expand_block_ids(
         jnp.pad(
             binned.cand[0].reshape(grids[0][0], grids[0][1], -1),
             (
@@ -737,14 +781,38 @@ def _per_level_entries(outs, binned, config, image_h, image_w):
         ).reshape(nty0g * ntx0g, -1),
         bb,
     )
+    ids1_rows = expand_block_ids(
+        binned.cand[1].reshape(nty1 * ntx1, -1), bb
+    )
 
-    # parent columns beyond the true L1 grid (possible when the pair
-    # padding exceeds s1) hold only padded tiles' all-zero counts
+    if merged:
+        c0 = pad_grid(o0).reshape(nty0g * ntx0g * nch0, kp, se)
+        ids0 = _chunk_ids(ids0_rows, nch0)
+        # parent columns beyond the true L1 grid (possible when the pair
+        # padding exceeds s1) hold only padded tiles' all-zero counts
+        c1 = _child_sum(pad_grid(o1), s1_sc, s1_sc)[
+            :nty1, :ntx1
+        ].reshape(nty1 * ntx1 * nch1, kp, se)
+        ids1 = _chunk_ids(ids1_rows, nch1)
+        c2 = jnp.pad(
+            pad_grid(o2),
+            (
+                (0, nty2 * s2_sc - nty0g),
+                (0, ntx2 * s2_sc - ntx0g),
+            )
+            + ((0, 0),) * grid_tail,
+        )
+        c2 = _child_sum(c2, s2_sc, s2_sc).reshape(
+            nty2 * ntx2 * nch2, kp, se
+        )
+        ids2 = _chunk_ids(cand2m.reshape(nty2 * ntx2, -1), nch2)
+        # merged L2+global slot counts can reach the whole image's pixels
+        return [(c0, ids0, 2), (c1, ids1, 2), (c2, ids2, 4)]
+
+    c0 = pad_grid(o0).reshape(nty0g * ntx0g, kp, cap0f)
     c1 = _child_sum(pad_grid(o1), s1_sc, s1_sc)[:nty1, :ntx1].reshape(
         nty1 * ntx1, kp, cap1f
     )
-    ids1 = expand_block_ids(binned.cand[1].reshape(nty1 * ntx1, -1), bb)
-
     c2 = jnp.pad(
         pad_grid(o2),
         (
@@ -756,16 +824,13 @@ def _per_level_entries(outs, binned, config, image_h, image_w):
     )
     s2_slots = o2.shape[3]
     c2 = _child_sum(c2, s2_sc, s2_sc).reshape(nty2 * ntx2, kp, s2_slots)
-    if levels3:
-        ids2 = cand2m.reshape(nty2 * ntx2, -1)
-        # merged L2+global slot counts can reach the whole image's pixels
-        return [(c0, ids0, 2), (c1, ids1, 2), (c2, ids2, 4)]
     ids2 = binned.cand[2].reshape(nty2 * ntx2, -1)
 
     c3 = o3.sum(axis=(0, 1)).reshape(1, kp, config.caps[3])
     ids3 = binned.cand[3].reshape(1, -1)
     return [
-        (c0, ids0, 2), (c1, ids1, 2), (c2, ids2, 3), (c3, ids3, 4)
+        (c0, ids0_rows, 2), (c1, ids1_rows, 2), (c2, ids2, 3),
+        (c3, ids3, 4),
     ]
 
 

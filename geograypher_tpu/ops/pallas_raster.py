@@ -355,22 +355,28 @@ def _make_kernel(
             for k, s in enumerate(subs):
                 carries[s] = res[k]
 
-        capsum = sum(caps[:3]) if caps else 0
         if kp:
-            om_ref[...] = jnp.zeros((1, pair, kp, capsum), jnp.float32)
+            nch = tuple(-(-c // CHUNK) for c in caps)
+            nch_tot = sum(nch)
+            om_ref[...] = jnp.zeros(
+                (1, pair, nch_tot, kp, CHUNK), jnp.float32
+            )
             cls_iota = jax.lax.broadcasted_iota(jnp.int32, (kp, npix), 0)
             # exact lane->sublane transpose weights for the winner column
             w3 = jnp.ones((3, 1), jnp.bfloat16)
 
-        def match_ids(ids_row, best_col, onehot, sub, col0, wdt):
+        def match_ids(ids_row, best_col, onehot, sub, ch, wdt):
             """(1, CHUNK) exact-integer candidate ids vs the (npix, 1)
-            winner column: one broadcast equality + one one-hot matmul."""
+            winner column: one broadcast equality + one one-hot matmul.
+            Counts land in om's CHUNK-MAJOR layout (chunk ``ch``, lanes
+            [0, wdt)) — the fold consumes (kp, 128) chunk entries with
+            pure reshapes, no relayout (see agg_tiled)."""
             m = (best_col == ids_row).astype(jnp.bfloat16)  # (npix, CHUNK)
             cnts = jax.lax.dot_general(
                 onehot, m, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # (kp, CHUNK)
-            om_ref[0, sub, :, col0:col0 + wdt] = cnts[:, :wdt]
+            om_ref[0, sub, ch, :, :wdt] = cnts[:, :wdt]
 
         for sub in range(pair):
             tx = txp * pair + sub
@@ -429,7 +435,7 @@ def _make_kernel(
                 # L0: ids from the slab's digit block rows; chunks are
                 # statically unrolled (caps small), empties skipped
                 cnt0 = c0[l0_tile_ids[sub]]
-                for ci in range(-(-caps[0] // CHUNK)):
+                for ci in range(nch[0]):
                     wdt = min(CHUNK, caps[0] - ci * CHUNK)
 
                     @pl.when(ci * CHUNK < cnt0)
@@ -444,27 +450,26 @@ def _make_kernel(
                             + 65536.0 * dig[2:3]
                         )
                         match_ids(
-                            ids_row, best_col, onehot, sub,
-                            ci * CHUNK, wdt,
+                            ids_row, best_col, onehot, sub, ci, wdt
                         )
 
                 # ancestors: ids ride the f32 id plane (c row of block 4);
-                # output columns continue after the L0 caps in the merged
-                # count array
-                for read, cnt, base, cap in (
-                    (read1, c1[c1_idx], caps[0], caps[1]),
-                    (read2, c2[c2_idx], caps[0] + caps[1], caps[2]),
+                # output chunks continue after the L0 chunks in the
+                # merged count array
+                for read, cnt, ch_base, lvl in (
+                    (read1, c1[c1_idx], nch[0], 1),
+                    (read2, c2[c2_idx], nch[0] + nch[1], 2),
                 ):
-                    for ci in range(-(-cap // CHUNK)):
-                        wdt = min(CHUNK, cap - ci * CHUNK)
+                    for ci in range(nch[lvl]):
+                        wdt = min(CHUNK, caps[lvl] - ci * CHUNK)
 
                         @pl.when(ci * CHUNK < cnt)
-                        def _(ci=ci, wdt=wdt, read=read, base=base):
+                        def _(ci=ci, wdt=wdt, read=read, ch_base=ch_base):
                             block = read(ci * 5 * CHUNK)
                             ids_row = block[2:3, 4 * CHUNK:5 * CHUNK]
                             match_ids(
                                 ids_row, best_col, onehot, sub,
-                                base + ci * CHUNK, wdt,
+                                ch_base + ci, wdt,
                             )
 
     return kernel
@@ -656,14 +661,24 @@ def raster_tiles_pallas(
                 memory_space=pltpu.VMEM,
             )
         ]
-        capsum = (config.caps[0] + config.caps[1] + cap2 + cap3) * bb
+        # CHUNK-MAJOR merged counts: (ty, tx, chunk, kp, 128) with the
+        # chunk axis [L0 | L1 | L2+global] — (kp, 128) minor tiles are
+        # exactly the fold's entry shape, so the whole fold prep is pure
+        # reshapes (the old (ty, tx, kp, capsum) slot-major layout cost
+        # two full-stack relayout copies per group)
+        nch_tot = sum(
+            -(-c * bb // CHUNK)
+            for c in (config.caps[0], config.caps[1], cap2 + cap3)
+        )
         extra_out_shapes.append(
-            jax.ShapeDtypeStruct((nty0p, ntx0p, kp, capsum), jnp.float32)
+            jax.ShapeDtypeStruct(
+                (nty0p, ntx0p, nch_tot, kp, CHUNK), jnp.float32
+            )
         )
         extra_out_specs.append(
             pl.BlockSpec(
-                (1, pair, kp, capsum),
-                lambda i, j, *_: (i, j, 0, 0),
+                (1, pair, nch_tot, kp, CHUNK),
+                lambda i, j, *_: (i, j, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             )
         )
