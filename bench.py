@@ -27,6 +27,7 @@ def main():
     import jax.numpy as jnp
 
     from geograypher_tpu.ops.agg_tiled import (
+        entry_occupancy,
         fold_tile_counts_grouped,
         fold_window_overflow,
     )
@@ -186,13 +187,15 @@ def main():
             l0_face_ids(binned, config), n_faces=n_faces, w_cap=504,
             block=4096,
         )
-        return over, win, binned.overflow
+        return over, win, binned.overflow, entry_occupancy(
+            binned, config, H, W
+        )
 
     max_win = 0
+    worst_entries = np.zeros(3, np.int64)
     for k in range(n_views):
-        _over, win, bin_over = (
-            int(np.asarray(x)) for x in window_stats(tri, w2c[k], fl[k])
-        )
+        _over, win, bin_over, occ = window_stats(tri, w2c[k], fl[k])
+        win, bin_over = int(np.asarray(win)), int(np.asarray(bin_over))
         if bin_over:
             raise RuntimeError(
                 f"view {k}: rasterizer cap overflow ({bin_over} candidates "
@@ -201,6 +204,18 @@ def main():
         # win is the EXACT per-block max window for this view (the probe
         # w_cap does not clip it); the grouped fold sizes from the worst
         max_win = max(max_win, win)
+        worst_entries = np.maximum(worst_entries, np.asarray(occ))
+    # per-view nonempty chunk-entry caps (1.25x margin): compacting each
+    # view's fold entries to its occupied chunks right after the raster
+    # keeps the dense census-cap count buffers from staying live across
+    # the whole group (they are ~5x occupancy and OOMed group-20)
+    entry_caps = tuple(
+        int(8 * (-(-int(n * 5 // 4) // 8))) for n in worst_entries
+    )
+    print(f"entry caps (128-slot chunks/view): {entry_caps}", file=sys.stderr)
+    import dataclasses
+
+    config = dataclasses.replace(config, entry_caps=entry_caps)
 
     # One jit program per GROUP of views, chained on a device-resident
     # accumulator.  Large many-chain programs trigger the runtime's
@@ -223,20 +238,29 @@ def main():
                     n_classes=n_classes, return_pix2face=False,
                 )
                 views.append((outs, binned))
-            return acc + fold_tile_counts_grouped(
+            counts, over = fold_tile_counts_grouped(
                 views, config, H, W, n_faces, n_classes,
                 w_cap=8 * ((g * max_win * 5 // 4 + 7) // 8), block=4096,
+                return_overflow=True,
             )
+            return acc + counts, over
 
         return group_step
 
     def run_all(group_step, g, warm_check=False):
         acc = jnp.zeros((n_faces, n_classes), jnp.float32)
         for g0 in range(0, n_views, g):
-            acc = group_step(
+            acc, over = group_step(
                 tri, w2c[g0:g0 + g], fl[g0:g0 + g], labels[g0:g0 + g], acc
             )
             if warm_check:
+                n_over = int(np.asarray(over))
+                if n_over:
+                    raise RuntimeError(
+                        f"group {g0 // g}: entry compaction dropped "
+                        f"{n_over} nonempty chunks — raise entry_caps "
+                        f"{entry_caps}"
+                    )
                 got = float(np.asarray(jnp.sum(acc)))
                 want = 0.85 * (g0 + g) * H * W * cover_min
                 if got < want:

@@ -980,25 +980,32 @@ class TexturedMesh:
         key = (round(scale, 6), config)
         if key not in cache:
             batch = cameras.get_camera_batch([index], image_scale=scale)
-            win = int(
-                np.asarray(
-                    probe_fold_window(
-                        self._tri_soa_device(cameras),
-                        batch.world_to_cam[0],
-                        batch.f[0],
-                        jnp.asarray(batch.distortion[0], jnp.float32),
-                        batch.cx[0],
-                        batch.cy[0],
-                        batch.image_width,
-                        batch.image_height,
-                        config,
-                        self._face_bucket(self.n_faces),
-                        use_dist,
-                    )
-                )
+            win, occ = probe_fold_window(
+                self._tri_soa_device(cameras),
+                batch.world_to_cam[0],
+                batch.f[0],
+                jnp.asarray(batch.distortion[0], jnp.float32),
+                batch.cx[0],
+                batch.cy[0],
+                batch.image_width,
+                batch.image_height,
+                config,
+                self._face_bucket(self.n_faces),
+                use_dist,
+            )
+            win = int(np.asarray(win))
+            # entry compaction (RasterConfig.entry_caps) keeps the dense
+            # census-cap count buffers from living past each view's
+            # raster; undersizing is caught by the fused chain's
+            # overflow output (raised below in project_images)
+            entry_caps = tuple(
+                8 * max(1, -(-(int(v) * 3 // 2) // 8))
+                for v in np.asarray(occ)
             )
             cache[key] = dataclasses.replace(
-                config, fold_w_cap=8 * ((win * 3 // 2 + 7) // 8)
+                config,
+                fold_w_cap=8 * ((win * 3 // 2 + 7) // 8),
+                entry_caps=entry_caps,
             )
         return cache[key]
 
@@ -1112,9 +1119,10 @@ class TexturedMesh:
             worst = int(np.asarray(overflow_acc))
             if worst:
                 raise RuntimeError(
-                    f"fold window overflow: a view needed {worst} entries "
-                    "beyond the auto-sized capacity; counts were dropped. "
-                    "Pass a RasterConfig with a larger fold_w_cap."
+                    f"fold capacity overflow: a view needed {worst} "
+                    "entries beyond the auto-sized window or entry-cap "
+                    "capacity; counts were dropped. Pass a RasterConfig "
+                    "with a larger fold_w_cap / entry_caps."
                 )
 
     def aggregate_projected_images(

@@ -579,6 +579,77 @@ def _chunk_ids(ids: jax.Array, nch: int) -> jax.Array:
     return ids.reshape(t * nch, se)
 
 
+def _compact_entries(counts: jax.Array, ids: jax.Array, e_cap: int):
+    """Keep only NONEMPTY chunk entries: (E, kp, 128)/(E, 128) ->
+    (e_cap, ...) plus an overflow count.
+
+    Census-sized caps make the dense entry stack ~5x larger than actual
+    occupancy (caps fit the WORST tile; typical tiles fill a few chunks).
+    A stable argsort on emptiness packs the occupied entries first —
+    entries past ``n_nonempty`` in the gathered stack are genuinely empty
+    rows (all ids -1) and match nothing downstream, so no fill handling
+    is needed.  ``overflow = max(0, n_nonempty - e_cap)`` counts DROPPED
+    nonempty entries; callers must raise on it (drops lose counts, never
+    corrupt — same contract as the fold windows).
+
+    Emptiness is ``any(id >= 0)`` per chunk, NOT slot-0 validity: the
+    merged L2+global candidate list has a hole between its L2 prefix and
+    the global section (pallas_raster merges them at a fixed offset).
+    """
+    e = ids.shape[0]
+    e_cap = max(int(e_cap), 1)  # a zero-occupancy level keeps one row
+    nonempty = jnp.any(ids >= 0, axis=1)
+    n_nonempty = jnp.sum(nonempty.astype(jnp.int32))
+    over = jnp.maximum(n_nonempty - e_cap, 0).astype(jnp.int32)
+    if e_cap >= e:
+        return counts, ids, jnp.zeros((), jnp.int32)
+    sel = jnp.argsort(
+        jnp.where(nonempty, 0, 1).astype(jnp.int32), stable=True
+    )[:e_cap].astype(jnp.int32)
+    return counts[sel], ids[sel], over
+
+
+@functools.partial(
+    jax.jit, static_argnames=("config", "image_h", "image_w")
+)
+def entry_occupancy(binned, config, image_h: int, image_w: int):
+    """Exact per-level nonempty chunk-entry counts (n0, n1, n2) of the
+    merged fold path for ONE view — sizes ``RasterConfig.entry_caps``.
+
+    Matches the flags ``_compact_entries`` computes inside
+    ``_per_level_entries`` (grid-padding tiles are all-empty and never
+    count), and needs only the binning lists — no raster output.
+    """
+    from geograypher_tpu.ops.rasterize import expand_block_ids
+
+    bb = config.bin_block
+    se = _ENTRY_SLOTS
+    nch0 = -(-config.caps[0] * bb // se)
+    nch1 = -(-config.caps[1] * bb // se)
+    nch2 = -(-(config.caps[2] + config.caps[3]) * bb // se)
+    grids = config.grids(image_h, image_w)
+    nty2, ntx2 = grids[2]
+    occ = []
+    for lvl, nch in ((0, nch0), (1, nch1)):
+        ids = _chunk_ids(expand_block_ids(binned.cand[lvl], bb), nch)
+        occ.append(jnp.sum(jnp.any(ids >= 0, axis=1).astype(jnp.int32)))
+    cand2m = expand_block_ids(
+        jnp.concatenate(
+            [
+                binned.cand[2],
+                jnp.broadcast_to(
+                    binned.cand[3], (nty2 * ntx2, config.caps[3])
+                ),
+            ],
+            axis=1,
+        ),
+        bb,
+    )
+    ids2 = _chunk_ids(cand2m, nch2)
+    occ.append(jnp.sum(jnp.any(ids2 >= 0, axis=1).astype(jnp.int32)))
+    return jnp.stack(occ)
+
+
 @functools.partial(jax.jit, static_argnames=("n_faces", "block", "w_cap"))
 def fold_window_overflow(
     ids: jax.Array, n_faces: int, block: int = 1024, w_cap: int = 96
@@ -649,10 +720,15 @@ def face_counts_from_tiles(
     # ever touches the count stack (the old slot-major flat relayouted
     # the whole multi-GB group stack).
     pad_n = _round_up(w_cap, kb) + kb
-    counts = jnp.pad(counts[win.order], ((0, pad_n), (0, 0), (0, 0)))
-    ids = jnp.pad(
-        ids[win.order], ((0, pad_n), (0, 0)), constant_values=-1
+    # fold the pad into the gather: OOB indices (= t) hit take's fill
+    # path, so the permuted stack materializes ONCE — a separate
+    # jnp.pad(counts[win.order]) made a second full-stack copy (8 GB at
+    # grouped-4K scale, half the round-3 OOM)
+    order_p = jnp.concatenate(
+        [win.order, jnp.full((pad_n,), t, jnp.int32)]
     )
+    counts = jnp.take(counts, order_p, axis=0, mode="fill", fill_value=0)
+    ids = jnp.take(ids, order_p, axis=0, mode="fill", fill_value=-1)
     tp = t + pad_n
     ids = ids.reshape(1, tp * s)
 
@@ -806,8 +882,25 @@ def _per_level_entries(outs, binned, config, image_h, image_w):
             nty2 * ntx2 * nch2, kp, se
         )
         ids2 = _chunk_ids(cand2m.reshape(nty2 * ntx2, -1), nch2)
-        # merged L2+global slot counts can reach the whole image's pixels
-        return [(c0, ids0, 2), (c1, ids1, 2), (c2, ids2, 4)]
+        # compact each level to its occupied chunks HERE, per view, so
+        # the dense census-cap om buffer dies right after its raster
+        # instead of aliasing into the group concat (the grouped-4K OOM:
+        # 10 live ~850 MB oms + an equally dense permuted fold stack)
+        ecaps = getattr(config, "entry_caps", None) or (None,) * 3
+        zero = jnp.zeros((), jnp.int32)
+        levels = []
+        for c_l, ids_l, pl_l, cap_l in (
+            (c0, ids0, 2, ecaps[0]),
+            (c1, ids1, 2, ecaps[1]),
+            # merged L2+global slot counts can reach the whole image
+            (c2, ids2, 4, ecaps[2]),
+        ):
+            if cap_l is None:
+                levels.append((c_l, ids_l, pl_l, zero))
+            else:
+                c_l, ids_l, ov = _compact_entries(c_l, ids_l, cap_l)
+                levels.append((c_l, ids_l, pl_l, ov))
+        return levels
 
     c0 = pad_grid(o0).reshape(nty0g * ntx0g, kp, cap0f)
     c1 = _child_sum(pad_grid(o1), s1_sc, s1_sc)[:nty1, :ntx1].reshape(
@@ -828,9 +921,10 @@ def _per_level_entries(outs, binned, config, image_h, image_w):
 
     c3 = o3.sum(axis=(0, 1)).reshape(1, kp, config.caps[3])
     ids3 = binned.cand[3].reshape(1, -1)
+    zero = jnp.zeros((), jnp.int32)
     return [
-        (c0, ids0_rows, 2), (c1, ids1_rows, 2), (c2, ids2, 3),
-        (c3, ids3, 4),
+        (c0, ids0_rows, 2, zero), (c1, ids1_rows, 2, zero),
+        (c2, ids2, 3, zero), (c3, ids3, 4, zero),
     ]
 
 
@@ -845,11 +939,12 @@ def fold_tile_counts(
     n_classes: int,
     w_cap: int = 96,
     block: int = 1024,
-) -> jax.Array:
+    return_overflow: bool = False,
+):
     """Fold per-tile per-level (class, slot) counts into (F, C) counts."""
     return fold_tile_counts_grouped(
         [(outs, binned)], config, image_h, image_w, n_faces, n_classes,
-        w_cap=w_cap, block=block,
+        w_cap=w_cap, block=block, return_overflow=return_overflow,
     )
 
 
@@ -862,7 +957,8 @@ def fold_tile_counts_grouped(
     n_classes: int,
     w_cap: int = 96,
     block: int = 1024,
-) -> jax.Array:
+    return_overflow: bool = False,
+):
     """Fold SEVERAL views' per-tile counts into one (F, C) count sum.
 
     Cross-view aggregation sums per-view counts, and the face-block fold
@@ -871,12 +967,18 @@ def fold_tile_counts_grouped(
     DMA issue, accumulator zero/write, lhs construction) across the
     group.  ``views`` is a list of (outs, binned) pairs as accepted by
     :func:`fold_tile_counts`; size ``w_cap`` ~ per-view window x group.
+
+    With ``return_overflow`` the total number of nonempty chunk entries
+    dropped by ``config.entry_caps`` compaction rides along as an int32
+    scalar — callers that enable compaction MUST check it (a nonzero
+    value means counts were lost; raise, don't return wrong labels).
     """
     per_level = [
         _per_level_entries(outs, binned, config, image_h, image_w)
         for outs, binned in views
     ]
     dense = None
+    over = jnp.zeros((), jnp.int32)
     for lvl in range(len(per_level[0])):
         counts = jnp.concatenate([v[lvl][0] for v in per_level], axis=0)
         ids = jnp.concatenate([v[lvl][1] for v in per_level], axis=0)
@@ -885,7 +987,12 @@ def fold_tile_counts_grouped(
             w_cap=w_cap, block=block,
         )
         dense = d if dense is None else dense + d
-    return dense[:n_faces, :n_classes]
+        for v in per_level:
+            over = over + v[lvl][3]
+    dense = dense[:n_faces, :n_classes]
+    if return_overflow:
+        return dense, over
+    return dense
 
 
 @functools.partial(

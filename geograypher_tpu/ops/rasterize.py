@@ -41,7 +41,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import NamedTuple, Tuple, Union
+from typing import NamedTuple, Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -87,6 +87,16 @@ class RasterConfig:
     # survey configuration (overflows drop counts, never corrupt)
     fold_block: int = 1024
     fold_w_cap: int = 256
+    # per-level (L0, L1, L2+global) caps on NONEMPTY 128-slot chunk
+    # entries per view for the fused fold: when set, each view's count
+    # entries are compacted to the occupied chunks right after its
+    # raster, so the dense census-cap count buffers (sized for the WORST
+    # tile, typically ~5x actual occupancy) die early instead of staying
+    # live through the group fold.  None (or None per level) disables
+    # compaction for safety; size via agg_tiled.entry_occupancy and
+    # check the fold's returned overflow (drops are counted, never
+    # silent).
+    entry_caps: Optional[Tuple[Optional[int], ...]] = None
 
     def grids(self, image_h: int, image_w: int):
         """Tile-grid shapes (nty, ntx) for levels 0..2."""
@@ -696,9 +706,14 @@ def probe_fold_window(
     n_faces: int,
     use_dist: bool,
 ) -> jax.Array:
-    """Worst-case fold-window demand for one view (for auto-sizing
-    ``RasterConfig.fold_w_cap``; see ops/agg_tiled.fold_window_overflow)."""
-    from geograypher_tpu.ops.agg_tiled import fold_window_overflow
+    """Worst-case (fold-window demand, per-level nonempty chunk-entry
+    occupancy) for one view — sizes ``RasterConfig.fold_w_cap`` and
+    ``entry_caps`` (see ops/agg_tiled.fold_window_overflow /
+    entry_occupancy)."""
+    from geograypher_tpu.ops.agg_tiled import (
+        entry_occupancy,
+        fold_window_overflow,
+    )
 
     setup = setup_from_soa(
         tri_soa, world_to_cam, f, image_w, image_h, config.znear,
@@ -709,7 +724,8 @@ def probe_fold_window(
         l0_face_ids(binned, config), n_faces=n_faces, w_cap=504,
         block=config.fold_block,
     )
-    return win  # exact unclipped per-block max (probe cap irrelevant)
+    # win is the exact unclipped per-block max (probe cap irrelevant)
+    return win, entry_occupancy(binned, config, image_h, image_w)
 
 
 @functools.partial(
@@ -761,14 +777,18 @@ def fused_view_class_counts(
             return_tiles=True, class_image=class_image,
             n_classes=n_classes, return_pix2face=False,
         )
-        counts = agg_tiled.fold_tile_counts(
+        counts, eover = agg_tiled.fold_tile_counts(
             outs, binned, config, image_h, image_w, n_faces, n_classes,
             w_cap=config.fold_w_cap, block=config.fold_block,
+            return_overflow=True,
         )
         over, _ = agg_tiled.fold_window_overflow(
             l0_face_ids(binned, config), n_faces=n_faces,
             w_cap=config.fold_w_cap, block=config.fold_block,
         )
+        # entry-compaction drops (config.entry_caps) are the same
+        # severity as window overflows: counts lost, caller must raise
+        over = jnp.maximum(over, eover)
     else:
         from geograypher_tpu.ops.aggregate import project_image_class_counts
 

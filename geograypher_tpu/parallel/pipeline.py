@@ -122,9 +122,13 @@ def _build_probe_windows(
 ):
     @jax.jit
     def probe_windows(tri_soa, params_probe):
-        from geograypher_tpu.ops.agg_tiled import fold_window_overflow
+        from geograypher_tpu.ops.agg_tiled import (
+            entry_occupancy,
+            fold_window_overflow,
+        )
 
         worst = jnp.zeros((), jnp.int32)
+        worst_occ = jnp.zeros((3,), jnp.int32)
         for k in range(n_probe):
             w2c_k, f_k, dist_k, _ = _unpack_row(params_probe[k], use_dist)
             setup = setup_from_soa(
@@ -136,7 +140,10 @@ def _build_probe_windows(
                 w_cap=504, block=fold_block,
             )
             worst = jnp.maximum(worst, win_k)
-        return worst
+            worst_occ = jnp.maximum(
+                worst_occ, entry_occupancy(binned, config, h, w)
+            )
+        return worst, worst_occ
 
     return probe_windows
 
@@ -152,7 +159,8 @@ def _build_device_step(
     w_cap = config.fold_w_cap
 
     def count_one_view(setup, binned, cls_img):
-        """(F, C) counts for one prepared view, sharing its binning."""
+        """((F, C) counts, entry-compaction overflow) for one prepared
+        view, sharing its binning."""
         if fused:
             from geograypher_tpu.ops import agg_tiled
             from geograypher_tpu.ops.pallas_raster import raster_tiles_pallas
@@ -164,7 +172,7 @@ def _build_device_step(
             )
             return agg_tiled.fold_tile_counts(
                 outs, binned, config, h, w, n_faces, n_classes,
-                w_cap=w_cap, block=fold_block,
+                w_cap=w_cap, block=fold_block, return_overflow=True,
             )
         from geograypher_tpu.ops.aggregate import project_image_class_counts
         from geograypher_tpu.ops.rasterize import (
@@ -176,7 +184,7 @@ def _build_device_step(
         p2f = _raster_tiles_xla(cand, setup.planes, config, h, w)
         return project_image_class_counts(
             p2f, cls_img, n_faces=n_faces, n_classes=n_classes
-        )
+        ), jnp.zeros((), jnp.int32)
 
     @functools.partial(jax.jit, donate_argnums=(3, 4))
     def device_step(tri_soa, params_shard, imgs_shard, acc_fracs, acc_views):
@@ -200,7 +208,7 @@ def _build_device_step(
                     distortion=dist_k,
                 )
                 binned = bin_triangles(setup, config, h, w)
-                counts = count_one_view(
+                counts, eover_k = count_one_view(
                     setup, binned, imgs_b[k].astype(jnp.int32)
                 )
                 counts = counts * valid_k
@@ -213,6 +221,10 @@ def _build_device_step(
                         l0_face_ids(binned, config), n_faces=n_faces,
                         w_cap=w_cap, block=fold_block,
                     )
+                    # entry-compaction drops are capacity overflows of
+                    # the same severity as window overflows: surface
+                    # both through the one guarded scalar
+                    over_k = jnp.maximum(over_k, eover_k)
                     over = jnp.maximum(
                         over,
                         (over_k * valid_k.astype(jnp.int32)).astype(jnp.int32),
@@ -362,9 +374,20 @@ def aggregate_class_images_distributed(
         probe_windows = _build_probe_windows(
             config, use_dist, n_probe, w, h, n_faces, fold_block
         )
-        max_win = int(np.asarray(probe_windows(tri_soa, params[:n_probe])))
+        max_win, worst_occ = probe_windows(tri_soa, params[:n_probe])
+        max_win = int(np.asarray(max_win))
         w_cap = 8 * ((max_win * 3 // 2 + 7) // 8)  # 1.5x margin
-        config = dataclasses.replace(config, fold_w_cap=w_cap)
+        # per-view nonempty chunk-entry caps (1.5x margin): compaction
+        # frees the dense census-cap count buffers right after each
+        # view's raster (see RasterConfig.entry_caps); undersizing is
+        # caught by the in-step entry-overflow guard below
+        entry_caps = tuple(
+            8 * max(1, -(-(int(v) * 3 // 2) // 8))
+            for v in np.asarray(worst_occ)
+        )
+        config = dataclasses.replace(
+            config, fold_w_cap=w_cap, entry_caps=entry_caps
+        )
 
     device_step = _build_device_step(
         device_mesh, config, use_dist, fused, group, w, h, n_faces, n_classes
@@ -428,10 +451,11 @@ def aggregate_class_images_distributed(
         worst_overflow = max(worst_overflow, int(np.asarray(first_over)))
     if worst_overflow:
         raise RuntimeError(
-            f"fold window overflow: a view needed {worst_overflow} entries "
-            f"beyond the auto-sized capacity ({w_cap}); counts would be "
-            "dropped. Re-run (the probe now covers this scene) or pass a "
-            "RasterConfig with a larger fold_w_cap."
+            f"fold capacity overflow: a view needed {worst_overflow} "
+            f"entries beyond the auto-sized window capacity ({w_cap}) or "
+            f"entry caps ({config.entry_caps}); counts would be dropped. "
+            "Re-run (the probe now covers this scene) or pass a "
+            "RasterConfig with a larger fold_w_cap / entry_caps."
         )
 
     if integrity_check and fused and first_csum is not None:

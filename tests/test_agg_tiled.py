@@ -170,3 +170,55 @@ def test_fused_raster_counts_block_binning():
     ref = project_image_class_counts(p2f_img, cls, n_faces, N_CLASSES)
     got = rasterize_and_count(setup, cls, config, H, W, n_faces, N_CLASSES)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_fused_counts_entry_compaction_parity():
+    """entry_caps compaction (occupied-chunk gather after each view's
+    raster) must be invisible in the output: caps sized from
+    entry_occupancy give bit-identical counts and zero overflow, and
+    undersized caps report dropped entries instead of failing silently."""
+    import dataclasses
+
+    from geograypher_tpu.ops.agg_tiled import entry_occupancy
+    from geograypher_tpu.ops.rasterize import (
+        bin_triangles,
+        fused_view_class_counts,
+        rasterize_and_count,
+    )
+
+    config = RasterConfig(caps=(32, 16, 8, 8), backend="pallas", bin_block=8)
+    setup, n_faces = _scene(z_fn=lambda x, y: 0.15 * np.sin(2 * x) * y)
+    rng = np.random.default_rng(11)
+    cls = jnp.asarray(rng.integers(-1, N_CLASSES, (H, W)), jnp.int32)
+
+    ref = rasterize_and_count(setup, cls, config, H, W, n_faces, N_CLASSES)
+
+    binned = bin_triangles(setup, config, H, W)
+    occ = np.asarray(entry_occupancy(binned, config, H, W))
+    assert occ.sum() > 0
+    sized = dataclasses.replace(config, entry_caps=tuple(int(v) for v in occ))
+    got = rasterize_and_count(setup, cls, sized, H, W, n_faces, N_CLASSES)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+    # exact-occupancy caps: zero overflow through the guarded fused path
+    from geograypher_tpu.ops import agg_tiled
+    from geograypher_tpu.ops.pallas_raster import raster_tiles_pallas
+
+    _p2f, outs, _kp = raster_tiles_pallas(
+        binned, setup.planes, sized, H, W, return_tiles=True,
+        class_image=cls, n_classes=N_CLASSES, return_pix2face=False,
+    )
+    counts, over = agg_tiled.fold_tile_counts(
+        outs, binned, sized, H, W, n_faces, N_CLASSES,
+        w_cap=sized.fold_w_cap, return_overflow=True,
+    )
+    assert int(np.asarray(over)) == 0
+    np.testing.assert_array_equal(np.asarray(counts[:n_faces]), np.asarray(ref))
+
+    # undersized caps: overflow counts the dropped nonempty chunks
+    starved = dataclasses.replace(config, entry_caps=(1, 1, 1))
+    _c, over = agg_tiled.fold_tile_counts(
+        outs, binned, starved, H, W, n_faces, N_CLASSES,
+        w_cap=config.fold_w_cap, return_overflow=True,
+    )
+    assert int(np.asarray(over)) == sum(max(0, int(v) - 1) for v in occ)

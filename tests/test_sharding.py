@@ -172,7 +172,7 @@ def test_pipeline_raises_on_undersized_fold_capacity():
     mesh.raster_config = dataclasses.replace(
         mesh.raster_config, fold_w_cap=8
     )
-    with pytest.raises(RuntimeError, match="fold window overflow"):
+    with pytest.raises(RuntimeError, match="fold capacity overflow"):
         aggregate_class_images_distributed(
             mesh, seg_cams, n_classes=3, auto_size_fold=False,
             integrity_check=False,
