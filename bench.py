@@ -257,9 +257,9 @@ def main():
                 n_over = int(np.asarray(over))
                 if n_over:
                     raise RuntimeError(
-                        f"group {g0 // g}: entry compaction dropped "
-                        f"{n_over} nonempty chunks — raise entry_caps "
-                        f"{entry_caps}"
+                        f"group {g0 // g}: fold dropped {n_over} entries "
+                        f"(window w_cap or entry_caps {entry_caps} "
+                        "undersized)"
                     )
                 got = float(np.asarray(jnp.sum(acc)))
                 want = 0.85 * (g0 + g) * H * W * cover_min

@@ -997,14 +997,16 @@ class TexturedMesh:
             # entry compaction (RasterConfig.entry_caps) keeps the dense
             # census-cap count buffers from living past each view's
             # raster; undersizing is caught by the fused chain's
-            # overflow output (raised below in project_images)
+            # overflow output (raised below in project_images).  2x + 64
+            # margins: only view ``index`` is probed and other views of
+            # the set can need more (window padding is nearly free)
             entry_caps = tuple(
-                8 * max(1, -(-(int(v) * 3 // 2) // 8))
+                8 * max(1, -(-(int(v) * 2 + 64) // 8))
                 for v in np.asarray(occ)
             )
             cache[key] = dataclasses.replace(
                 config,
-                fold_w_cap=8 * ((win * 3 // 2 + 7) // 8),
+                fold_w_cap=8 * ((win * 2 + 64 + 7) // 8),
                 entry_caps=entry_caps,
             )
         return cache[key]

@@ -676,7 +676,8 @@ def fold_window_overflow(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_faces", "block", "planes", "w_cap")
+    jax.jit,
+    static_argnames=("n_faces", "block", "planes", "w_cap", "return_overflow"),
 )
 def face_counts_from_tiles(
     counts: jax.Array,
@@ -685,7 +686,8 @@ def face_counts_from_tiles(
     block: int = 1024,
     planes: int = 2,
     w_cap: int = 96,
-) -> jax.Array:
+    return_overflow: bool = False,
+):
     """Dense (n_faces_padded, kp) face-class counts from per-tile counts.
 
     Args:
@@ -720,14 +722,20 @@ def face_counts_from_tiles(
     # ever touches the count stack (the old slot-major flat relayouted
     # the whole multi-GB group stack).
     pad_n = _round_up(w_cap, kb) + kb
-    # fold the pad into the gather: OOB indices (= t) hit take's fill
-    # path, so the permuted stack materializes ONCE — a separate
-    # jnp.pad(counts[win.order]) made a second full-stack copy (8 GB at
-    # grouped-4K scale, half the round-3 OOM)
+    # fold the pad into the gather: OOB indices (= t) make take duplicate
+    # (clip) or fill rows, so the permuted stack materializes ONCE — a
+    # separate jnp.pad(counts[win.order]) made a second full-stack copy
+    # (8 GB at grouped-4K scale, half the round-3 OOM).  COUNTS use clip:
+    # the kernel's radix deposit is gated entirely by the id-derived
+    # one-hots (stale/padding/empty slots get q = -1 and deposit
+    # nothing), so duplicated count VALUES in pad rows are inert and the
+    # f32 stack skips take-fill's separate full-size select pass
+    # (measured 6.7 ms on a grouped-4K L0 stack).  IDS must genuinely be
+    # -1 in pad rows — they keep the fill path (int32, 16x smaller).
     order_p = jnp.concatenate(
         [win.order, jnp.full((pad_n,), t, jnp.int32)]
     )
-    counts = jnp.take(counts, order_p, axis=0, mode="fill", fill_value=0)
+    counts = jnp.take(counts, order_p, axis=0, mode="clip")
     ids = jnp.take(ids, order_p, axis=0, mode="fill", fill_value=-1)
     tp = t + pad_n
     ids = ids.reshape(1, tp * s)
@@ -760,7 +768,13 @@ def face_counts_from_tiles(
         interpret=_interpret(),
     )(*operands)
     out = jax.lax.optimization_barrier(out)
-    return out.reshape(nb * block, kp)
+    out = out.reshape(nb * block, kp)
+    if return_overflow:
+        # the TRUE window overflow of THIS fold (entries clipped by
+        # w_cap = counts dropped) — callers guard on it directly instead
+        # of re-building the windows in a second pass
+        return out, win.overflow
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -982,11 +996,12 @@ def fold_tile_counts_grouped(
     for lvl in range(len(per_level[0])):
         counts = jnp.concatenate([v[lvl][0] for v in per_level], axis=0)
         ids = jnp.concatenate([v[lvl][1] for v in per_level], axis=0)
-        d = face_counts_from_tiles(
+        d, win_over = face_counts_from_tiles(
             counts, ids, n_faces=n_faces, planes=per_level[0][lvl][2],
-            w_cap=w_cap, block=block,
+            w_cap=w_cap, block=block, return_overflow=True,
         )
         dense = d if dense is None else dense + d
+        over = over + win_over
         for v in per_level:
             over = over + v[lvl][3]
     dense = dense[:n_faces, :n_classes]

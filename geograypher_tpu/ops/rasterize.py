@@ -777,18 +777,14 @@ def fused_view_class_counts(
             return_tiles=True, class_image=class_image,
             n_classes=n_classes, return_pix2face=False,
         )
-        counts, eover = agg_tiled.fold_tile_counts(
+        # the fold's returned overflow covers BOTH dropped window
+        # entries (w_cap) and entry-compaction drops (entry_caps) at
+        # every level of the actual fold — no second window build
+        counts, over = agg_tiled.fold_tile_counts(
             outs, binned, config, image_h, image_w, n_faces, n_classes,
             w_cap=config.fold_w_cap, block=config.fold_block,
             return_overflow=True,
         )
-        over, _ = agg_tiled.fold_window_overflow(
-            l0_face_ids(binned, config), n_faces=n_faces,
-            w_cap=config.fold_w_cap, block=config.fold_block,
-        )
-        # entry-compaction drops (config.entry_caps) are the same
-        # severity as window overflows: counts lost, caller must raise
-        over = jnp.maximum(over, eover)
     else:
         from geograypher_tpu.ops.aggregate import project_image_class_counts
 

@@ -213,21 +213,14 @@ def _build_device_step(
                 )
                 counts = counts * valid_k
                 if fused:
-                    from geograypher_tpu.ops.agg_tiled import (
-                        fold_window_overflow,
-                    )
-
-                    over_k, _ = fold_window_overflow(
-                        l0_face_ids(binned, config), n_faces=n_faces,
-                        w_cap=w_cap, block=fold_block,
-                    )
-                    # entry-compaction drops are capacity overflows of
-                    # the same severity as window overflows: surface
-                    # both through the one guarded scalar
-                    over_k = jnp.maximum(over_k, eover_k)
+                    # eover_k from the fold itself covers dropped window
+                    # entries AND entry-compaction drops at every level
+                    # (no separate window rebuild per view)
                     over = jnp.maximum(
                         over,
-                        (over_k * valid_k.astype(jnp.int32)).astype(jnp.int32),
+                        (eover_k * valid_k.astype(jnp.int32)).astype(
+                            jnp.int32
+                        ),
                     )
                 face_total = jnp.sum(counts, axis=1)
                 seen = (face_total > 0).astype(jnp.float32)
@@ -376,13 +369,15 @@ def aggregate_class_images_distributed(
         )
         max_win, worst_occ = probe_windows(tri_soa, params[:n_probe])
         max_win = int(np.asarray(max_win))
-        w_cap = 8 * ((max_win * 3 // 2 + 7) // 8)  # 1.5x margin
-        # per-view nonempty chunk-entry caps (1.5x margin): compaction
-        # frees the dense census-cap count buffers right after each
-        # view's raster (see RasterConfig.entry_caps); undersizing is
-        # caught by the in-step entry-overflow guard below
+        # 2x + 64 margins: only the FIRST step's views are probed, and
+        # unprobed oblique views can need noticeably more than nadir
+        # ones (window padding is nearly free — the kernel loops over
+        # TRUE window lengths — and compacted entries stay well under
+        # the dense stacks); undersizing is still caught by the in-step
+        # overflow guard below
+        w_cap = 8 * ((max_win * 2 + 64 + 7) // 8)
         entry_caps = tuple(
-            8 * max(1, -(-(int(v) * 3 // 2) // 8))
+            8 * max(1, -(-(int(v) * 2 + 64) // 8))
             for v in np.asarray(worst_occ)
         )
         config = dataclasses.replace(
@@ -404,12 +399,20 @@ def aggregate_class_images_distributed(
     first_over = None
     first_imgs = None
 
+    overflows = []
     with concurrent.futures.ThreadPoolExecutor(prefetch_workers) as pool:
         futures: dict = {}
 
+        def fetch(i: int) -> np.ndarray:
+            # clip/cast in the worker: the main loop stays free to keep
+            # the device dispatch queue full
+            return np.clip(class_image_provider(order[i]), -1, None).astype(
+                img_dtype
+            )
+
         def ensure(i: int):
             if i not in futures and i < n_pad:
-                futures[i] = pool.submit(class_image_provider, order[i])
+                futures[i] = pool.submit(fetch, i)
 
         window = step_views * 2  # slots kept in flight ahead of the device
         for i in range(min(n_pad, window)):
@@ -417,13 +420,7 @@ def aggregate_class_images_distributed(
         for start in range(0, n_pad, step_views):
             idx = list(range(start, start + step_views))
             imgs = np.stack(
-                [
-                    np.clip(futures.pop(i).result(), -1, None).astype(
-                        img_dtype
-                    )
-                    for i in idx
-                ],
-                axis=0,
+                [futures.pop(i).result() for i in idx], axis=0
             )
             for j in range(
                 start + step_views, min(start + 2 * step_views, n_pad)
@@ -440,15 +437,17 @@ def aggregate_class_images_distributed(
                 total_fracs,
                 total_views,
             )
+            # keep only device handles here: fetching any scalar now
+            # would sync the step and serialize transfer with compute
+            # (the round-2 pipeline lost ~2x to exactly this)
+            overflows.append(over)
             if start == 0:
                 first_csum, first_over = csum, over
                 first_imgs = imgs
-            else:
-                # cheap scalar fetch; dispatches have already queued
-                worst_overflow = max(worst_overflow, int(np.asarray(over)))
 
-    if fused and first_over is not None:
-        worst_overflow = max(worst_overflow, int(np.asarray(first_over)))
+    if fused:
+        for over in overflows:
+            worst_overflow = max(worst_overflow, int(np.asarray(over)))
     if worst_overflow:
         raise RuntimeError(
             f"fold capacity overflow: a view needed {worst_overflow} "
