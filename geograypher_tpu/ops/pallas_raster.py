@@ -80,21 +80,12 @@ def _prep_level_slab(
     """(T, C) candidate-unit ids -> (slab, (T, 1) face-slot counts).
 
     With ``tile_origin`` (level 0): tile-local hi/lo layout
-    (6, T, 5*nch*CHUNK), rows 0-2 = bf16-hi coefficients (the id block's
-    rows are the three base-256 digit rows), rows 3-5 = bf16-lo (id
-    block: zero).  Without: global-coordinate 5-plane f32 layout
-    (3, T, 5*nch*CHUNK) with the id plane [0, 0, id].
+    (T, 6, nch*5*CHUNK), plane blocks [e0|e1|e2|w|d] per chunk, rows
+    0-2 = bf16-hi coefficients (digit block: the three base-256 id digit
+    rows), rows 3-5 = bf16-lo (digit block: zero).
+    Without: global-coordinate 5-plane f32 layout (T, 3, nch*5*CHUNK),
+    blocks [e0|e1|e2|w|id].
     Empty slots point at the sentinel plane row (coverage-false).
-
-    The lane axis is BLOCK-MAJOR: [e0 x nch chunks | e1 ... | e2 | w |
-    id], so every piece of the slab is one contiguous (T, nch*CHUNK)
-    slice of the coefficient math — the whole assembly is 5-input row
-    concats + a 6-row stack of naturally-tiled (T, X) planes, which XLA
-    fuses into the gather.  (The earlier (T, 6, [5 blocks per chunk])
-    interleave stacked 30 pieces through (T, 1, X) sublane-1 tiles:
-    ~717 MB of relayout copies + a (8,128)-retiling concat per 4K view.)
-    The kernel reassembles a chunk's (rows, 4*CHUNK) dot block from 4
-    lane loads (cheap vreg concats) instead of one contiguous slice.
 
     With ``block > 1`` each candidate unit is a BLOCK of ``block``
     consecutive faces: ``planes_ext`` holds (n_units + 1, block*12)
@@ -134,22 +125,18 @@ def _prep_level_slab(
     zeros = jnp.zeros((t, nch, CHUNK), jnp.float32)
 
     if tile_origin is None:
-        # rows [a | b | c] with the 5th (id) plane = [0, 0, id]; empty
-        # slots carry id -2: they never win the resolve (their edge
-        # planes are the coverage-false sentinel), and -2 can never
-        # equal a face id OR the background value (-1) in the fused
-        # class-count match.
+        # rows [a | b | c] per (chunk, plane) with the 5th plane = the id
+        # plane [0, 0, id]; empty slots carry id -2: they never win the
+        # resolve (their edge planes are the coverage-false sentinel),
+        # and -2 can never equal a face id OR the background value (-1)
+        # in the fused class-count match.
         idv = jnp.where(cand_ch >= 0, cand_ch, -2).astype(jnp.float32)
         rows = []
         for r in range(3):
-            pieces = [
-                coef(3 * p + r).reshape(t, nch * CHUNK) for p in range(4)
-            ]
-            pieces.append(
-                (idv if r == 2 else zeros).reshape(t, nch * CHUNK)
-            )
-            rows.append(jnp.concatenate(pieces, axis=1))
-        slab = jnp.stack(rows, axis=0)  # (3, T, 5*nch*CHUNK)
+            pieces = [coef(3 * p + r) for p in range(4)]
+            pieces.append(idv if r == 2 else zeros)
+            rows.append(jnp.stack(pieces, axis=2))  # (T, nch, 5, CHUNK)
+        slab = jnp.stack(rows, axis=1).reshape(t, 3, nch * 5 * CHUNK)
         return slab, counts
 
     x0, y0 = tile_origin  # (T,) pixel coords of each tile's corner
@@ -183,14 +170,10 @@ def _prep_level_slab(
     rows = []
     for r in range(6):
         half, j = (his, r) if r < 3 else (los, r - 3)
-        pieces = [
-            half[p][j].reshape(t, nch * CHUNK) for p in range(4)
-        ]
-        pieces.append(
-            (digs[r] if r < 3 else zeros).reshape(t, nch * CHUNK)
-        )
-        rows.append(jnp.concatenate(pieces, axis=1))
-    slab = jnp.stack(rows, axis=0)  # (6, T, 5*nch*CHUNK)
+        pieces = [half[p][j] for p in range(4)]
+        pieces.append(digs[r] if r < 3 else zeros)
+        rows.append(jnp.stack(pieces, axis=2))  # (T, nch, 5, CHUNK)
+    slab = jnp.stack(rows, axis=1).reshape(t, 6, nch * 5 * CHUNK)
     return slab, counts
 
 
@@ -229,10 +212,6 @@ def _make_kernel(
     s1_, s2_ = scales[1], scales[2]
     pp1 = max(1, pair // s1_)  # L1 parents per grid step
     pp2 = max(1, pair // s2_)
-    # per-level slab chunk counts: the slab lane axis is BLOCK-MAJOR
-    # ([e0 x nch | e1 x nch | e2 | w | id]); block p's chunk ci sits at
-    # lane (p * nch_l + ci) * CHUNK (see _prep_level_slab)
-    nch_sl = tuple(-(-max(c, CHUNK) // CHUNK) for c in caps)
 
     def kernel(c0, c1, c2, *refs):
         if kp and emit_p2f:
@@ -302,22 +281,18 @@ def _make_kernel(
             g = len(sub_ids)
 
             def chunk(ci, carries):
-                off = pl.multiple_of(ci * CHUNK, CHUNK)
-                n0 = nch_sl[0]
-                # (6, g*4*CHUNK): 4 lane loads per sub-tile from the
-                # block-major slab, reassembled by cheap vreg concats
+                off = pl.multiple_of(ci * (5 * CHUNK), 5 * CHUNK)
                 blocks = jnp.concatenate(
                     [
-                        slab_ref[:, s, pl.ds(p * n0 * CHUNK + off, CHUNK)]
+                        slab_ref[s, :, pl.ds(off, 4 * CHUNK)]  # (6, 512)
                         for s in sub_ids
-                        for p in range(4)
                     ],
                     axis=1,
                 )
                 idcols = [
                     jax.lax.dot_general(
                         slab_ref[
-                            0:3, s, pl.ds(4 * n0 * CHUNK + off, CHUNK)
+                            s, 0:3, pl.ds(off + 4 * CHUNK, CHUNK)
                         ].astype(jnp.bfloat16),
                         w256,
                         (((0,), (0,)), ((), ())),
@@ -337,12 +312,13 @@ def _make_kernel(
             return jax.lax.fori_loop(0, n_chunks, chunk, carries)
 
         def level(read_block, pmat_global, cnt, carry):
-            """Ancestor resolve; ``read_block(ci)`` yields the (3, 640)
-            5-plane block of chunk ``ci``."""
+            """Ancestor resolve; ``read_block(off)`` yields the (3, 640)
+            5-plane block at chunk offset ``off``."""
             n_chunks = (cnt + CHUNK - 1) // CHUNK
 
             def chunk(ci, carry):
-                block = read_block(ci)
+                off = pl.multiple_of(ci * (5 * CHUNK), 5 * CHUNK)
+                block = read_block(off)
                 vals = jax.lax.dot_general(
                     block,
                     pmat_global,
@@ -419,24 +395,8 @@ def _make_kernel(
                 ],
                 axis=0,
             )
-            def _read_anc(slab_ref, pb, nch_l):
-                def read(ci):
-                    off = pl.multiple_of(ci * CHUNK, CHUNK)
-                    return jnp.concatenate(
-                        [
-                            slab_ref[
-                                :, 0, pb,
-                                pl.ds(p * nch_l * CHUNK + off, CHUNK),
-                            ]
-                            for p in range(5)
-                        ],
-                        axis=1,
-                    )  # (3, 640) [e0|e1|e2|w|id] block
-
-                return read
-
-            read1 = _read_anc(s1, p1b, nch_sl[1])
-            read2 = _read_anc(s2, p2b, nch_sl[2])
+            read1 = lambda off, p1b=p1b: s1[0, p1b, :, pl.ds(off, 5 * CHUNK)]
+            read2 = lambda off, p2b=p2b: s2[0, p2b, :, pl.ds(off, 5 * CHUNK)]
             carry = carries[sub]
             carry = level(read1, pmat_global, c1[c1_idx], carry)
             carry = level(read2, pmat_global, c2[c2_idx], carry)
@@ -480,9 +440,9 @@ def _make_kernel(
 
                     @pl.when(ci * CHUNK < cnt0)
                     def _(ci=ci, wdt=wdt):
-                        off = (4 * nch_sl[0] + ci) * CHUNK
+                        off = ci * 5 * CHUNK
                         dig = s0[
-                            0:3, sub, off:off + CHUNK
+                            sub, 0:3, off + 4 * CHUNK:off + 5 * CHUNK
                         ]  # (3, CHUNK) digit rows
                         ids_row = (
                             dig[0:1]
@@ -505,7 +465,7 @@ def _make_kernel(
 
                         @pl.when(ci * CHUNK < cnt)
                         def _(ci=ci, wdt=wdt, read=read, ch_base=ch_base):
-                            block = read(ci)
+                            block = read(ci * 5 * CHUNK)
                             ids_row = block[2:3, 4 * CHUNK:5 * CHUNK]
                             match_ids(
                                 ids_row, best_col, onehot, sub,
@@ -647,38 +607,38 @@ def raster_tiles_pallas(
                 )
                 * bb
             ).reshape(c.shape)
-        # (3, T, cols) -> padded (3, nty, ntx_p, cols) parent grid; padded
+        # (T, 3, cols) -> padded (nty, ntx_p, 3, cols) parent grid; padded
         # parents get zero counts (their slab rows are never read)
-        s = s.reshape(s.shape[0], nty_l, ntx_l, s.shape[2])
+        s = s.reshape(nty_l, ntx_l, *s.shape[1:])
         c = c.reshape(nty_l, ntx_l)
         if ntx_lp != ntx_l:
-            s = jnp.pad(s, ((0, 0), (0, 0), (0, ntx_lp - ntx_l), (0, 0)))
+            s = jnp.pad(s, ((0, 0), (0, ntx_lp - ntx_l), (0, 0), (0, 0)))
             c = jnp.pad(c, ((0, 0), (0, ntx_lp - ntx_l)))
         slabs.append(s)
         counts.append(c.reshape(-1))
 
     def slab_spec(lvl):
         if lvl == 0:
-            rows, cols = slabs[0].shape[0], slabs[0].shape[2]
+            rows, cols = slabs[0].shape[1:]
             # block = `pair` consecutive tiles; index in block units
             return pl.BlockSpec(
-                (rows, pair, cols),
-                lambda i, j, *_: (0, i * (ntx0p // pair) + j, 0),
+                (pair, rows, cols),
+                lambda i, j, *_: (i * (ntx0p // pair) + j, 0, 0),
                 memory_space=pltpu.VMEM,
             )
-        rows, cols = slabs[lvl].shape[0], slabs[lvl].shape[3]
+        rows, cols = slabs[lvl].shape[2:]
         if lvl == 1:
             idx = lambda i, j, *_: (
-                0, i // s1_, ((j * pair) // s1_) // pp1, 0
+                i // s1_, ((j * pair) // s1_) // pp1, 0, 0
             )
             ppl = pp1
         else:
             idx = lambda i, j, *_: (
-                0, i // s2_, ((j * pair) // s2_) // pp2, 0
+                i // s2_, ((j * pair) // s2_) // pp2, 0, 0
             )
             ppl = pp2
         return pl.BlockSpec(
-            (rows, 1, ppl, cols), idx, memory_space=pltpu.VMEM
+            (1, ppl, rows, cols), idx, memory_space=pltpu.VMEM
         )
 
     kp = 0

@@ -1,7 +1,8 @@
 """Indexing/map-inversion utilities (reference utils/indexing.py).
 
 ``find_argmax_nonzero_value`` has a jitted twin in ops/aggregate.py used on
-device; this host version mirrors the reference exactly.
+device; this host version is a masked-select reformulation of the
+reference's behavior (see its docstring).
 ``inverse_map_interpolation`` is kept for API parity, but the distortion
 engine inverts warps directly with Newton iteration
 (cameras/distortion.warped_to_ideal_pixels) — exact and ~1000x faster than

@@ -169,3 +169,18 @@ def test_pallas_l0_window3_matches_xla():
     )
     assert_equiv(a, b)
     assert (b >= 0).any()
+
+
+def test_pallas_oblique_deep_overdraw_matches_xla():
+    """Oblique view over a bumpy mesh: deep multi-chunk far-field tiles
+    (the adversarial-workload shape) against the XLA reference."""
+    from geograypher_tpu.utils.fixtures import oblique_camera
+
+    verts, faces = make_grid_mesh(
+        n=41, size=4.0, z_fn=lambda x, y: 0.2 * np.sin(3 * x) * np.cos(2 * y)
+    )
+    c2w = oblique_camera(3.0, 90.0, 160, pitch_deg=32.0, azimuth_deg=135.0)
+    tris = cam_tris(verts, faces, c2w)
+    a, b = run_both(tris, 90.0, 160, 96, caps=(512, 64, 32, 16))
+    assert_equiv(a, b)
+    assert (a >= 0).any()
