@@ -1,0 +1,192 @@
+"""Level-S sub-tile raster: binning invariants and kernel equivalence."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from geograypher_tpu.ops.rasterize import (
+    RasterConfig,
+    bin_triangles,
+    setup_from_soa,
+    tri_to_soa,
+)
+from geograypher_tpu.ops.subtile import QUARTER, bin_subtiles
+from geograypher_tpu.utils.fixtures import (
+    gather_tri_verts,
+    make_grid_mesh,
+    oblique_camera,
+)
+from tests.test_rasterize import cam_tris
+
+
+CFG = RasterConfig(
+    caps=(64, 16, 16, 16), backend="pallas", bin_block=8,
+    l0_window=(5, 2), subtile=(8, 16), s_window=(3, 2), s_block=4,
+)
+
+
+def _setup(n=41, w=256, h=96, pitch=32.0):
+    verts, faces = make_grid_mesh(
+        n=n, size=4.0, z_fn=lambda x, y: 0.2 * np.sin(3 * x) * np.cos(2 * y)
+    )
+    c2w = oblique_camera(3.0, 90.0, w, pitch_deg=pitch, azimuth_deg=135.0)
+    tris = cam_tris(verts, faces, c2w)
+    f = tris.shape[0]
+    fp = -(-f // CFG.bin_block) * CFG.bin_block
+    tris = np.concatenate(
+        [tris, np.broadcast_to(tris[:1].mean(1, keepdims=True),
+                               (fp - f, 3, 3))], 0)
+    soa = jnp.asarray(tri_to_soa(tris.astype(np.float32)))
+    setup = setup_from_soa(soa, jnp.eye(4, dtype=jnp.float32), 90.0,
+                           w, h, CFG.znear)
+    return setup, w, h
+
+
+def test_bin_subtiles_invariants():
+    setup, w, h = _setup()
+    ntx0 = -(-w // CFG.tile_w)
+    pair = 2
+    ntx0p = -(-ntx0 // pair) * pair
+    sb = bin_subtiles(setup, CFG, h, w, ntx0p, pair, cap_chunks=256)
+    assert int(sb.overflow) == 0
+    units = np.asarray(sb.units)
+    qsub = np.asarray(sb.qsub)
+    pair_start = np.asarray(sb.pair_start)
+    pair_cnt = np.asarray(sb.pair_cnt)
+    n_chunks = int(sb.n_chunks)
+    s_mask8 = np.asarray(sb.s_mask8)
+
+    # brute-force expected sub-tile membership
+    bbox = np.asarray(jnp.stack(setup.bbox))
+    valid = np.asarray(setup.valid)
+    sbb, bb = CFG.s_block, CFG.bin_block
+    f4 = valid.shape[0] // sbb
+    big = np.iinfo(np.int32).max
+    v4 = valid.reshape(-1, sbb)
+    py0 = np.where(v4, bbox[0].reshape(-1, sbb), big).min(1)
+    px0 = np.where(v4, bbox[1].reshape(-1, sbb), big).min(1)
+    py1 = np.where(v4, bbox[2].reshape(-1, sbb), -1).max(1)
+    px1 = np.where(v4, bbox[3].reshape(-1, sbb), -1).max(1)
+    uvalid = v4.any(1)
+    cy0, cy1 = py0 // 8, py1 // 8
+    cx0, cx1 = px0 // 16, px1 // 16
+    fits = (cy1 - cy0 < 3) & (cx1 - cx0 < 2)
+    ok_unit = fits | ~uvalid
+    exp_mask8 = ok_unit.reshape(-1, bb // sbb).all(1)
+    np.testing.assert_array_equal(s_mask8, exp_mask8)
+
+    s_unit = uvalid & np.repeat(exp_mask8, bb // sbb)
+    nty0p = -(-(-(-h // 8)) // CFG.level_scales[1]) * CFG.level_scales[1]
+    spt = CFG.tile_w // 16
+    ntx_s = ntx0p * spt
+    expected = {}
+    for u in range(f4):
+        if not s_unit[u]:
+            continue
+        for cy in range(cy0[u], cy1[u] + 1):
+            for cx in range(cx0[u], cx1[u] + 1):
+                expected.setdefault(cy * ntx_s + cx, []).append(u)
+
+    # reconstruct per-sub-tile unit lists from the CSR layout
+    got = {}
+    upq = QUARTER // sbb
+    for q in range(n_chunks * 4):
+        us = units[q * upq:(q + 1) * upq]
+        us = us[us >= 0]
+        if us.size:
+            got.setdefault(int(qsub[q]), []).extend(us.tolist())
+    assert {k: sorted(v) for k, v in got.items()} == {
+        k: sorted(v) for k, v in expected.items()
+    }
+
+    # pair ranges partition [0, n_chunks) in order, kb-aligned
+    assert pair_start[0] == 0
+    assert (np.diff(pair_start) == pair_cnt[:-1]).all()
+    assert pair_start[-1] + pair_cnt[-1] == n_chunks
+    assert (pair_cnt % 4 == 0).all()
+
+    # every quarter's units actually fit inside its sub-tile's window
+    for q in range(n_chunks * 4):
+        us = units[q * upq:(q + 1) * upq]
+        us = us[us >= 0]
+        sid = int(qsub[q])
+        cy, cx = sid // ntx_s, sid % ntx_s
+        for u in us:
+            assert cy0[u] <= cy <= cy1[u] and cx0[u] <= cx <= cx1[u]
+
+    # exclusive assignment: diverted blocks vanish from L0..L3 lists
+    binned = bin_triangles(setup, CFG, h, w,
+                           exclude_blocks=jnp.asarray(exp_mask8))
+    all_l = np.concatenate([np.asarray(c).ravel() for c in binned.cand])
+    all_l = all_l[all_l >= 0]
+    diverted = set(np.nonzero(exp_mask8)[0].tolist())
+    assert not (set(all_l.tolist()) & diverted)
+
+
+def test_s_raster_matches_bruteforce():
+    import dataclasses
+
+    from geograypher_tpu.ops.subtile import (
+        bin_subtiles, s_raster_pallas, subtile_counts_census,
+    )
+
+    setup, w, h = _setup()
+    ntx0 = -(-w // CFG.tile_w)
+    pair = 2
+    ntx0p = -(-ntx0 // pair) * pair
+    tot, worst = subtile_counts_census(setup, CFG, h, w, ntx0p, pair)
+    cfg = dataclasses.replace(CFG, s_pair_chunks=int(worst))
+    sb = bin_subtiles(setup, cfg, h, w, ntx0p, pair,
+                      cap_chunks=int(tot))
+    assert int(sb.overflow) == 0
+    bw, bid = s_raster_pallas(sb, setup.planes, cfg, h, w, ntx0p, pair)
+    bid = np.asarray(bid)
+    nty0p = bid.shape[0]
+
+    # brute force over the diverted faces only
+    planes = np.asarray(setup.planes, np.float64)
+    valid = np.asarray(setup.valid)
+    s_mask8 = np.asarray(sb.s_mask8)
+    bbox = np.asarray(jnp.stack(setup.bbox))
+    Ht, Wt = nty0p * 8, ntx0p * 128
+    best_w = np.full((Ht, Wt), -np.inf)
+    best_id = np.full((Ht, Wt), -1, np.int64)
+    for f in np.nonzero(valid & np.repeat(s_mask8, CFG.bin_block))[0]:
+        y0, x0, y1, x1 = bbox[0, f], bbox[1, f], bbox[2, f], bbox[3, f]
+        ys = np.arange(y0, min(y1 + 1, Ht)) + 0.5
+        xs = np.arange(x0, min(x1 + 1, Wt)) + 0.5
+        if not len(ys) or not len(xs):
+            continue
+        X, Y = np.meshgrid(xs, ys)
+        e = [planes[f, 3 * k] * X + planes[f, 3 * k + 1] * Y
+             + planes[f, 3 * k + 2] for k in range(3)]
+        cov = (e[0] >= 0) & (e[1] >= 0) & (e[2] >= 0)
+        wv = planes[f, 9] * X + planes[f, 10] * Y + planes[f, 11]
+        yy, xx = np.nonzero(cov)
+        gy, gx = yy + int(y0), xx + int(x0)
+        v = wv[yy, xx]
+        upd = (v > best_w[gy, gx]) | (
+            (v == best_w[gy, gx]) & (f < best_id[gy, gx])
+        )
+        best_w[gy, gx] = np.where(upd, v, best_w[gy, gx])
+        best_id[gy, gx] = np.where(upd, f, best_id[gy, gx])
+
+    got = bid.reshape(Ht, Wt).astype(np.int64)
+    exp = best_id
+    agree = got == exp
+    assert agree.mean() > 0.995, agree.mean()
+    # disagreements must be near-tie face swaps or knife-edge coverage
+    # flips (the hi/lo bf16 eval can flip pixels whose edge value is
+    # ~1e-3 px from zero; with only the S faces in this brute force the
+    # neighbor that would cover them is absent)
+    for y, x in zip(*np.nonzero(~agree)):
+        fa, fb = got[y, x], exp[y, x]
+        if fa >= 0 and fb >= 0:
+            continue  # tie swap
+        f = max(fa, fb)
+        ev = min(
+            planes[f, 3 * k] * (x + 0.5) + planes[f, 3 * k + 1] * (y + 0.5)
+            + planes[f, 3 * k + 2]
+            for k in range(3)
+        )
+        assert abs(ev) < 1e-2, (y, x, fa, fb, ev)
+    assert (exp >= 0).sum() > 1000  # the fixture exercises real coverage
