@@ -31,11 +31,13 @@ def main():
         fold_tile_counts_grouped,
         fold_window_overflow,
     )
-    from geograypher_tpu.ops.pallas_raster import raster_tiles_pallas
     from geograypher_tpu.ops.rasterize import (
         RasterConfig,
+        bin_all,
         bin_triangles,
+        fused_counts_pallas,
         l0_face_ids,
+        l0_geometry,
         setup_from_soa,
         tri_to_soa,
     )
@@ -158,19 +160,51 @@ def main():
     # tiles hold several hundred faces — no guessed cap survives a varied
     # suite), then the fold's per-block tile windows are measured, and
     # binned.overflow re-checks the chosen caps.
+    # Level-S sub-tile raster (ops/subtile.py): tiny far-field units are
+    # diverted to (8, 16)-cell lists and resolved lane-packed (~3.5x less
+    # VPU resolve work on this varied suite).  BENCH_SUBTILE=0 disables.
+    subtile_on = (
+        os.environ.get("BENCH_SUBTILE", "1") == "1" and backend == "pallas"
+    )
+    import dataclasses
+
     census_cfg = RasterConfig(
         caps=(8, 8, 8, 8), backend=backend, bin_block=bin_block,
         l0_window=(5, 2),
     )
+    if subtile_on:
+        from geograypher_tpu.ops.subtile import (
+            subtile_counts_census,
+            subtile_mask8,
+        )
+
+        census_cfg = dataclasses.replace(census_cfg, subtile=(8, 16))
+        s_pair, _, s_ntx0p = l0_geometry(census_cfg, H, W)
 
     @jax.jit
     def census(tri, w2c_k, f_k):
         setup = setup_from_soa(tri, w2c_k, f_k, W, H, census_cfg.znear)
-        return bin_triangles(setup, census_cfg, H, W, return_census=True)
+        if not subtile_on:
+            lvl = bin_triangles(setup, census_cfg, H, W, return_census=True)
+            z = jnp.zeros((), jnp.int32)
+            return lvl, z, z
+        mask = subtile_mask8(setup, census_cfg)
+        s_tot, s_worst = subtile_counts_census(
+            setup, census_cfg, H, W, s_ntx0p, s_pair
+        )
+        lvl = bin_triangles(
+            setup, census_cfg, H, W, return_census=True,
+            exclude_blocks=mask,
+        )
+        return lvl, s_tot, s_worst
 
     worst = np.zeros(4, np.int64)
+    s_tot_w = s_pair_w = 0
     for k in range(n_views):
-        worst = np.maximum(worst, np.asarray(census(tri, w2c[k], fl[k])))
+        lvl, s_tot, s_worst = census(tri, w2c[k], fl[k])
+        worst = np.maximum(worst, np.asarray(lvl))
+        s_tot_w = max(s_tot_w, int(np.asarray(s_tot)))
+        s_pair_w = max(s_pair_w, int(np.asarray(s_worst)))
     caps = tuple(
         int(max(16, -(-int(c * 5 // 4) // 16) * 16)) for c in worst
     )  # 1.25x margin, multiples of 16 units
@@ -178,16 +212,38 @@ def main():
     config = RasterConfig(
         caps=caps, backend=backend, bin_block=bin_block, l0_window=(5, 2)
     )
+    if subtile_on:
+        s_cap = -(-int(s_tot_w * 5 // 4) // 4) * 4
+        s_pc = -(-int(s_pair_w * 5 // 4) // 4) * 4
+        print(
+            f"S census: {s_tot_w} chunks (cap {s_cap}), worst pair "
+            f"{s_pair_w} (cap {s_pc})",
+            file=sys.stderr,
+        )
+        config = dataclasses.replace(
+            config, subtile=(8, 16), s_cap_chunks=max(s_cap, 4),
+            s_pair_chunks=max(s_pc, 4),
+        )
 
     @jax.jit
     def window_stats(tri, w2c_k, f_k):
         setup = setup_from_soa(tri, w2c_k, f_k, W, H, config.znear)
-        binned = bin_triangles(setup, config, H, W)
+        binned, sb = bin_all(setup, config, H, W)
         over, win = fold_window_overflow(
             l0_face_ids(binned, config), n_faces=n_faces, w_cap=504,
             block=4096,
         )
-        return over, win, binned.overflow, entry_occupancy(
+        bin_over = binned.overflow
+        if sb is not None:
+            from geograypher_tpu.ops.subtile import s_entry_ids
+
+            _so, s_win = fold_window_overflow(
+                s_entry_ids(sb, config), n_faces=n_faces, w_cap=504,
+                block=4096,
+            )
+            win = jnp.maximum(win, s_win)
+            bin_over = bin_over + sb.overflow
+        return over, win, bin_over, entry_occupancy(
             binned, config, H, W
         )
 
@@ -213,8 +269,6 @@ def main():
         int(8 * (-(-int(n * 5 // 4) // 8))) for n in worst_entries
     )
     print(f"entry caps (128-slot chunks/view): {entry_caps}", file=sys.stderr)
-    import dataclasses
-
     config = dataclasses.replace(config, entry_caps=entry_caps)
 
     # One jit program per GROUP of views, chained on a device-resident
@@ -227,23 +281,25 @@ def main():
         @jax.jit
         def group_step(tri, w2cs_g, fls_g, labels_g, acc):
             views = []
+            over = jnp.zeros((), jnp.int32)
             for k in range(g):
                 setup = setup_from_soa(
                     tri, w2cs_g[k], fls_g[k], W, H, config.znear
                 )
-                binned = bin_triangles(setup, config, H, W)
-                _p2f, outs, _kp = raster_tiles_pallas(
-                    binned, setup.planes, config, H, W,
-                    return_tiles=True, class_image=labels_g[k],
-                    n_classes=n_classes, return_pix2face=False,
+                binned, sb = bin_all(setup, config, H, W)
+                outs = fused_counts_pallas(
+                    setup, binned, sb, labels_g[k], config, H, W,
+                    n_classes,
                 )
+                if sb is not None:
+                    over = over + sb.overflow
                 views.append((outs, binned))
-            counts, over = fold_tile_counts_grouped(
+            counts, fold_over = fold_tile_counts_grouped(
                 views, config, H, W, n_faces, n_classes,
                 w_cap=8 * ((g * max_win * 5 // 4 + 7) // 8), block=4096,
                 return_overflow=True,
             )
-            return acc + counts, over
+            return acc + counts, over + fold_over
 
         return group_step
 

@@ -822,9 +822,12 @@ def _per_level_entries(outs, binned, config, image_h, image_w):
     # packs bb faces per binned unit, so capacities scale by bb
     cap0f, cap1f = config.caps[0] * bb, config.caps[1] * bb
     se = _ENTRY_SLOTS
-    merged = len(outs) == 2
+    # merged fused-kernel form: om is the 5-D chunk-major count array
+    # (optionally followed by the level-S entry pair); the legacy
+    # stage-1 form is four 4-D slot-major per-level arrays
+    merged = outs[0].ndim == 5
     if merged:
-        om, cand2m = outs
+        om, cand2m = outs[0], outs[1]
         kp = om.shape[3]
         nch0 = -(-cap0f // se)
         nch1 = -(-cap1f // se)
@@ -914,6 +917,13 @@ def _per_level_entries(outs, binned, config, image_h, image_w):
             else:
                 c_l, ids_l, ov = _compact_entries(c_l, ids_l, cap_l)
                 levels.append((c_l, ids_l, pl_l, ov))
+        if len(outs) == 4:
+            # level-S sub-tile entries (subtile.s_count_pallas /
+            # s_entry_ids): already compact CSR chunks, pre-chunked in
+            # the fold's (E, kp, 128)/(E, 128) entry shape; counts are
+            # bounded by the 128-pixel sub-tile, so 2 digit planes
+            s_counts, s_ids = outs[2], outs[3]
+            levels.append((s_counts, s_ids, 2, zero))
         return levels
 
     c0 = pad_grid(o0).reshape(nty0g * ntx0g, kp, cap0f)

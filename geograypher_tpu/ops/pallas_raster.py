@@ -189,6 +189,7 @@ def _make_kernel(
     kp: int = 0,
     caps: Optional[Tuple[int, int, int, int]] = None,
     emit_p2f: bool = True,
+    s_init: bool = False,
 ):
     """Kernel over grid (tile_rows, tile_cols / pair): each step resolves
     ``pair`` adjacent L0 tiles from one slab block.  ``pair`` is chosen so
@@ -214,13 +215,21 @@ def _make_kernel(
     pp2 = max(1, pair // s2_)
 
     def kernel(c0, c1, c2, *refs):
+        refs = list(refs)
+        s0, s1, s2 = refs[:3]
+        refs = refs[3:]
+        if s_init:
+            # level-S carry init: image-layout (best_w, best_id) planes
+            # from the sub-tile raster (ops/subtile.s_raster_pallas)
+            sw_ref, sid_ref = refs[:2]
+            refs = refs[2:]
         if kp and emit_p2f:
-            (s0, s1, s2, cls_ref, out_ref, om_ref) = refs
+            (cls_ref, out_ref, om_ref) = refs
         elif kp:
-            (s0, s1, s2, cls_ref, om_ref) = refs
+            (cls_ref, om_ref) = refs
             out_ref = None
         else:
-            (s0, s1, s2, out_ref) = refs
+            (out_ref,) = refs
         ty = pl.program_id(0)
         txp = pl.program_id(1)  # pair index
 
@@ -337,10 +346,26 @@ def _make_kernel(
 
             return jax.lax.fori_loop(0, n_chunks, chunk, carry)
 
-        init = (
-            jnp.full((1, npix), NEG_INF, jnp.float32),
-            jnp.full((1, npix), -1.0, jnp.float32),
-        )
+        if s_init:
+            # start from the sub-tile raster's winners; L0+ candidates
+            # beat them only strictly (S/L0 id blocks are disjoint, so
+            # exact w ties across the boundary are knife-edge only)
+            def init_for(s):
+                return (
+                    sw_ref[0, :, s * tile_w:(s + 1) * tile_w].reshape(
+                        1, npix
+                    ),
+                    sid_ref[0, :, s * tile_w:(s + 1) * tile_w].reshape(
+                        1, npix
+                    ),
+                )
+        else:
+            def init_for(s):
+                return (
+                    jnp.full((1, npix), NEG_INF, jnp.float32),
+                    jnp.full((1, npix), -1.0, jnp.float32),
+                )
+
         l0_tile_ids = tuple(
             ty * ntx0p + txp * pair + s for s in range(pair)
         )
@@ -350,7 +375,7 @@ def _make_kernel(
             subs = tuple(range(w, w + gsz))
             res = level0_group(
                 s0, c0, subs, tuple(l0_tile_ids[s] for s in subs),
-                (init,) * gsz,
+                tuple(init_for(s) for s in subs),
             )
             for k, s in enumerate(subs):
                 carries[s] = res[k]
@@ -485,12 +510,18 @@ def raster_tiles_pallas(
     class_image: Optional[jax.Array] = None,
     n_classes: int = 0,
     return_pix2face: bool = True,
+    s_init: Optional[Tuple[jax.Array, jax.Array]] = None,
 ) -> jax.Array:
     """Pallas counterpart of ops.rasterize._raster_tiles_xla.
 
     Args:
         binned: BinnedTriangles (per-level candidate lists).
         planes: (F, 12) triangle planes from setup_triangles.
+        s_init: optional image-layout (best_w, best_id) f32 planes of
+            shape (nty0p, tile_h, ntx0p*tile_w) from the level-S
+            sub-tile raster (ops/subtile.s_raster_pallas); when given
+            the per-tile carry starts from them instead of
+            (-inf, background).
         class_image: optional (H, W) int32 label image (< 0 = ignore).
             When given, the kernel ALSO emits per-tile per-level
             (class, slot) pixel counts — the fused equivalent of
@@ -531,25 +562,11 @@ def raster_tiles_pallas(
     th, tw = config.tile_h, config.tile_w
     npix = th * tw
 
-    # L0 tiles per grid step.  pair must span a whole number of L1/L2
-    # parents or divide one evenly so ancestor-slab indices stay static
-    # inside the step.  Pad the tile-column count to a pair multiple with
-    # empty tiles.  Measured on v5e at bench scale: pair=2 is optimal;
-    # pair>=4 hits a Mosaic pipelining cliff (+60 ms/view — the larger
-    # blocks stop double-buffering), so the auto choice stays at 2.
-    pair = 1
-    if ntx0 > 1:
-        for p in (getattr(config, "pair", 0), 2):
-            if p and (p % s1_ == 0 or s1_ % p == 0) and (
-                p % s2_ == 0 or s2_ % p == 0
-            ):
-                pair = p
-                break
-    ntx0p = _round_up(ntx0, pair)
-    # rows padded to the L1 scale so downstream child->parent reductions
-    # (agg_tiled._per_level_entries) see an already-aligned grid and skip
-    # their multi-hundred-MB pad copies of the count outputs
-    nty0p = _round_up(nty0, s1_)
+    # L0 tiles per grid step + padded grid (shared with the level-S
+    # binning; see rasterize.l0_geometry for the pair/padding rationale)
+    from geograypher_tpu.ops.rasterize import l0_geometry
+
+    pair, nty0p, ntx0p = l0_geometry(config, image_h, image_w)
     pp1 = max(1, pair // s1_)
     pp2 = max(1, pair // s2_)
     # padded ancestor grids: cover all ntx0p tiles, whole blocks
@@ -646,6 +663,20 @@ def raster_tiles_pallas(
     extra_in_specs = []
     extra_out_shapes = []
     extra_out_specs = []
+    if s_init is not None:
+        sw_pl, sid_pl = s_init
+        if sw_pl.shape != (nty0p, th, ntx0p * tw):
+            raise ValueError(
+                f"s_init planes shape {sw_pl.shape} != "
+                f"{(nty0p, th, ntx0p * tw)} (padded grid mismatch)"
+            )
+        tile_block_spec = lambda: pl.BlockSpec(
+            (1, th, pair * tw),
+            lambda i, j, *_: (i, 0, j),
+            memory_space=pltpu.VMEM,
+        )
+        extra_in += [sw_pl, sid_pl]
+        extra_in_specs += [tile_block_spec(), tile_block_spec()]
     if class_image is not None:
         kp = _round_up(max(n_classes, 1), 16)
         # class image in the kernel's row-image layout, -1 beyond extent
@@ -653,8 +684,8 @@ def raster_tiles_pallas(
         cls_pad = cls_pad.at[:image_h, :image_w].set(
             class_image.astype(jnp.int32)[:image_h, :image_w]
         )
-        extra_in = [cls_pad.reshape(nty0p, th, ntx0p * tw)]
-        extra_in_specs = [
+        extra_in += [cls_pad.reshape(nty0p, th, ntx0p * tw)]
+        extra_in_specs += [
             pl.BlockSpec(
                 (1, th, pair * tw),
                 lambda i, j, *_: (i, 0, j),
@@ -691,6 +722,7 @@ def raster_tiles_pallas(
             config.caps[0] * bb, config.caps[1] * bb, (cap2 + cap3) * bb
         ),
         emit_p2f=emit_p2f,
+        s_init=s_init is not None,
     )
 
     p2f_out_specs = (

@@ -323,6 +323,67 @@ def setup_triangles(
     )
 
 
+def l0_geometry(config: RasterConfig, image_h: int, image_w: int):
+    """(pair, nty0p, ntx0p): the pallas rasterizer's L0 grid-step width
+    and padded tile-grid shape.
+
+    ``pair`` L0 tiles are resolved per grid step; it must span a whole
+    number of L1/L2 parents or divide one evenly so ancestor-slab
+    indices stay static inside a step.  Measured on v5e at bench scale:
+    pair=2 is optimal; pair>=4 hits a Mosaic pipelining cliff (+60
+    ms/view — the larger blocks stop double-buffering), so the auto
+    choice stays at 2.  Rows are padded to the L1 scale so downstream
+    child->parent count reductions see an aligned grid.  The level-S
+    sub-tile binning shares this geometry (its CSR chunk ranges are
+    per tile pair).
+    """
+    grids = config.grids(image_h, image_w)
+    nty0, ntx0 = grids[0]
+    s1_, s2_ = config.level_scales[1], config.level_scales[2]
+    pair = 1
+    if ntx0 > 1:
+        for p in (getattr(config, "pair", 0), 2):
+            if p and (p % s1_ == 0 or s1_ % p == 0) and (
+                p % s2_ == 0 or s2_ % p == 0
+            ):
+                pair = p
+                break
+    ntx0p = -(-ntx0 // pair) * pair
+    nty0p = -(-nty0 // s1_) * s1_
+    return pair, nty0p, ntx0p
+
+
+def bin_all(setup: TriangleSetup, config: RasterConfig, image_h: int,
+            image_w: int):
+    """Bin triangles at every level: (BinnedTriangles, SubtileBinned|None).
+
+    With ``config.subtile`` set (pallas backend only), small units are
+    diverted to the level-S sub-tile lists FIRST and excluded from the
+    L0..L3 binning — assignment is exclusive, no face is resolved or
+    counted twice.  Requires census-sized ``s_cap_chunks`` /
+    ``s_pair_chunks`` (see subtile.subtile_counts_census).
+    """
+    if config.subtile is None or config.backend != "pallas":
+        return bin_triangles(setup, config, image_h, image_w), None
+    from geograypher_tpu.ops.subtile import bin_subtiles
+
+    if config.s_cap_chunks is None or config.s_pair_chunks is None:
+        raise ValueError(
+            "config.subtile requires census-sized s_cap_chunks and "
+            "s_pair_chunks (run subtile.subtile_counts_census per view "
+            "and size from the worst)"
+        )
+    pair, _nty0p, ntx0p = l0_geometry(config, image_h, image_w)
+    sb = bin_subtiles(
+        setup, config, image_h, image_w, ntx0p, pair,
+        cap_chunks=config.s_cap_chunks,
+    )
+    binned = bin_triangles(
+        setup, config, image_h, image_w, exclude_blocks=sb.s_mask8
+    )
+    return binned, sb
+
+
 def expand_block_ids(cand: jax.Array, block: int) -> jax.Array:
     """(..., C) BLOCK-id candidate lists -> (..., C*block) face ids.
 
@@ -645,13 +706,21 @@ def rasterize_setup(
     tiles side by side; reshape-only from the kernel output), which feeds
     :mod:`geograypher_tpu.ops.agg_tiled` directly.
     """
-    binned = bin_triangles(setup, config, image_h, image_w)
+    binned, sb = bin_all(setup, config, image_h, image_w)
     if config.backend == "pallas":
         from geograypher_tpu.ops.pallas_raster import raster_tiles_pallas
 
+        s_init = None
+        if sb is not None:
+            from geograypher_tpu.ops.subtile import s_raster_pallas
+
+            pair, _, ntx0p = l0_geometry(config, image_h, image_w)
+            s_init = s_raster_pallas(
+                sb, setup.planes, config, image_h, image_w, ntx0p, pair
+            )
         pix2face = raster_tiles_pallas(
             binned, setup.planes, config, image_h, image_w,
-            return_tiles=return_tiles,
+            return_tiles=return_tiles, s_init=s_init,
         )
     else:
         cand = concat_candidates_for_tiles(binned, config, image_h, image_w)
@@ -682,15 +751,13 @@ def rasterize_and_count(
 
     Returns (n_faces, n_classes) float32 counts.
     """
-    binned = bin_triangles(setup, config, image_h, image_w)
+    binned, sb = bin_all(setup, config, image_h, image_w)
     if config.backend == "pallas":
         from geograypher_tpu.ops import agg_tiled
-        from geograypher_tpu.ops.pallas_raster import raster_tiles_pallas
 
-        _p2f, outs, _kp = raster_tiles_pallas(
-            binned, setup.planes, config, image_h, image_w,
-            return_tiles=True, class_image=class_image,
-            n_classes=n_classes, return_pix2face=False,
+        outs = fused_counts_pallas(
+            setup, binned, sb, class_image, config, image_h, image_w,
+            n_classes,
         )
         return agg_tiled.fold_tile_counts(
             outs, binned, config, image_h, image_w, n_faces, n_classes,
@@ -704,6 +771,59 @@ def rasterize_and_count(
     return project_image_class_counts(
         p2f, class_image, n_faces=n_faces, n_classes=n_classes
     )
+
+
+def fused_counts_pallas(
+    setup: TriangleSetup,
+    binned: BinnedTriangles,
+    sb,
+    class_image: jax.Array,
+    config: RasterConfig,
+    image_h: int,
+    image_w: int,
+    n_classes: int,
+):
+    """One view's fused raster+count kernel chain -> fold-ready ``outs``.
+
+    Without level S: the raster kernel's merged (om, cand2m) pair.  With
+    ``sb`` (level-S binning): the sub-tile z-pass seeds the L0 kernel's
+    carry, the kernel emits pix2face alongside its counts, and the S
+    count kernel matches final winners against the S chunk candidates —
+    ``outs`` grows to (om, cand2m, s_counts, s_ids), which
+    agg_tiled folds as one more entry level.
+    """
+    from geograypher_tpu.ops.pallas_raster import raster_tiles_pallas
+
+    if sb is None:
+        _p2f, outs, _kp = raster_tiles_pallas(
+            binned, setup.planes, config, image_h, image_w,
+            return_tiles=True, class_image=class_image,
+            n_classes=n_classes, return_pix2face=False,
+        )
+        return outs
+    from geograypher_tpu.ops.subtile import (
+        prep_s_slab,
+        s_count_pallas,
+        s_entry_ids,
+        s_raster_pallas,
+    )
+
+    pair, _, ntx0p = l0_geometry(config, image_h, image_w)
+    slab = prep_s_slab(sb, setup.planes, config, ntx0p)
+    s_init = s_raster_pallas(
+        sb, setup.planes, config, image_h, image_w, ntx0p, pair,
+        slab=slab,
+    )
+    p2f, outs, kp = raster_tiles_pallas(
+        binned, setup.planes, config, image_h, image_w,
+        return_tiles=True, class_image=class_image,
+        n_classes=n_classes, return_pix2face=True, s_init=s_init,
+    )
+    s_counts = s_count_pallas(
+        sb, slab, p2f, class_image, config, image_h, image_w, ntx0p,
+        pair, kp,
+    )
+    return outs + (s_counts, s_entry_ids(sb, config))
 
 
 @functools.partial(
@@ -736,11 +856,20 @@ def probe_fold_window(
         tri_soa, world_to_cam, f, image_w, image_h, config.znear,
         distortion=(dist8, pcx, pcy) if use_dist else None,
     )
-    binned = bin_triangles(setup, config, image_h, image_w)
+    binned, sb = bin_all(setup, config, image_h, image_w)
     _over, win = fold_window_overflow(
         l0_face_ids(binned, config), n_faces=n_faces, w_cap=504,
         block=config.fold_block,
     )
+    if sb is not None:
+        # the S fold launch shares w_cap: size from the worse of the two
+        from geograypher_tpu.ops.subtile import s_entry_ids
+
+        _so, s_win = fold_window_overflow(
+            s_entry_ids(sb, config), n_faces=n_faces, w_cap=504,
+            block=config.fold_block,
+        )
+        win = jnp.maximum(win, s_win)
     # win is the exact unclipped per-block max (probe cap irrelevant)
     return win, entry_occupancy(binned, config, image_h, image_w)
 
@@ -785,14 +914,11 @@ def fused_view_class_counts(
         tri_soa, world_to_cam, f, image_w, image_h, config.znear,
         distortion=(dist8, pcx, pcy) if use_dist else None,
     )
-    binned = bin_triangles(setup, config, image_h, image_w)
+    binned, sb = bin_all(setup, config, image_h, image_w)
     if config.backend == "pallas":
-        from geograypher_tpu.ops.pallas_raster import raster_tiles_pallas
-
-        _p2f, outs, _kp = raster_tiles_pallas(
-            binned, setup.planes, config, image_h, image_w,
-            return_tiles=True, class_image=class_image,
-            n_classes=n_classes, return_pix2face=False,
+        outs = fused_counts_pallas(
+            setup, binned, sb, class_image, config, image_h, image_w,
+            n_classes,
         )
         # the fold's returned overflow covers BOTH dropped window
         # entries (w_cap) and entry-compaction drops (entry_caps) at
@@ -802,6 +928,9 @@ def fused_view_class_counts(
             w_cap=config.fold_w_cap, block=config.fold_block,
             return_overflow=True,
         )
+        if sb is not None:
+            # S chunk-capacity drops lose counts, same contract
+            over = over + sb.overflow
     else:
         from geograypher_tpu.ops.aggregate import project_image_class_counts
 

@@ -65,6 +65,44 @@ class SubtileBinned(NamedTuple):
     overflow: jax.Array  # () int32 chunks dropped by cap_chunks
 
 
+def _unit_fit(setup, config):
+    """Per-s_block-unit sub-tile cell spans + the diversion masks.
+
+    Returns (cy0, cy1, cx0, cx1, uvalid, s_mask8, s_unit): cell bbox per
+    unit, unit validity, the per-bin_block-BLOCK level-S diversion mask,
+    and the per-unit "actually binned to S" mask.
+    """
+    sh, sw = config.subtile
+    wy, wx = config.s_window
+    sbb = config.s_block
+    bb = config.bin_block
+    py0, px0, py1, px1 = (setup.bbox[k] for k in range(4))
+    valid = setup.valid
+    big = jnp.asarray(INT32_MAX, jnp.int32)
+    py0u = jnp.min(jnp.where(valid, py0, big).reshape(-1, sbb), axis=1)
+    px0u = jnp.min(jnp.where(valid, px0, big).reshape(-1, sbb), axis=1)
+    py1u = jnp.max(jnp.where(valid, py1, -1).reshape(-1, sbb), axis=1)
+    px1u = jnp.max(jnp.where(valid, px1, -1).reshape(-1, sbb), axis=1)
+    uvalid = jnp.any(valid.reshape(-1, sbb), axis=1)
+
+    cy0, cy1 = py0u // sh, py1u // sh
+    cx0, cx1 = px0u // sw, px1u // sw
+    fits = (cy1 - cy0 < wy) & (cx1 - cx0 < wx)
+    # empty sub-units never block their parent's diversion
+    ok_unit = fits | ~uvalid
+    k8 = bb // sbb
+    s_mask8 = jnp.all(ok_unit.reshape(-1, k8), axis=1)
+    s_unit = uvalid & jnp.repeat(s_mask8, k8)
+    return cy0, cy1, cx0, cx1, uvalid, s_mask8, s_unit
+
+
+def subtile_mask8(setup, config) -> jax.Array:
+    """The level-S diversion mask alone (for censusing the L0..L3 caps
+    with ``bin_triangles(..., exclude_blocks=...)`` before the full S
+    capacities are known)."""
+    return _unit_fit(setup, config)[5]
+
+
 def subtile_counts_census(setup, config, image_h, image_w, ntx0p, pair,
                           kb: int = 4):
     """Exact chunk demand: (total_chunks, worst_pair_chunks) for sizing
@@ -110,24 +148,8 @@ def bin_subtiles(
     upq = QUARTER // sbb  # units per quarter
     spt = config.tile_w // sw  # sub-tiles per L0 tile
 
-    py0, px0, py1, px1 = (setup.bbox[k] for k in range(4))
-    valid = setup.valid
-    big = jnp.asarray(INT32_MAX, jnp.int32)
-    py0u = jnp.min(jnp.where(valid, py0, big).reshape(-1, sbb), axis=1)
-    px0u = jnp.min(jnp.where(valid, px0, big).reshape(-1, sbb), axis=1)
-    py1u = jnp.max(jnp.where(valid, py1, -1).reshape(-1, sbb), axis=1)
-    px1u = jnp.max(jnp.where(valid, px1, -1).reshape(-1, sbb), axis=1)
-    uvalid = jnp.any(valid.reshape(-1, sbb), axis=1)
+    cy0, cy1, cx0, cx1, uvalid, s_mask8, s_unit = _unit_fit(setup, config)
     n_units = uvalid.shape[0]
-
-    cy0, cy1 = py0u // sh, py1u // sh
-    cx0, cx1 = px0u // sw, px1u // sw
-    fits = (cy1 - cy0 < wy) & (cx1 - cx0 < wx)
-    # empty sub-units never block their parent's diversion
-    ok_unit = fits | ~uvalid
-    k8 = bb // sbb
-    s_mask8 = jnp.all(ok_unit.reshape(-1, k8), axis=1)
-    s_unit = uvalid & jnp.repeat(s_mask8, k8)
 
     # sub-tile grid on the kernel's padded L0 grid (rows padded to the
     # L1 scale like the rasterizer's nty0p)
@@ -308,6 +330,7 @@ def s_raster_pallas(
     ntx0p: int,
     pair: int,
     kb: int = 4,
+    slab: jax.Array = None,
 ):
     """Level-S z-pass: resolve every S candidate against its own sub-tile.
 
@@ -335,7 +358,8 @@ def s_raster_pallas(
     if cap_pair % kb:
         raise ValueError("s_pair_chunks must be a multiple of kb")
     n_steps = cap_pair // kb
-    slab = prep_s_slab(sb, planes, config, ntx0p)
+    if slab is None:
+        slab = prep_s_slab(sb, planes, config, ntx0p)
     cap_chunks = slab.shape[0]
     nsub_step = pair * spt
 
@@ -416,18 +440,11 @@ def s_raster_pallas(
 
         @pl.when(k == n_steps - 1)
         def _():
-            # sub-tile-major (spt, 128) -> image-layout (th, tw) per tile
-            for t in range(pair):
-                for ref, scr in ((w_ref, scr_w), (id_ref, scr_id)):
-                    c = scr[t * spt:(t + 1) * spt, :]  # (spt, 128)
-                    img = jnp.concatenate(
-                        [
-                            c[:, y * sw:(y + 1) * sw].reshape(1, tw)
-                            for y in range(th)
-                        ],
-                        axis=0,
-                    )  # (th, tw) rows y, lanes s*sw + x
-                    ref[0, :, t * tw:(t + 1) * tw] = img
+            # emit SUB-TILE-MAJOR (nsub_step, 128) rows; the caller's XLA
+            # transpose rebuilds the image layout (an in-kernel
+            # (spt, sw) -> (1, tw) reshape does not lower in Mosaic)
+            w_ref[0] = scr_w[...]
+            id_ref[0] = scr_id[...]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -457,13 +474,13 @@ def s_raster_pallas(
         ],
         out_specs=[
             pl.BlockSpec(
-                (1, th, pair * tw),
-                lambda i, j, k, *_: (i, 0, j),
+                (1, nsub_step, CHUNK),
+                lambda i, j, k, *_: (i, j, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, th, pair * tw),
-                lambda i, j, k, *_: (i, 0, j),
+                (1, nsub_step, CHUNK),
+                lambda i, j, k, *_: (i, j, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
@@ -473,8 +490,8 @@ def s_raster_pallas(
         ],
     )
     out_shape = [
-        jax.ShapeDtypeStruct((nty0p, th, ntx0p * tw), jnp.float32),
-        jax.ShapeDtypeStruct((nty0p, th, ntx0p * tw), jnp.float32),
+        jax.ShapeDtypeStruct((nty0p, ntx0p * spt, CHUNK), jnp.float32),
+        jax.ShapeDtypeStruct((nty0p, ntx0p * spt, CHUNK), jnp.float32),
     ]
     operands = jax.lax.optimization_barrier(
         (sb.pair_start, sb.pair_cnt, sb.qsub, slab)
@@ -485,4 +502,208 @@ def s_raster_pallas(
         grid_spec=grid_spec,
         interpret=jax.default_backend() == "cpu",
     )(*operands)
-    return jax.lax.optimization_barrier(tuple(outs))
+    outs = jax.lax.optimization_barrier(tuple(outs))
+    return tuple(
+        subtile_to_image(o, config, nty0p, ntx0p) for o in outs
+    )
+
+
+def subtile_to_image(o: jax.Array, config, nty0p: int, ntx0p: int):
+    """(nty0p, ntx0p*spt, 128) sub-tile-major -> row-image layout
+    (nty0p, tile_h, ntx0p*tile_w).  Row T*spt+s lane y*sw+x maps to image
+    row y, lane T*tile_w + s*sw + x."""
+    sh, sw = config.subtile
+    th, tw = config.tile_h, config.tile_w
+    spt = tw // sw
+    return (
+        o.reshape(nty0p, ntx0p, spt, th, sw)
+        .transpose(0, 3, 1, 2, 4)
+        .reshape(nty0p, th, ntx0p * tw)
+    )
+
+
+def image_to_subtile(img: jax.Array, config, nty0p: int, ntx0p: int):
+    """Inverse of :func:`subtile_to_image`."""
+    sh, sw = config.subtile
+    th, tw = config.tile_h, config.tile_w
+    spt = tw // sw
+    return (
+        img.reshape(nty0p, th, ntx0p, spt, sw)
+        .transpose(0, 2, 3, 1, 4)
+        .reshape(nty0p, ntx0p * spt, th * sw)
+    )
+
+
+def s_entry_ids(sb: SubtileBinned, config) -> jax.Array:
+    """(cap_chunks, 128) int32 face ids in the S chunk-slot layout.
+
+    The fold-entry twin of the counts :func:`s_count_pallas` emits:
+    slot c of chunk i holds the face id the kernel matched there, or -1
+    for empty/pad slots (inert in the face-block fold's radix deposit).
+    A face appearing in several sub-tile cells appears in several
+    chunks; each counts a disjoint pixel set, so the fold's sum is
+    exact.
+    """
+    sbb = config.s_block
+    offs = jnp.arange(sbb, dtype=jnp.int32)
+    fid = jnp.where(
+        (sb.units >= 0)[:, None], sb.units[:, None] * sbb + offs, -1
+    )
+    return fid.reshape(-1, CHUNK)
+
+
+def s_count_pallas(
+    sb: SubtileBinned,
+    slab: jax.Array,
+    p2f_tiles: jax.Array,
+    class_image: jax.Array,
+    config,
+    image_h: int,
+    image_w: int,
+    ntx0p: int,
+    pair: int,
+    kp: int,
+    kb: int = 4,
+):
+    """Per-chunk (class, slot) pixel counts for the level-S candidates.
+
+    The S counterpart of the L0 kernel's fused class counting: final
+    winner ids (``p2f_tiles``, the raster kernel's row-image output)
+    are matched against each S chunk's candidate ids — every quarter's
+    32 slots against its own sub-tile's 128 pixels — and a one-hot
+    class contraction turns matches into counts.  Output
+    (cap_chunks, kp, 128) f32 rides the face-block fold as one more
+    entry level (ids from :func:`s_entry_ids`).
+
+    Grid: ONE dimension over kb-chunk batches.  Pair ranges are
+    kb-aligned, so every batch belongs to exactly one tile pair; a
+    scalar-prefetched batch->pair map drives the p2f/class block index
+    maps (consecutive same-pair batches keep their block, no re-DMA),
+    and each batch writes its own distinct output block — no revisiting
+    and no clamped-map write hazards.  Chunks beyond ``n_chunks`` hold
+    sentinel ids and produce zero counts.
+    """
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    sh, sw = config.subtile
+    spt = config.tile_w // sw
+    th, tw = config.tile_h, config.tile_w
+    npx = ntx0p // pair
+    n_pairs = sb.pair_start.shape[0]
+    nty0p = n_pairs // npx
+    nsub_step = pair * spt
+    ntx_s = ntx0p * spt
+
+    # digit rows only (3, CHUNK) per chunk — the slab's id block
+    digs = slab[:, 0:3, 4 * CHUNK:5 * CHUNK]
+    cap_chunks = digs.shape[0]
+    if cap_chunks % kb:
+        raise ValueError("s_cap_chunks must be a multiple of kb")
+    n_batches = cap_chunks // kb
+
+    # batch -> pair: ranges partition [0, n_chunks) in pair order
+    chunk0 = jnp.arange(n_batches, dtype=jnp.int32) * kb
+    bp = jnp.clip(
+        jnp.searchsorted(sb.pair_start, chunk0, side="right").astype(
+            jnp.int32
+        )
+        - 1,
+        0,
+        n_pairs - 1,
+    )
+
+    # class image in the kernel's row-image layout, -1 beyond extent,
+    # then relayouted to the sub-tile-major rows the kernel indexes
+    cls_pad = jnp.full((nty0p * th, ntx0p * tw), -1, jnp.int32)
+    cls_pad = cls_pad.at[:image_h, :image_w].set(
+        class_image.astype(jnp.int32)[:image_h, :image_w]
+    )
+    cls_sub = image_to_subtile(
+        cls_pad.reshape(nty0p, th, ntx0p * tw), config, nty0p, ntx0p
+    )
+    p2f_sub = image_to_subtile(
+        p2f_tiles.astype(jnp.float32), config, nty0p, ntx0p
+    )
+
+    def kernel(bp_ref, qs_ref, digs_ref, p2f_ref, cls_ref, out_ref):
+        k = pl.program_id(0)
+        pidx = bp_ref[k]
+        i = pidx // npx
+        j = pidx % npx
+        sub_base = i * ntx_s + j * pair * spt
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+        cls_iota = jax.lax.broadcasted_iota(jnp.int32, (kp, CHUNK), 0)
+        _ri = jax.lax.broadcasted_iota(jnp.int32, (3, 1), 0)
+        w3 = jnp.ones((3, 1), jnp.bfloat16)
+
+        for b in range(kb):
+            ci = k * kb + b
+            d = digs_ref[b]  # (3, CHUNK)
+            ids_row = d[0:1] + 256.0 * d[1:2] + 65536.0 * d[2:3]
+            cnt = jnp.zeros((kp, CHUNK), jnp.float32)
+            for q in range(4):
+                loc = jnp.clip(
+                    qs_ref[ci * 4 + q] - sub_base, 0, nsub_step - 1
+                )
+                wrow = p2f_ref[0, pl.ds(loc, 1), :]  # (1, 128) winner ids
+                crow = cls_ref[0, pl.ds(loc, 1), :]  # (1, 128) classes
+                # exact lane->sublane transpose of the winner ids via the
+                # 3-way bf16 digit split (ids < 2^24; -1 background stays
+                # exactly -1 and matches nothing)
+                b1 = wrow.astype(jnp.bfloat16).astype(jnp.float32)
+                r = wrow - b1
+                b2 = r.astype(jnp.bfloat16).astype(jnp.float32)
+                b3 = r - b2
+                dw = jnp.concatenate([b1, b2, b3], axis=0).astype(
+                    jnp.bfloat16
+                )
+                wcol = jax.lax.dot_general(
+                    dw, w3, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (128, 1)
+                qmask = (lane // QUARTER) == q
+                m = ((wcol == ids_row) & qmask).astype(jnp.bfloat16)
+                onehot = (cls_iota == crow).astype(jnp.bfloat16)
+                cnt = cnt + jax.lax.dot_general(
+                    onehot, m, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (kp, CHUNK)
+            out_ref[b] = cnt
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_batches,),
+        in_specs=[
+            pl.BlockSpec(
+                (kb, 3, CHUNK), lambda k, *_: (k, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, nsub_step, CHUNK),
+                lambda k, bp, qs: (bp[k] // npx, bp[k] % npx, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, nsub_step, CHUNK),
+                lambda k, bp, qs: (bp[k] // npx, bp[k] % npx, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (kb, kp, CHUNK), lambda k, *_: (k, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    operands = jax.lax.optimization_barrier(
+        (bp, sb.qsub, digs, p2f_sub, cls_sub)
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(
+            (cap_chunks, kp, CHUNK), jnp.float32
+        ),
+        grid_spec=grid_spec,
+        interpret=jax.default_backend() == "cpu",
+    )(*operands)
+    return jax.lax.optimization_barrier(out)

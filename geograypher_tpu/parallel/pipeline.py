@@ -68,6 +68,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from geograypher_tpu.ops.rasterize import (
     RasterConfig,
+    bin_all,
     bin_triangles,
     l0_face_ids,
     rasterize_and_count,
@@ -134,11 +135,19 @@ def _build_probe_windows(
             setup = setup_from_soa(
                 tri_soa, w2c_k, f_k, w, h, config.znear, distortion=dist_k
             )
-            binned = bin_triangles(setup, config, h, w)
+            binned, sb = bin_all(setup, config, h, w)
             _over_k, win_k = fold_window_overflow(
                 l0_face_ids(binned, config), n_faces=n_faces,
                 w_cap=504, block=fold_block,
             )
+            if sb is not None:
+                from geograypher_tpu.ops.subtile import s_entry_ids
+
+                _so, s_win = fold_window_overflow(
+                    s_entry_ids(sb, config), n_faces=n_faces,
+                    w_cap=504, block=fold_block,
+                )
+                win_k = jnp.maximum(win_k, s_win)
             worst = jnp.maximum(worst, win_k)
             worst_occ = jnp.maximum(
                 worst_occ, entry_occupancy(binned, config, h, w)
@@ -158,22 +167,23 @@ def _build_device_step(
     fold_block = config.fold_block
     w_cap = config.fold_w_cap
 
-    def count_one_view(setup, binned, cls_img):
+    def count_one_view(setup, binned, sb, cls_img):
         """((F, C) counts, entry-compaction overflow) for one prepared
         view, sharing its binning."""
         if fused:
             from geograypher_tpu.ops import agg_tiled
-            from geograypher_tpu.ops.pallas_raster import raster_tiles_pallas
+            from geograypher_tpu.ops.rasterize import fused_counts_pallas
 
-            _p2f, outs, _kp = raster_tiles_pallas(
-                binned, setup.planes, config, h, w,
-                return_tiles=True, class_image=cls_img,
-                n_classes=n_classes, return_pix2face=False,
+            outs = fused_counts_pallas(
+                setup, binned, sb, cls_img, config, h, w, n_classes
             )
-            return agg_tiled.fold_tile_counts(
+            counts, over = agg_tiled.fold_tile_counts(
                 outs, binned, config, h, w, n_faces, n_classes,
                 w_cap=w_cap, block=fold_block, return_overflow=True,
             )
+            if sb is not None:
+                over = over + sb.overflow
+            return counts, over
         from geograypher_tpu.ops.aggregate import project_image_class_counts
         from geograypher_tpu.ops.rasterize import (
             _raster_tiles_xla,
@@ -207,9 +217,9 @@ def _build_device_step(
                     tri_soa, w2c_k, f_k, w, h, config.znear,
                     distortion=dist_k,
                 )
-                binned = bin_triangles(setup, config, h, w)
+                binned, sb = bin_all(setup, config, h, w)
                 counts, eover_k = count_one_view(
-                    setup, binned, imgs_b[k].astype(jnp.int32)
+                    setup, binned, sb, imgs_b[k].astype(jnp.int32)
                 )
                 counts = counts * valid_k
                 if fused:

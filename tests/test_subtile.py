@@ -174,6 +174,11 @@ def test_s_raster_matches_bruteforce():
     exp = best_id
     agree = got == exp
     assert agree.mean() > 0.995, agree.mean()
+    _check_near_tie_disagreements(got, exp, agree, planes)
+    assert (exp >= 0).sum() > 1000  # the fixture exercises real coverage
+
+
+def _check_near_tie_disagreements(got, exp, agree, planes):
     # disagreements must be near-tie face swaps or knife-edge coverage
     # flips (the hi/lo bf16 eval can flip pixels whose edge value is
     # ~1e-3 px from zero; with only the S faces in this brute force the
@@ -189,4 +194,70 @@ def test_s_raster_matches_bruteforce():
             for k in range(3)
         )
         assert abs(ev) < 1e-2, (y, x, fa, fb, ev)
-    assert (exp >= 0).sum() > 1000  # the fixture exercises real coverage
+
+
+def _sized_config(setup, w, h):
+    """CFG with census-sized S capacities for this view."""
+    import dataclasses
+
+    from geograypher_tpu.ops.rasterize import l0_geometry
+    from geograypher_tpu.ops.subtile import subtile_counts_census
+
+    pair, _, ntx0p = l0_geometry(CFG, h, w)
+    tot, worst = subtile_counts_census(setup, CFG, h, w, ntx0p, pair)
+    return dataclasses.replace(
+        CFG, s_cap_chunks=int(tot), s_pair_chunks=int(worst),
+    )
+
+
+def test_subtile_pix2face_matches_plain():
+    """Full rasterize with level S on == the plain pallas path (modulo
+    knife-edge bf16 coverage flips)."""
+    from geograypher_tpu.ops.rasterize import rasterize_setup
+
+    setup, w, h = _setup()
+    cfg_s = _sized_config(setup, w, h)
+    p2f_s, _ = rasterize_setup(setup, cfg_s, h, w)
+    import dataclasses
+
+    cfg_plain = dataclasses.replace(
+        cfg_s, subtile=None, s_cap_chunks=None, s_pair_chunks=None
+    )
+    p2f_p, _ = rasterize_setup(setup, cfg_plain, h, w)
+    a = np.asarray(p2f_s)
+    b = np.asarray(p2f_p)
+    agree = a == b
+    assert agree.mean() > 0.999, agree.mean()
+    planes = np.asarray(setup.planes, np.float64)
+    _check_near_tie_disagreements(a, b, agree, planes)
+    assert (b >= 0).mean() > 0.3
+
+
+def test_subtile_counts_match_plain():
+    """Fused rasterize_and_count with level S on == plain, up to the
+    same knife-edge pixel flips (total pixel mass preserved)."""
+    import dataclasses
+
+    from geograypher_tpu.ops.rasterize import rasterize_and_count
+
+    setup, w, h = _setup()
+    cfg_s = _sized_config(setup, w, h)
+    cfg_plain = dataclasses.replace(
+        cfg_s, subtile=None, s_cap_chunks=None, s_pair_chunks=None
+    )
+    n_faces = setup.valid.shape[0]
+    rng = np.random.default_rng(3)
+    cls = jnp.asarray(rng.integers(0, 5, (h, w)).astype(np.int32))
+    c_s = np.asarray(
+        rasterize_and_count(setup, cls, cfg_s, h, w, n_faces, 5)
+    )
+    c_p = np.asarray(
+        rasterize_and_count(setup, cls, cfg_plain, h, w, n_faces, 5)
+    )
+    # identical up to knife-edge winner flips: total counted pixels agree
+    # and per-face-class disagreement mass is a tiny fraction
+    assert abs(c_s.sum() - c_p.sum()) <= 0.005 * c_p.sum() + 1
+    assert np.abs(c_s - c_p).sum() <= 0.01 * c_p.sum() + 2
+    # most faces agree exactly
+    assert (c_s == c_p).all(axis=1).mean() > 0.99
+    assert c_p.sum() > 1000
