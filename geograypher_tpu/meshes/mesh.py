@@ -1298,19 +1298,53 @@ class TexturedMesh:
         export_file: typing.Optional[PATH_TYPE] = None,
         label_names: typing.Optional[dict] = None,
         resolution_m: float = 0.2,
+        mode: str = "exact",
     ) -> VectorData:
         """Per-face labels -> geospatial polygons (reference
         meshes.py:1284-1423).
 
-        The reference unions millions of per-face 2D triangles with GEOS
-        (batched_unary_union); here the faces are rendered orthographically
-        at ``resolution_m`` and class masks are vectorized with contour
-        extraction — equivalent output at a controllable resolution, orders
-        of magnitude faster.
+        ``mode="exact"`` (default) derives class regions combinatorially
+        from shared mesh edges (utils/exact_geometry): every output
+        vertex is an exact mesh vertex, matching the reference's GEOS
+        union of face triangles (utils/geometric.py:13) bit-for-intent —
+        sub-resolution features (seedlings, narrow crowns) survive.
+        ``mode="raster"`` renders the faces orthographically at
+        ``resolution_m`` and vectorizes class masks — useful for meshes
+        whose top-down projection self-overlaps (bridges, dense canopy
+        overhangs), where a 2.5D boundary walk is ill-defined.
         """
         if face_labels is None:
             face_labels = self.get_texture(request_vertex_texture=False)
         face_labels = np.asarray(face_labels).reshape(-1)
+        if mode == "exact":
+            from geograypher_tpu.utils.exact_geometry import (
+                class_region_polygons,
+            )
+
+            crs = (
+                self.get_working_projected_CRS()
+                if self.CRS is not None
+                else None
+            )
+            verts2d = self.get_vertices_in_CRS(crs)[:, :2]
+            regions = class_region_polygons(
+                verts2d, self.faces, face_labels
+            )
+            label_names = label_names or self.IDs_to_labels or {}
+            geoms, names, ids = [], [], []
+            for c in sorted(regions):
+                for poly in regions[c]:
+                    geoms.append(poly)
+                    ids.append(int(c))
+                    names.append(label_names.get(int(c), int(c)))
+            out = VectorData(
+                geoms,
+                {"class_ID": ids, "names": [str(n) for n in names]},
+                epsg=crs,
+            )
+            if export_file is not None:
+                out.to_file(export_file)
+            return out
         p2f, bounds, crs = self.ortho_pix2face(resolution_m=resolution_m)
         with np.errstate(invalid="ignore"):
             label_img = np.where(
@@ -1344,18 +1378,28 @@ class TexturedMesh:
         return_class_labels: bool = True,
         unknown_class_label: str = "unknown",
         resolution_m: float = 0.2,
+        mode: str = "raster",
     ) -> list:
         """Assign each polygon the area-weighted dominant face class
         (reference meshes.py:1117-1282).
 
-        The reference overlays face triangles with polygons in GEOS and
-        area-weights; here both layers are rasterized onto a common ortho
-        grid and the joint histogram provides the same area weighting at
-        ``resolution_m`` granularity.
+        ``mode="raster"`` (default) rasterizes both layers onto a common
+        ortho grid; the joint histogram gives the reference's area
+        weighting at ``resolution_m`` granularity — resolution-
+        independent cost, right for survey-scale polygon sets.
+        ``mode="exact"`` computes true triangle∩polygon intersection
+        areas by convex clipping (utils/exact_geometry), matching the
+        reference's GEOS overlay (meshes.py:1226-1253) with no raster
+        quantization — right for small or narrow polygons.
         """
         if not isinstance(polygons, VectorData):
             polygons = VectorData.read_file(polygons)
         face_labels = np.asarray(face_labels).reshape(-1)
+        if mode == "exact":
+            return self._label_polygons_exact(
+                face_labels, polygons, face_weighting,
+                return_class_labels, unknown_class_label,
+            )
         p2f, bounds, crs = self.ortho_pix2face(resolution_m=resolution_m)
         if polygons.epsg is not None and crs is not None:
             polygons = polygons.to_crs(crs)
@@ -1390,6 +1434,59 @@ class TexturedMesh:
         ).reshape(len(polygons), n_classes)
         best = np.argmax(hist, axis=1).astype(float)
         best[hist.sum(axis=1) == 0] = np.nan
+        if return_class_labels:
+            ids_to_labels = self.IDs_to_labels or {}
+            return [
+                unknown_class_label
+                if np.isnan(b)
+                else ids_to_labels.get(int(b), int(b))
+                for b in best
+            ]
+        return best.tolist()
+
+    def _label_polygons_exact(
+        self,
+        face_labels: np.ndarray,
+        polygons: VectorData,
+        face_weighting: typing.Optional[np.ndarray],
+        return_class_labels: bool,
+        unknown_class_label: str,
+    ) -> list:
+        """Exact-area polygon labeling via convex clipping (see
+        label_polygons mode="exact")."""
+        from geograypher_tpu.utils.exact_geometry import (
+            polygon_overlay_areas,
+        )
+
+        crs = (
+            self.get_working_projected_CRS()
+            if self.CRS is not None
+            else None
+        )
+        if polygons.epsg is not None and crs is not None:
+            polygons = polygons.to_crs(crs)
+        verts2d = self.get_vertices_in_CRS(crs)[:, :2]
+        tris = verts2d[self.faces]
+        finite = np.isfinite(face_labels) & (face_labels >= 0)
+        n_classes = int(face_labels[finite].max()) + 1 if finite.any() else 1
+        weighting = (
+            np.asarray(face_weighting).reshape(-1)
+            if face_weighting is not None
+            else np.ones(len(face_labels))
+        )
+        best = np.full(len(polygons), np.nan)
+        for pi, poly in enumerate(polygons.geometries):
+            areas = polygon_overlay_areas(tris, poly)
+            sel = (areas > 0) & finite
+            if not sel.any():
+                continue
+            hist = np.bincount(
+                face_labels[sel].astype(np.int64),
+                weights=areas[sel] * weighting[sel],
+                minlength=n_classes,
+            )
+            if hist.sum() > 0:
+                best[pi] = float(np.argmax(hist))
         if return_class_labels:
             ids_to_labels = self.IDs_to_labels or {}
             return [

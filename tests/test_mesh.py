@@ -439,3 +439,58 @@ def test_export_face_labels_subresolution_feature():
     areas = np.array([p.area for p in out.geometries])
     got = areas[ids == 1].sum()
     assert abs(got - cell * cell) < 0.2 * cell * cell
+
+
+def test_export_exact_vs_raster_parity():
+    """Exact (mesh-edge) and raster-assisted vector exports agree on
+    per-class area to raster tolerance; exact areas match the summed
+    face areas to float precision."""
+    mesh, (e0, n0) = make_geo_mesh(n=11, size=40.0)
+    utm = mesh.get_vertices_in_CRS(SITE_UTM)
+    face_cx = utm[mesh.faces][:, :, 0].mean(axis=1)
+    labels = np.where(face_cx > e0, 1.0, 0.0)
+    exact = mesh.export_face_labels_vector(labels, mode="exact")
+    raster = mesh.export_face_labels_vector(
+        labels, mode="raster", resolution_m=0.25
+    )
+    tris = utm[mesh.faces][:, :, :2]
+    tri_area = 0.5 * np.abs(
+        (tris[:, 1, 0] - tris[:, 0, 0]) * (tris[:, 2, 1] - tris[:, 0, 1])
+        - (tris[:, 2, 0] - tris[:, 0, 0]) * (tris[:, 1, 1] - tris[:, 0, 1])
+    )
+    for cls in (0, 1):
+        a_exact = sum(
+            g.area
+            for g, c in zip(exact.geometries, exact["class_ID"])
+            if c == cls
+        )
+        a_raster = sum(
+            g.area
+            for g, c in zip(raster.geometries, raster["class_ID"])
+            if c == cls
+        )
+        want = tri_area[labels == cls].sum()
+        assert abs(a_exact - want) < 1e-6 * want
+        assert abs(a_raster - want) < 0.05 * want
+
+
+def test_label_polygons_exact_mode():
+    mesh, (e0, n0) = make_geo_mesh(n=11, size=40.0)
+    utm = mesh.get_vertices_in_CRS(SITE_UTM)
+    face_cx = utm[mesh.faces][:, :, 0].mean(axis=1)
+    labels = np.where(face_cx > e0, 1.0, 0.0)
+    mesh.IDs_to_labels = {0: "left", 1: "right"}
+    # a polygon straddling the split: 70% right of it -> "right"; plus a
+    # NARROW sliver (0.1 m wide, far below any raster resolution) fully
+    # on the left that the raster path could not resolve
+    polys = VectorData(
+        [
+            Polygon(np.array([[e0 - 3, n0 - 5], [e0 + 7, n0 - 5],
+                              [e0 + 7, n0 + 5], [e0 - 3, n0 + 5]])),
+            Polygon(np.array([[e0 - 6.0, n0 - 5], [e0 - 5.9, n0 - 5],
+                              [e0 - 5.9, n0 + 5], [e0 - 6.0, n0 + 5]])),
+        ],
+        epsg=SITE_UTM,
+    )
+    out = mesh.label_polygons(labels, polys, mode="exact")
+    assert out == ["right", "left"]
