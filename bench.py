@@ -213,8 +213,12 @@ def main():
         caps=caps, backend=backend, bin_block=bin_block, l0_window=(5, 2)
     )
     if subtile_on:
-        s_cap = -(-int(s_tot_w * 5 // 4) // 4) * 4
-        s_pc = -(-int(s_pair_w * 5 // 4) // 4) * 4
+        # the S census is EXACT per view and the same views run the
+        # bench, so the worst-view demand needs no margin (only kb=4
+        # alignment); margin here would inflate every view's dense
+        # (cap, kp, 128) entry stack in the grouped fold
+        s_cap = -(-int(s_tot_w) // 4) * 4
+        s_pc = -(-int(s_pair_w) // 4) * 4
         print(
             f"S census: {s_tot_w} chunks (cap {s_cap}), worst pair "
             f"{s_pair_w} (cap {s_pc})",

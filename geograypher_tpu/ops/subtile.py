@@ -669,7 +669,10 @@ def s_count_pallas(
                     onehot, m, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )  # (kp, CHUNK)
-            out_ref[b] = cnt
+            # counts <= 128 (one sub-tile's pixels) are bf16-EXACT; the
+            # halved entry stack is what lets ~20 views' S entries stay
+            # live through the grouped fold without OOMing HBM
+            out_ref[b] = cnt.astype(jnp.bfloat16)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -701,7 +704,7 @@ def s_count_pallas(
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct(
-            (cap_chunks, kp, CHUNK), jnp.float32
+            (cap_chunks, kp, CHUNK), jnp.bfloat16
         ),
         grid_spec=grid_spec,
         interpret=jax.default_backend() == "cpu",
