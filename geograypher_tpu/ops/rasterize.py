@@ -941,6 +941,10 @@ def fused_view_class_counts(
         )
         over = jnp.zeros((), jnp.int32)
     ncand = sum(jnp.sum(c).astype(jnp.int32) for c in binned.counts)
+    if sb is not None:
+        # S-diverted work counts toward "non-empty rasterization" for
+        # the zero-output corruption guard
+        ncand = ncand + sb.n_chunks
     return counts, over, ncand
 
 

@@ -243,6 +243,27 @@ def bin_subtiles(
 # slab prep + kernels
 
 
+def _batch_pairs(pair_start: jax.Array, n_batches: int, kb: int,
+                 n_pairs: int) -> jax.Array:
+    """(n_batches,) tile-pair index of each kb-chunk batch.
+
+    Pair ranges are kb-aligned and partition [0, n_chunks) in pair
+    order, so every batch belongs to exactly one pair; batches beyond
+    n_chunks clamp to the last pair (their chunks hold sentinel ids and
+    contribute nothing).  Empty pairs share their successor's start and
+    are never returned (searchsorted-right skips ties).
+    """
+    chunk0 = jnp.arange(n_batches, dtype=jnp.int32) * kb
+    return jnp.clip(
+        jnp.searchsorted(pair_start, chunk0, side="right").astype(
+            jnp.int32
+        )
+        - 1,
+        0,
+        n_pairs - 1,
+    )
+
+
 def prep_s_slab(sb: SubtileBinned, planes: jax.Array, config, ntx0p: int):
     """CSR level-S slab (cap_chunks, 6, 5*CHUNK).
 
@@ -337,13 +358,16 @@ def s_raster_pallas(
     Returns IMAGE-layout ``(best_w, best_id)`` planes of shape
     (nty0p, tile_h, ntx0p * tile_w) f32 — the L0 kernel's carry init.
 
-    Grid (nty0p, ntx0p/pair, s_pair_chunks/kb): each (i, j) revisits one
-    output block while k marches the pair's CSR chunk range in
-    ``kb``-chunk DMA batches; the scalar-prefetch index map re-targets
-    steps beyond the range at the pair's first batch (no re-DMA, compute
-    predicated off).  Sub-tile carries live in a (pair*spt, 128) VMEM
-    scratch in sub-tile-major lane order; the final k step emits the
-    image layout (8 lane-group gathers per tile).
+    Grid: ONE dimension over kb-chunk batches of the concatenated CSR
+    chunk list — every step does real work (a dense (pair, steps) grid
+    would pay the census WORST-pair step count at every pair).  Pair
+    ranges are kb-aligned, so each batch belongs to one tile pair; a
+    scalar-prefetched batch->pair map drives the output index map.
+    Sub-tile carries live in a (pair*spt, 128) VMEM scratch reset at
+    each pair transition and written through to the pair's output block
+    every step (the block flushes to HBM when the map changes).  Pairs
+    with no S chunks are never visited — the caller masks their rows to
+    (-inf, -1) on the XLA side via ``pair_cnt``.
     """
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -353,26 +377,24 @@ def s_raster_pallas(
     sh, sw = config.subtile
     spt = config.tile_w // sw
     th, tw = config.tile_h, config.tile_w
-    nty0p = sb.pair_start.shape[0] // (ntx0p // pair)
-    cap_pair = int(config.s_pair_chunks)
-    if cap_pair % kb:
-        raise ValueError("s_pair_chunks must be a multiple of kb")
-    n_steps = cap_pair // kb
+    npx = ntx0p // pair
+    n_pairs = sb.pair_start.shape[0]
+    nty0p = n_pairs // npx
     if slab is None:
         slab = prep_s_slab(sb, planes, config, ntx0p)
     cap_chunks = slab.shape[0]
+    if cap_chunks % kb:
+        raise ValueError("s_cap_chunks must be a multiple of kb")
+    n_batches = cap_chunks // kb
     nsub_step = pair * spt
+    bp = _batch_pairs(sb.pair_start, n_batches, kb, n_pairs)
 
-    def kernel(ps_ref, pc_ref, qs_ref, slab_ref, w_ref, id_ref,
-               scr_w, scr_id):
-        i = pl.program_id(0)
-        j = pl.program_id(1)
-        k = pl.program_id(2)
-        pidx = i * (ntx0p // pair) + j
-        base = ps_ref[pidx]
-        cnt = pc_ref[pidx]
+    def kernel(bp_ref, qs_ref, slab_ref, w_ref, id_ref, scr_w, scr_id):
+        k = pl.program_id(0)
+        pidx = bp_ref[k]
+        prev = bp_ref[jnp.maximum(k - 1, 0)]
 
-        @pl.when(k == 0)
+        @pl.when((k == 0) | (pidx != prev))
         def _():
             scr_w[...] = jnp.full((nsub_step, CHUNK), NEG_INF, jnp.float32)
             scr_id[...] = jnp.full((nsub_step, CHUNK), -1.0, jnp.float32)
@@ -390,100 +412,73 @@ def s_raster_pallas(
         sub_iota = jax.lax.broadcasted_iota(
             jnp.int32, (nsub_step, CHUNK), 0
         )
-        sub_base = (i * ntx0p + j * pair) * spt
+        sub_base = (pidx // npx) * ntx0p * spt + (pidx % npx) * pair * spt
 
+        w_cur = scr_w[...]
+        id_cur = scr_id[...]
         for b in range(kb):
             ci = k * kb + b
+            # cap-padding chunks hold sentinel planes (qmax = -inf) and
+            # out-of-range qsub rows: both update nothing — no branch
+            lhs = slab_ref[b, :, : 4 * CHUNK]  # (6, 512)
+            vals = jax.lax.dot_general(
+                lhs, pmat2, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (512, 128) = hi@p + lo@p
+            e0 = vals[0 * CHUNK:1 * CHUNK]
+            e1 = vals[1 * CHUNK:2 * CHUNK]
+            e2 = vals[2 * CHUNK:3 * CHUNK]
+            wv = vals[3 * CHUNK:4 * CHUNK]
+            emin = jnp.minimum(jnp.minimum(e0, e1), e2)
+            wm = jnp.where(emin >= 0, wv, NEG_INF)
+            idcol = jax.lax.dot_general(
+                slab_ref[b, 0:3, 4 * CHUNK:5 * CHUNK].astype(
+                    jnp.bfloat16
+                ),
+                w256,
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (128, 1) exact f32 face ids
+            # per-quarter segmented max over the 32 candidate rows
+            qmax = jnp.max(
+                wm.reshape(4, QUARTER, CHUNK), axis=1
+            )  # (4, 128)
+            cmaxb = jnp.broadcast_to(
+                qmax[:, None, :], (4, QUARTER, CHUNK)
+            ).reshape(CHUNK, CHUNK)
+            neg_id = jnp.where(wm >= cmaxb, -idcol, NEG_INF)
+            qid = -jnp.max(
+                neg_id.reshape(4, QUARTER, CHUNK), axis=1
+            )  # (4, 128)
+            for q in range(4):
+                loc = qs_ref[ci * 4 + q] - sub_base
+                qw = qmax[q:q + 1]
+                upd = (sub_iota == loc) & (qw > w_cur)
+                w_cur = jnp.where(upd, qw, w_cur)
+                id_cur = jnp.where(upd, qid[q:q + 1], id_cur)
+        scr_w[...] = w_cur
+        scr_id[...] = id_cur
+        # write-through every step: the block only flushes to HBM when
+        # the output index (the pair) changes, so the last batch of each
+        # pair is what lands
+        w_ref[0] = w_cur
+        id_ref[0] = id_cur
 
-            @pl.when(ci < cnt)
-            def _(b=b, ci=ci):
-                lhs = slab_ref[b, :, : 4 * CHUNK]  # (6, 512)
-                vals = jax.lax.dot_general(
-                    lhs, pmat2, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )  # (512, 128) = hi@p + lo@p
-                e0 = vals[0 * CHUNK:1 * CHUNK]
-                e1 = vals[1 * CHUNK:2 * CHUNK]
-                e2 = vals[2 * CHUNK:3 * CHUNK]
-                wv = vals[3 * CHUNK:4 * CHUNK]
-                emin = jnp.minimum(jnp.minimum(e0, e1), e2)
-                wm = jnp.where(emin >= 0, wv, NEG_INF)
-                idcol = jax.lax.dot_general(
-                    slab_ref[b, 0:3, 4 * CHUNK:5 * CHUNK].astype(
-                        jnp.bfloat16
-                    ),
-                    w256,
-                    (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )  # (128, 1) exact f32 face ids
-                # per-quarter segmented max over the 32 candidate rows
-                qmax = jnp.max(
-                    wm.reshape(4, QUARTER, CHUNK), axis=1
-                )  # (4, 128)
-                cmaxb = jnp.broadcast_to(
-                    qmax[:, None, :], (4, QUARTER, CHUNK)
-                ).reshape(CHUNK, CHUNK)
-                neg_id = jnp.where(wm >= cmaxb, -idcol, NEG_INF)
-                qid = -jnp.max(
-                    neg_id.reshape(4, QUARTER, CHUNK), axis=1
-                )  # (4, 128)
-                w_cur = scr_w[...]
-                id_cur = scr_id[...]
-                for q in range(4):
-                    loc = qs_ref[(base + ci) * 4 + q] - sub_base
-                    qw = qmax[q:q + 1]
-                    upd = (sub_iota == loc) & (qw > w_cur)
-                    w_cur = jnp.where(upd, qw, w_cur)
-                    id_cur = jnp.where(upd, qid[q:q + 1], id_cur)
-                scr_w[...] = w_cur
-                scr_id[...] = id_cur
-
-        @pl.when(k == n_steps - 1)
-        def _():
-            # emit SUB-TILE-MAJOR (nsub_step, 128) rows; the caller's XLA
-            # transpose rebuilds the image layout (an in-kernel
-            # (spt, sw) -> (1, tw) reshape does not lower in Mosaic)
-            w_ref[0] = scr_w[...]
-            id_ref[0] = scr_id[...]
-
+    out_block = pl.BlockSpec(
+        (1, nsub_step, CHUNK),
+        lambda k, bp, qs: (bp[k] // npx, bp[k] % npx, 0),
+        memory_space=pltpu.VMEM,
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(nty0p, ntx0p // pair, n_steps),
+        num_scalar_prefetch=2,
+        grid=(n_batches,),
         in_specs=[
             pl.BlockSpec(
-                (kb, 6, 5 * CHUNK),
-                # march the pair's range; steps beyond it (and empty
-                # pairs) re-target the last valid batch so no DMA fires,
-                # clamped into the slab for overflowing views
-                lambda i, j, k, ps, pc, qs: (
-                    jnp.minimum(
-                        ps[i * (ntx0p // pair) + j] // kb
-                        + jnp.minimum(
-                            k,
-                            jnp.maximum(
-                                pc[i * (ntx0p // pair) + j] // kb - 1, 0
-                            ),
-                        ),
-                        cap_chunks // kb - 1,
-                    ),
-                    0,
-                    0,
-                ),
+                (kb, 6, 5 * CHUNK), lambda k, *_: (k, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
-        out_specs=[
-            pl.BlockSpec(
-                (1, nsub_step, CHUNK),
-                lambda i, j, k, *_: (i, j, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, nsub_step, CHUNK),
-                lambda i, j, k, *_: (i, j, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
+        out_specs=[out_block, out_block],
         scratch_shapes=[
             pltpu.VMEM((nsub_step, CHUNK), jnp.float32),
             pltpu.VMEM((nsub_step, CHUNK), jnp.float32),
@@ -493,9 +488,7 @@ def s_raster_pallas(
         jax.ShapeDtypeStruct((nty0p, ntx0p * spt, CHUNK), jnp.float32),
         jax.ShapeDtypeStruct((nty0p, ntx0p * spt, CHUNK), jnp.float32),
     ]
-    operands = jax.lax.optimization_barrier(
-        (sb.pair_start, sb.pair_cnt, sb.qsub, slab)
-    )
+    operands = jax.lax.optimization_barrier((bp, sb.qsub, slab))
     outs = pl.pallas_call(
         kernel,
         out_shape=out_shape,
@@ -503,6 +496,16 @@ def s_raster_pallas(
         interpret=jax.default_backend() == "cpu",
     )(*operands)
     outs = jax.lax.optimization_barrier(tuple(outs))
+    # pairs with no S chunks were never visited — mask their rows to the
+    # empty carry (their output blocks are uninitialized memory)
+    occ = (sb.pair_cnt > 0).reshape(nty0p, npx)[:, :, None, None]
+    fills = (jnp.float32(NEG_INF), jnp.float32(-1.0))
+    outs = tuple(
+        jnp.where(
+            occ, o.reshape(nty0p, npx, nsub_step, CHUNK), fill
+        ).reshape(nty0p, ntx0p * spt, CHUNK)
+        for o, fill in zip(outs, fills)
+    )
     return tuple(
         subtile_to_image(o, config, nty0p, ntx0p) for o in outs
     )
@@ -602,16 +605,7 @@ def s_count_pallas(
         raise ValueError("s_cap_chunks must be a multiple of kb")
     n_batches = cap_chunks // kb
 
-    # batch -> pair: ranges partition [0, n_chunks) in pair order
-    chunk0 = jnp.arange(n_batches, dtype=jnp.int32) * kb
-    bp = jnp.clip(
-        jnp.searchsorted(sb.pair_start, chunk0, side="right").astype(
-            jnp.int32
-        )
-        - 1,
-        0,
-        n_pairs - 1,
-    )
+    bp = _batch_pairs(sb.pair_start, n_batches, kb, n_pairs)
 
     # class image in the kernel's row-image layout, -1 beyond extent,
     # then relayouted to the sub-tile-major rows the kernel indexes
