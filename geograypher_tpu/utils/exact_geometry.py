@@ -375,3 +375,21 @@ def polygon_overlay_areas(
     for h in polygon.holes:
         accumulate(h, -1.0)
     return np.maximum(out, 0.0)
+
+
+def polygon_intersection_area(a: Polygon, b: Polygon) -> float:
+    """EXACT area of intersection of two polygons (holes honored).
+
+    Ear-clips ``a`` and sums each piece's intersection with ``b`` via
+    :func:`polygon_overlay_areas`; ``a``'s holes subtract.  The building
+    block of the exact vector-vs-vector confusion matrix (reference
+    utils/prediction_metrics.py:95-145 computes these with GEOS).
+    """
+    ax0, ay0, ax1, ay1 = a.bounds
+    bx0, by0, bx1, by1 = b.bounds
+    if ax1 < bx0 or bx1 < ax0 or ay1 < by0 or by1 < ay0:
+        return 0.0
+    area = float(polygon_overlay_areas(ear_clip(a.exterior), b).sum())
+    for h in a.holes:
+        area -= float(polygon_overlay_areas(ear_clip(h), b).sum())
+    return max(area, 0.0)

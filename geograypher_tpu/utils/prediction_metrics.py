@@ -35,9 +35,15 @@ def cf_from_vector_vector(
     class_names: typing.Optional[list] = None,
     grid: int = 2048,
     include_unlabeled: bool = True,
+    mode: str = "raster",
 ):
     """Confusion matrix weighted by intersection area between two polygon
-    layers (reference :95-145), via common-grid rasterization.
+    layers (reference :95-145).
+
+    ``mode="raster"`` (default) burns both layers onto a common grid;
+    ``mode="exact"`` computes true pairwise polygon intersection areas
+    by convex clipping (utils/exact_geometry) — the reference's GEOS
+    behavior, with no grid quantization.
 
     Returns (cf (C[+1], C[+1]) areas, class_names).  The trailing
     row/column is the unlabeled class when requested.
@@ -60,6 +66,45 @@ def cf_from_vector_vector(
         class_names = sorted({v for v in vals if v is not None}, key=str)
     name_to_id = {c: i for i, c in enumerate(class_names)}
     n = len(class_names)
+
+    if mode == "exact":
+        from geograypher_tpu.utils.exact_geometry import (
+            polygon_intersection_area,
+        )
+
+        size = n + 1 if include_unlabeled else n
+        cf = np.zeros((size, size))
+
+        def ids_areas(vd):
+            ids = [
+                name_to_id.get(v, n)
+                for v in vd.attributes.get(column_name, [None] * len(vd))
+            ]
+            return ids, [g.area for g in vd.geometries]
+
+        t_ids, t_areas = ids_areas(true)
+        p_ids, p_areas = ids_areas(predicted)
+        p_overlap = np.zeros(len(predicted))
+        for ti, tg in enumerate(true.geometries):
+            t_cov = 0.0
+            for pi, pg in enumerate(predicted.geometries):
+                inter = polygon_intersection_area(tg, pg)
+                if inter <= 0:
+                    continue
+                t_cov += inter
+                p_overlap[pi] += inter
+                if t_ids[ti] < size and p_ids[pi] < size:
+                    cf[t_ids[ti], p_ids[pi]] += inter
+            if include_unlabeled and t_ids[ti] < size:
+                # parts of the true polygon no prediction covers
+                cf[t_ids[ti], n] += max(t_areas[ti] - t_cov, 0.0)
+        if include_unlabeled:
+            for pi in range(len(predicted)):
+                if p_ids[pi] < size:
+                    cf[n, p_ids[pi]] += max(
+                        p_areas[pi] - p_overlap[pi], 0.0
+                    )
+        return cf, class_names
 
     bounds = true.total_bounds()
     px0, py0, px1, py1 = predicted.total_bounds()

@@ -136,3 +136,44 @@ def test_polygon_overlay_partition():
     inside = poly.contains_points(cent)
     full = np.nonzero(inside & (areas > 0))[0]
     assert full.size > 10
+
+
+def test_polygon_intersection_area():
+    from geograypher_tpu.utils.exact_geometry import (
+        polygon_intersection_area,
+    )
+
+    sq = lambda x0, y0, w: Polygon(
+        np.array([[x0, y0], [x0 + w, y0], [x0 + w, y0 + w], [x0, y0 + w]])
+    )
+    a = sq(0, 0, 2)
+    assert abs(polygon_intersection_area(a, sq(1, 1, 2)) - 1.0) < 1e-12
+    assert polygon_intersection_area(a, sq(5, 5, 1)) == 0.0
+    holey = Polygon(a.exterior, [sq(0.5, 0.5, 1).exterior])
+    # holey ∩ big square = 4 - 1 = 3
+    assert abs(polygon_intersection_area(holey, sq(-1, -1, 5)) - 3.0) < 1e-12
+    # and intersection with a square inside the hole is empty
+    assert abs(polygon_intersection_area(holey, sq(0.6, 0.6, 0.5))) < 1e-12
+
+
+def test_cf_vector_vector_exact_matches_analytic():
+    from geograypher_tpu.utils.prediction_metrics import (
+        cf_from_vector_vector,
+    )
+    from geograypher_tpu.utils.vector import VectorData
+
+    sq = lambda x0, y0, w: Polygon(
+        np.array([[x0, y0], [x0 + w, y0], [x0 + w, y0 + w], [x0, y0 + w]])
+    )
+    true = VectorData([sq(0, 0, 2)], {"cls": ["a"]})
+    pred = VectorData(
+        [sq(0, 0, 1), sq(1, 0, 2)], {"cls": ["a", "b"]}
+    )
+    cf, names = cf_from_vector_vector(pred, true, "cls", mode="exact")
+    assert names == ["a", "b"]
+    # true 'a' (area 4): 1 with pred-a, 2 with pred-b, 1 uncovered
+    np.testing.assert_allclose(cf[0, 0], 1.0, atol=1e-12)
+    np.testing.assert_allclose(cf[0, 1], 2.0, atol=1e-12)
+    np.testing.assert_allclose(cf[0, 2], 1.0, atol=1e-12)
+    # pred-b (area 4) extends 2 area units beyond true -> unlabeled row
+    np.testing.assert_allclose(cf[2, 1], 2.0, atol=1e-12)
