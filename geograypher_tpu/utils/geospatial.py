@@ -71,9 +71,14 @@ def get_overlap_vector(
     classified_polygons: typing.Union[PATH_TYPE, VectorData],
     class_column: str,
     grid: int = 2048,
+    mode: str = "raster",
 ) -> typing.Tuple[np.ndarray, list]:
     """Per-polygon area overlap with each class of a labeled polygon layer
     (reference geospatial.py:221-331, gpd overlay + groupby).
+
+    ``mode="exact"`` computes true pairwise intersection areas by convex
+    clipping (utils/exact_geometry) instead of the common-grid raster —
+    the reference's GEOS-exact behavior.
 
     Returns (areas (n_polygons, n_classes) in CRS units^2, class_names).
     """
@@ -88,6 +93,20 @@ def get_overlap_vector(
     col = classified_polygons.attributes[class_column]
     class_names = sorted({v for v in col if v is not None}, key=str)
     name_to_id = {c: i for i, c in enumerate(class_names)}
+
+    if mode == "exact":
+        from geograypher_tpu.utils.exact_geometry import (
+            polygon_intersection_area,
+        )
+
+        areas = np.zeros((len(unlabeled_polygons), len(class_names)))
+        for pi, pg in enumerate(unlabeled_polygons.geometries):
+            for cg, cname in zip(classified_polygons.geometries, col):
+                ci = name_to_id.get(cname, -1)
+                if ci < 0:
+                    continue
+                areas[pi, ci] += polygon_intersection_area(pg, cg)
+        return areas, class_names
 
     b1 = unlabeled_polygons.total_bounds()
     b2 = classified_polygons.total_bounds()
