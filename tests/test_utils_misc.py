@@ -122,12 +122,12 @@ def test_overlap_vector_and_raster(tmp_path):
     areas, names = get_overlap_vector(query, classified, "cls", grid=512)
     assert names == ["a", "b"]
     assert abs(areas[0, 0] - areas[0, 1]) / areas[0].sum() < 0.1
-    # exact mode: analytically 50 m^2 with each class
+    # exact mode: x-overlap 5 x y-overlap 8 = 40 m^2 with each class
     areas_e, names_e = get_overlap_vector(
         query, classified, "cls", mode="exact"
     )
     assert names_e == ["a", "b"]
-    np.testing.assert_allclose(areas_e, [[50.0, 50.0]], atol=1e-9)
+    np.testing.assert_allclose(areas_e, [[40.0, 40.0]], atol=1e-9)
 
     # raster version
     data = np.zeros((100, 100), np.uint8)
