@@ -190,7 +190,7 @@ def main():
             return lvl, z, z
         mask = subtile_mask8(setup, census_cfg)
         s_tot, s_worst = subtile_counts_census(
-            setup, census_cfg, H, W, s_ntx0p, s_pair
+            setup, census_cfg, H, W, s_ntx0p, s_pair, kb=census_cfg.s_kb
         )
         lvl = bin_triangles(
             setup, census_cfg, H, W, return_census=True,
@@ -217,8 +217,8 @@ def main():
         # bench, so the worst-view demand needs no margin (only kb=4
         # alignment); margin here would inflate every view's dense
         # (cap, kp, 128) entry stack in the grouped fold
-        s_cap = -(-int(s_tot_w) // 4) * 4
-        s_pc = -(-int(s_pair_w) // 4) * 4
+        s_cap = -(-int(s_tot_w) // census_cfg.s_kb) * census_cfg.s_kb
+        s_pc = -(-int(s_pair_w) // census_cfg.s_kb) * census_cfg.s_kb
         print(
             f"S census: {s_tot_w} chunks (cap {s_cap}), worst pair "
             f"{s_pair_w} (cap {s_pc})",

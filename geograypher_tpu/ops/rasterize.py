@@ -109,6 +109,9 @@ class RasterConfig:
     # per-tile-pair grid depth (chunks); size via subtile_counts_census
     s_cap_chunks: Optional[int] = None
     s_pair_chunks: Optional[int] = None
+    # chunks per S-kernel DMA batch (grid step); pair ranges and
+    # s_cap_chunks must be multiples of it
+    s_kb: int = 4
 
     def grids(self, image_h: int, image_w: int):
         """Tile-grid shapes (nty, ntx) for levels 0..2."""
@@ -376,7 +379,7 @@ def bin_all(setup: TriangleSetup, config: RasterConfig, image_h: int,
     pair, _nty0p, ntx0p = l0_geometry(config, image_h, image_w)
     sb = bin_subtiles(
         setup, config, image_h, image_w, ntx0p, pair,
-        cap_chunks=config.s_cap_chunks,
+        cap_chunks=config.s_cap_chunks, kb=config.s_kb,
     )
     binned = bin_triangles(
         setup, config, image_h, image_w, exclude_blocks=sb.s_mask8
@@ -716,7 +719,8 @@ def rasterize_setup(
 
             pair, _, ntx0p = l0_geometry(config, image_h, image_w)
             s_init = s_raster_pallas(
-                sb, setup.planes, config, image_h, image_w, ntx0p, pair
+                sb, setup.planes, config, image_h, image_w, ntx0p, pair,
+                kb=config.s_kb,
             )
         pix2face = raster_tiles_pallas(
             binned, setup.planes, config, image_h, image_w,
@@ -812,7 +816,7 @@ def fused_counts_pallas(
     slab = prep_s_slab(sb, setup.planes, config, ntx0p)
     s_init = s_raster_pallas(
         sb, setup.planes, config, image_h, image_w, ntx0p, pair,
-        slab=slab,
+        kb=config.s_kb, slab=slab,
     )
     p2f, outs, kp = raster_tiles_pallas(
         binned, setup.planes, config, image_h, image_w,
@@ -821,7 +825,7 @@ def fused_counts_pallas(
     )
     s_counts = s_count_pallas(
         sb, slab, p2f, class_image, config, image_h, image_w, ntx0p,
-        pair, kp,
+        pair, kp, kb=config.s_kb,
     )
     return outs + (s_counts, s_entry_ids(sb, config))
 
