@@ -14,6 +14,7 @@ the WORST view and checked, never assumed.
 Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
+import dataclasses
 import json
 import os
 import sys
@@ -57,14 +58,14 @@ def main():
         focals = (2000.0, 2600.0)
         n_views = 20
         n_classes = 10
-        group = 20  # views folded per face-block-kernel launch
+        group_init = 20  # views folded per face-block-kernel launch
     else:
         H, W = 216, 384
         n_grid = 71
         focals = (200.0, 260.0)
         n_views = 2
         n_classes = 10
-        group = 2
+        group_init = 2
     backend = "pallas"
     bin_block = 8  # faces per binned unit (scanline runs -> ~8x cheaper
     #                sort/gathers; see RasterConfig.bin_block)
@@ -147,226 +148,259 @@ def main():
         jax.random.PRNGKey(7), (n_views, H, W), 0, n_classes, jnp.int32
     )
 
-    # All views inside one dispatch — amortizes the host->device dispatch
-    # latency (~6 ms/view through this runtime).  The pipeline is the
-    # FUSED scatter-free path (docs/DESIGN.md): the raster kernel itself
-    # emits per-tile (class, slot) counts alongside pix2face, and groups
-    # of views share one face-block fold launch (the cross-view count sum
-    # commutes with the fold).  No XLA scatter ever consumes a Mosaic
-    # output, and the view loop is python-unrolled, not lax.scan — both
-    # of which this runtime corrupts silently.
-    # Static capacities are sized from the WORST view of the suite: an
-    # exact binning census fixes the per-level caps (oblique far-field
-    # tiles hold several hundred faces — no guessed cap survives a varied
-    # suite), then the fold's per-block tile windows are measured, and
-    # binned.overflow re-checks the chosen caps.
-    # Level-S sub-tile raster (ops/subtile.py): tiny far-field units are
-    # diverted to (8, 16)-cell lists and resolved lane-packed (~3.5x less
-    # VPU resolve work on this varied suite).  BENCH_SUBTILE=0 disables.
-    subtile_on = (
-        os.environ.get("BENCH_SUBTILE", "1") == "1" and backend == "pallas"
-    )
-    import dataclasses
-
-    census_cfg = RasterConfig(
-        caps=(8, 8, 8, 8), backend=backend, bin_block=bin_block,
-        l0_window=(5, 2),
-    )
-    if subtile_on:
-        from geograypher_tpu.ops.subtile import (
-            subtile_counts_census,
-            subtile_mask8,
-        )
-
-        census_cfg = dataclasses.replace(census_cfg, subtile=(8, 16))
-        s_pair, _, s_ntx0p = l0_geometry(census_cfg, H, W)
-
-    @jax.jit
-    def census(tri, w2c_k, f_k):
-        setup = setup_from_soa(tri, w2c_k, f_k, W, H, census_cfg.znear)
-        if not subtile_on:
-            lvl = bin_triangles(setup, census_cfg, H, W, return_census=True)
-            z = jnp.zeros((), jnp.int32)
-            return lvl, z, z
-        mask = subtile_mask8(setup, census_cfg)
-        s_tot, s_worst = subtile_counts_census(
-            setup, census_cfg, H, W, s_ntx0p, s_pair, kb=census_cfg.s_kb
-        )
-        lvl = bin_triangles(
-            setup, census_cfg, H, W, return_census=True,
-            exclude_blocks=mask,
-        )
-        return lvl, s_tot, s_worst
-
-    worst = np.zeros(4, np.int64)
-    s_tot_w = s_pair_w = 0
-    for k in range(n_views):
-        lvl, s_tot, s_worst = census(tri, w2c[k], fl[k])
-        worst = np.maximum(worst, np.asarray(lvl))
-        s_tot_w = max(s_tot_w, int(np.asarray(s_tot)))
-        s_pair_w = max(s_pair_w, int(np.asarray(s_worst)))
-    caps = tuple(
-        int(max(16, -(-int(c * 5 // 4) // 16) * 16)) for c in worst
-    )  # 1.25x margin, multiples of 16 units
-    print(f"census caps (x{bin_block} faces): {caps}", file=sys.stderr)
-    config = RasterConfig(
-        caps=caps, backend=backend, bin_block=bin_block, l0_window=(5, 2)
-    )
-    if subtile_on:
-        # the S census is EXACT per view and the same views run the
-        # bench, so the worst-view demand needs no margin (only kb=4
-        # alignment); margin here would inflate every view's dense
-        # (cap, kp, 128) entry stack in the grouped fold
-        s_cap = -(-int(s_tot_w) // census_cfg.s_kb) * census_cfg.s_kb
-        s_pc = -(-int(s_pair_w) // census_cfg.s_kb) * census_cfg.s_kb
-        print(
-            f"S census: {s_tot_w} chunks (cap {s_cap}), worst pair "
-            f"{s_pair_w} (cap {s_pc})",
-            file=sys.stderr,
-        )
-        config = dataclasses.replace(
-            config, subtile=(8, 16), s_cap_chunks=max(s_cap, 4),
-            s_pair_chunks=max(s_pc, 4),
-        )
-
-    @jax.jit
-    def window_stats(tri, w2c_k, f_k):
-        setup = setup_from_soa(tri, w2c_k, f_k, W, H, config.znear)
-        binned, sb = bin_all(setup, config, H, W)
-        over, win = fold_window_overflow(
-            l0_face_ids(binned, config), n_faces=n_faces, w_cap=504,
-            block=4096,
-        )
-        bin_over = binned.overflow
-        if sb is not None:
-            from geograypher_tpu.ops.subtile import s_entry_ids
-
-            _so, s_win = fold_window_overflow(
-                s_entry_ids(sb, config), n_faces=n_faces, w_cap=504,
-                block=4096,
-            )
-            win = jnp.maximum(win, s_win)
-            bin_over = bin_over + sb.overflow
-        return over, win, bin_over, entry_occupancy(
-            binned, config, H, W
-        )
-
-    max_win = 0
-    worst_entries = np.zeros(3, np.int64)
-    for k in range(n_views):
-        _over, win, bin_over, occ = window_stats(tri, w2c[k], fl[k])
-        win, bin_over = int(np.asarray(win)), int(np.asarray(bin_over))
-        if bin_over:
-            raise RuntimeError(
-                f"view {k}: rasterizer cap overflow ({bin_over} candidates "
-                f"dropped) — raise caps {caps}"
-            )
-        # win is the EXACT per-block max window for this view (the probe
-        # w_cap does not clip it); the grouped fold sizes from the worst
-        max_win = max(max_win, win)
-        worst_entries = np.maximum(worst_entries, np.asarray(occ))
-    # per-view nonempty chunk-entry caps (1.25x margin): compacting each
-    # view's fold entries to its occupied chunks right after the raster
-    # keeps the dense census-cap count buffers from staying live across
-    # the whole group (they are ~5x occupancy and OOMed group-20)
-    entry_caps = tuple(
-        int(8 * (-(-int(n * 5 // 4) // 8))) for n in worst_entries
-    )
-    print(f"entry caps (128-slot chunks/view): {entry_caps}", file=sys.stderr)
-    config = dataclasses.replace(config, entry_caps=entry_caps)
-
-    # One jit program per GROUP of views, chained on a device-resident
-    # accumulator.  Large many-chain programs trigger the runtime's
-    # silent-corruption bug for SOME chains (docs/DESIGN.md); the small
-    # per-group program shape is the one validated clean, and every
-    # group's output is coverage-checked at warmup.  Dispatches queue
-    # asynchronously, so the per-program overhead is pipelined away.
-    def make_group_step(g):
-        @jax.jit
-        def group_step(tri, w2cs_g, fls_g, labels_g, acc):
-            views = []
-            over = jnp.zeros((), jnp.int32)
-            for k in range(g):
-                setup = setup_from_soa(
-                    tri, w2cs_g[k], fls_g[k], W, H, config.znear
-                )
-                binned, sb = bin_all(setup, config, H, W)
-                outs = fused_counts_pallas(
-                    setup, binned, sb, labels_g[k], config, H, W,
-                    n_classes,
-                )
-                if sb is not None:
-                    over = over + sb.overflow
-                views.append((outs, binned))
-            counts, fold_over = fold_tile_counts_grouped(
-                views, config, H, W, n_faces, n_classes,
-                w_cap=8 * ((g * max_win * 5 // 4 + 7) // 8), block=4096,
-                return_overflow=True,
-            )
-            return acc + counts, over + fold_over
-
-        return group_step
-
-    def run_all(group_step, g, warm_check=False):
-        acc = jnp.zeros((n_faces, n_classes), jnp.float32)
-        for g0 in range(0, n_views, g):
-            acc, over = group_step(
-                tri, w2c[g0:g0 + g], fl[g0:g0 + g], labels[g0:g0 + g], acc
-            )
-            if warm_check:
-                n_over = int(np.asarray(over))
-                if n_over:
-                    raise RuntimeError(
-                        f"group {g0 // g}: fold dropped {n_over} entries "
-                        f"(window w_cap or entry_caps {entry_caps} "
-                        "undersized)"
-                    )
-                got = float(np.asarray(jnp.sum(acc)))
-                want = 0.85 * (g0 + g) * H * W * cover_min
-                if got < want:
-                    raise RuntimeError(
-                        f"group {g0 // g}: sum {got:.3g} < {want:.3g} "
-                        "(corrupted Mosaic output)"
-                    )
-        return acc
-
     # oblique views see past the finite test plane: nadir views cover
     # ~93% of pixels, 35-deg oblique ones ~60+% — the guard only needs to
     # catch empty/corrupted kernel output, not certify exact coverage
     cover_min = 0.45
-    group_step = None
-    for g in (group, 10, 5, 4, 3, 2, 1):
-        if n_views % g:
-            continue
-        candidate = make_group_step(g)
-        try:
-            acc = run_all(candidate, g, warm_check=True)
-            group_step, group = candidate, g
-            break
-        except RuntimeError as e:
-            print(f"group={g}: {e}; retrying smaller", file=sys.stderr)
-            # drop every reference to the failed attempt's device buffers
-            # (incl. the exception traceback) before trying the next
-            # size — OOM-failed dispatches otherwise pin HBM and cascade
-            # smaller groups into spurious RESOURCE_EXHAUSTED
-            import gc
 
-            e = None
-            acc = None
-            candidate = None
-            gc.collect()
-    if group_step is None:
-        raise RuntimeError("all group sizes produced corrupted output")
-    warm_sum = float(np.asarray(jnp.sum(acc)))
+    def flagship(subtile_on):
+        """The full flagship measurement: census -> caps -> fold-window
+        probe -> group-size selection -> timed run.  Self-contained so a
+        level-S failure at full scale can fall back to the plain tile
+        path (subtile_on=False) instead of losing the benchmark run.
+        Returns (views_per_sec, config).
+        """
+        # All views inside one dispatch — amortizes the host->device
+        # dispatch latency (~6 ms/view through this runtime).  The
+        # pipeline is the FUSED scatter-free path (docs/DESIGN.md): the
+        # raster kernel itself emits per-tile (class, slot) counts
+        # alongside pix2face, and groups of views share one face-block
+        # fold launch (the cross-view count sum commutes with the fold).
+        # No XLA scatter ever consumes a Mosaic output, and the view loop
+        # is python-unrolled, not lax.scan — both of which this runtime
+        # corrupts silently.
+        # Static capacities are sized from the WORST view of the suite:
+        # an exact binning census fixes the per-level caps (oblique
+        # far-field tiles hold several hundred faces — no guessed cap
+        # survives a varied suite), then the fold's per-block tile
+        # windows are measured, and binned.overflow re-checks the caps.
+        # Level-S sub-tile raster (ops/subtile.py): tiny far-field units
+        # are diverted to (8, 16)-cell lists and resolved lane-packed
+        # (~3.5x less VPU resolve work on this varied suite).
+        census_cfg = RasterConfig(
+            caps=(8, 8, 8, 8), backend=backend, bin_block=bin_block,
+            l0_window=(5, 2),
+        )
+        if subtile_on:
+            from geograypher_tpu.ops.subtile import (
+                subtile_counts_census,
+                subtile_mask8,
+            )
 
-    t0 = time.perf_counter()
-    total = run_all(group_step, group)
-    np.asarray(jnp.sum(total))
-    dt = time.perf_counter() - t0
-    if abs(float(np.asarray(jnp.sum(total))) - warm_sum) > 1e-3 * warm_sum:
-        raise RuntimeError("timed run disagrees with warmup output")
+            census_cfg = dataclasses.replace(census_cfg, subtile=(8, 16))
+            s_pair, _, s_ntx0p = l0_geometry(census_cfg, H, W)
 
-    views_per_sec = n_views / dt
+        @jax.jit
+        def census(tri, w2c_k, f_k):
+            setup = setup_from_soa(tri, w2c_k, f_k, W, H, census_cfg.znear)
+            if not subtile_on:
+                lvl = bin_triangles(
+                    setup, census_cfg, H, W, return_census=True
+                )
+                z = jnp.zeros((), jnp.int32)
+                return lvl, z, z
+            mask = subtile_mask8(setup, census_cfg)
+            s_tot, s_worst = subtile_counts_census(
+                setup, census_cfg, H, W, s_ntx0p, s_pair,
+                kb=census_cfg.s_kb,
+            )
+            lvl = bin_triangles(
+                setup, census_cfg, H, W, return_census=True,
+                exclude_blocks=mask,
+            )
+            return lvl, s_tot, s_worst
+
+        worst = np.zeros(4, np.int64)
+        s_tot_w = s_pair_w = 0
+        for k in range(n_views):
+            lvl, s_tot, s_worst = census(tri, w2c[k], fl[k])
+            worst = np.maximum(worst, np.asarray(lvl))
+            s_tot_w = max(s_tot_w, int(np.asarray(s_tot)))
+            s_pair_w = max(s_pair_w, int(np.asarray(s_worst)))
+        caps = tuple(
+            int(max(16, -(-int(c * 5 // 4) // 16) * 16)) for c in worst
+        )  # 1.25x margin, multiples of 16 units
+        print(f"census caps (x{bin_block} faces): {caps}", file=sys.stderr)
+        config = RasterConfig(
+            caps=caps, backend=backend, bin_block=bin_block,
+            l0_window=(5, 2),
+        )
+        if subtile_on:
+            # the S census is EXACT per view and the same views run the
+            # bench, so the worst-view demand needs no margin (only kb=4
+            # alignment); margin here would inflate every view's dense
+            # (cap, kp, 128) entry stack in the grouped fold
+            s_cap = -(-int(s_tot_w) // census_cfg.s_kb) * census_cfg.s_kb
+            s_pc = -(-int(s_pair_w) // census_cfg.s_kb) * census_cfg.s_kb
+            print(
+                f"S census: {s_tot_w} chunks (cap {s_cap}), worst pair "
+                f"{s_pair_w} (cap {s_pc})",
+                file=sys.stderr,
+            )
+            config = dataclasses.replace(
+                config, subtile=(8, 16), s_cap_chunks=max(s_cap, 4),
+                s_pair_chunks=max(s_pc, 4),
+            )
+
+        @jax.jit
+        def window_stats(tri, w2c_k, f_k):
+            setup = setup_from_soa(tri, w2c_k, f_k, W, H, config.znear)
+            binned, sb = bin_all(setup, config, H, W)
+            over, win = fold_window_overflow(
+                l0_face_ids(binned, config), n_faces=n_faces, w_cap=504,
+                block=4096,
+            )
+            bin_over = binned.overflow
+            if sb is not None:
+                from geograypher_tpu.ops.subtile import s_entry_ids
+
+                _so, s_win = fold_window_overflow(
+                    s_entry_ids(sb, config), n_faces=n_faces, w_cap=504,
+                    block=4096,
+                )
+                win = jnp.maximum(win, s_win)
+                bin_over = bin_over + sb.overflow
+            return over, win, bin_over, entry_occupancy(
+                binned, config, H, W
+            )
+
+        max_win = 0
+        worst_entries = np.zeros(3, np.int64)
+        for k in range(n_views):
+            _over, win, bin_over, occ = window_stats(tri, w2c[k], fl[k])
+            win, bin_over = int(np.asarray(win)), int(np.asarray(bin_over))
+            if bin_over:
+                raise RuntimeError(
+                    f"view {k}: rasterizer cap overflow ({bin_over} "
+                    f"candidates dropped) — raise caps {caps}"
+                )
+            # win is the EXACT per-block max window for this view (the
+            # probe w_cap does not clip it); the grouped fold sizes from
+            # the worst
+            max_win = max(max_win, win)
+            worst_entries = np.maximum(worst_entries, np.asarray(occ))
+        # per-view nonempty chunk-entry caps (1.25x margin): compacting
+        # each view's fold entries to its occupied chunks right after the
+        # raster keeps the dense census-cap count buffers from staying
+        # live across the whole group (they are ~5x occupancy and OOMed
+        # group-20)
+        entry_caps = tuple(
+            int(8 * (-(-int(n * 5 // 4) // 8))) for n in worst_entries
+        )
+        print(
+            f"entry caps (128-slot chunks/view): {entry_caps}",
+            file=sys.stderr,
+        )
+        config = dataclasses.replace(config, entry_caps=entry_caps)
+
+        # One jit program per GROUP of views, chained on a device-resident
+        # accumulator.  Large many-chain programs trigger the runtime's
+        # silent-corruption bug for SOME chains (docs/DESIGN.md); the
+        # small per-group program shape is the one validated clean, and
+        # every group's output is coverage-checked at warmup.  Dispatches
+        # queue asynchronously, so the per-program overhead is pipelined
+        # away.
+        def make_group_step(g):
+            @jax.jit
+            def group_step(tri, w2cs_g, fls_g, labels_g, acc):
+                views = []
+                over = jnp.zeros((), jnp.int32)
+                for k in range(g):
+                    setup = setup_from_soa(
+                        tri, w2cs_g[k], fls_g[k], W, H, config.znear
+                    )
+                    binned, sb = bin_all(setup, config, H, W)
+                    outs = fused_counts_pallas(
+                        setup, binned, sb, labels_g[k], config, H, W,
+                        n_classes,
+                    )
+                    if sb is not None:
+                        over = over + sb.overflow
+                    views.append((outs, binned))
+                counts, fold_over = fold_tile_counts_grouped(
+                    views, config, H, W, n_faces, n_classes,
+                    w_cap=8 * ((g * max_win * 5 // 4 + 7) // 8), block=4096,
+                    return_overflow=True,
+                )
+                return acc + counts, over + fold_over
+
+            return group_step
+
+        def run_all(group_step, g, warm_check=False):
+            acc = jnp.zeros((n_faces, n_classes), jnp.float32)
+            for g0 in range(0, n_views, g):
+                acc, over = group_step(
+                    tri, w2c[g0:g0 + g], fl[g0:g0 + g],
+                    labels[g0:g0 + g], acc
+                )
+                if warm_check:
+                    n_over = int(np.asarray(over))
+                    if n_over:
+                        raise RuntimeError(
+                            f"group {g0 // g}: fold dropped {n_over} "
+                            f"entries (window w_cap or entry_caps "
+                            f"{entry_caps} undersized)"
+                        )
+                    got = float(np.asarray(jnp.sum(acc)))
+                    want = 0.85 * (g0 + g) * H * W * cover_min
+                    if got < want:
+                        raise RuntimeError(
+                            f"group {g0 // g}: sum {got:.3g} < {want:.3g} "
+                            "(corrupted Mosaic output)"
+                        )
+            return acc
+
+        group_step, group = None, group_init
+        acc = None
+        for g in (group_init, 10, 5, 4, 3, 2, 1):
+            if n_views % g:
+                continue
+            candidate = make_group_step(g)
+            try:
+                acc = run_all(candidate, g, warm_check=True)
+                group_step, group = candidate, g
+                break
+            except RuntimeError as e:
+                print(f"group={g}: {e}; retrying smaller", file=sys.stderr)
+                # drop every reference to the failed attempt's device
+                # buffers (incl. the exception traceback) before trying
+                # the next size — OOM-failed dispatches otherwise pin HBM
+                # and cascade smaller groups into spurious
+                # RESOURCE_EXHAUSTED
+                import gc
+
+                e = None
+                acc = None
+                candidate = None
+                gc.collect()
+        if group_step is None:
+            raise RuntimeError("all group sizes produced corrupted output")
+        warm_sum = float(np.asarray(jnp.sum(acc)))
+
+        t0 = time.perf_counter()
+        total = run_all(group_step, group)
+        np.asarray(jnp.sum(total))
+        dt = time.perf_counter() - t0
+        if abs(
+            float(np.asarray(jnp.sum(total))) - warm_sum
+        ) > 1e-3 * warm_sum:
+            raise RuntimeError("timed run disagrees with warmup output")
+        return n_views / dt, config
+
+    want_subtile = (
+        os.environ.get("BENCH_SUBTILE", "1") == "1" and backend == "pallas"
+    )
+    try:
+        views_per_sec, config = flagship(want_subtile)
+    except Exception as e:
+        if not want_subtile:
+            raise
+        print(
+            f"level-S flagship path failed ({e!r}); falling back to the "
+            "plain tile path",
+            file=sys.stderr,
+        )
+        views_per_sec, config = flagship(False)
     n_dev = jax.device_count()
     # target: 100 views/s on 8 chips -> 12.5 views/s per chip
     target = 12.5 * n_dev if on_tpu else None
