@@ -88,27 +88,35 @@ def main():
 
     # Varied view suite: translated nadir passes + an oblique orbit at
     # 15-35 deg off-nadir, alternating between two focal lengths.
-    rng = np.random.default_rng(0)
-    c2ws, fls = [], []
-    for k in range(n_views):
-        focal = focals[k % len(focals)]
-        if k % 2 == 0:
-            c2w = nadir_camera(4.0, focal, W)
-            c2w[0, 3] += rng.uniform(-0.3, 0.3)
-            c2w[1, 3] += rng.uniform(-0.3, 0.3)
-            c2w[2, 3] += rng.uniform(0.0, 0.3)
-        else:
-            c2w = oblique_camera(
-                4.0, focal, W,
-                pitch_deg=float(rng.uniform(15.0, 35.0)),
-                azimuth_deg=float(360.0 * k / n_views),
-            )
-        c2ws.append(c2w)
-        fls.append(focal)
-    w2c = jnp.asarray(
-        np.stack([np.linalg.inv(m) for m in c2ws]), jnp.float32
-    )
-    fl = jnp.asarray(np.array(fls), jnp.float32)
+    def build_suite(H_, W_, focals_):
+        rng = np.random.default_rng(0)
+        c2ws_, fls_ = [], []
+        for k in range(n_views):
+            focal = focals_[k % len(focals_)]
+            if k % 2 == 0:
+                c2w = nadir_camera(4.0, focal, W_)
+                c2w[0, 3] += rng.uniform(-0.3, 0.3)
+                c2w[1, 3] += rng.uniform(-0.3, 0.3)
+                c2w[2, 3] += rng.uniform(0.0, 0.3)
+            else:
+                c2w = oblique_camera(
+                    4.0, focal, W_,
+                    pitch_deg=float(rng.uniform(15.0, 35.0)),
+                    azimuth_deg=float(360.0 * k / n_views),
+                )
+            c2ws_.append(c2w)
+            fls_.append(focal)
+        w2c_ = jnp.asarray(
+            np.stack([np.linalg.inv(m) for m in c2ws_]), jnp.float32
+        )
+        fl_ = jnp.asarray(np.array(fls_), jnp.float32)
+        labels_ = jax.random.randint(
+            jax.random.PRNGKey(7), (n_views, H_, W_), 0, n_classes,
+            jnp.int32,
+        )
+        return c2ws_, fls_, w2c_, fl_, labels_
+
+    c2ws, fls, w2c, fl, labels = build_suite(H, W, focals)
 
     # verify the pose spread through the production camera API: build a
     # georeferenced CameraSet at a mid-latitude site and measure off-nadir
@@ -141,24 +149,21 @@ def main():
                 f"{pitches.min():.1f}..{pitches.max():.1f} deg"
             )
 
-    # Independent per-view label images, generated on device (the dev
-    # host<->device tunnel is ~40 MB/s; production links are not the
-    # benchmark target here — the streaming metric below includes them)
-    labels = jax.random.randint(
-        jax.random.PRNGKey(7), (n_views, H, W), 0, n_classes, jnp.int32
-    )
-
+    # Per-view label images are generated on device inside build_suite
+    # (the dev host<->device tunnel is ~40 MB/s; production links are not
+    # the benchmark target here — the streaming metric below includes
+    # them).
     # oblique views see past the finite test plane: nadir views cover
     # ~93% of pixels, 35-deg oblique ones ~60+% — the guard only needs to
     # catch empty/corrupted kernel output, not certify exact coverage
     cover_min = 0.45
 
-    def flagship(subtile_on):
+    def flagship(subtile_on, H, W, w2c, fl, labels):
         """The full flagship measurement: census -> caps -> fold-window
-        probe -> group-size selection -> timed run.  Self-contained so a
-        level-S failure at full scale can fall back to the plain tile
-        path (subtile_on=False) instead of losing the benchmark run.
-        Returns (views_per_sec, config).
+        probe -> group-size selection -> timed run, at the given image
+        scale.  Self-contained so a level-S failure at full scale can
+        fall back to the plain tile path (subtile_on=False) instead of
+        losing the benchmark run.  Returns (views_per_sec, config).
         """
         # All views inside one dispatch — amortizes the host->device
         # dispatch latency (~6 ms/view through this runtime).  The
@@ -390,17 +395,37 @@ def main():
     want_subtile = (
         os.environ.get("BENCH_SUBTILE", "1") == "1" and backend == "pallas"
     )
-    try:
-        views_per_sec, config = flagship(want_subtile)
-    except Exception as e:
-        if not want_subtile:
-            raise
-        print(
-            f"level-S flagship path failed ({e!r}); falling back to the "
-            "plain tile path",
-            file=sys.stderr,
-        )
-        views_per_sec, config = flagship(False)
+
+    def flagship_safe(subtile_on, H_, W_, focals_):
+        suite = build_suite(H_, W_, focals_)[2:]
+        try:
+            return flagship(subtile_on, H_, W_, *suite)
+        except Exception as e:
+            if not subtile_on:
+                raise
+            print(
+                f"level-S flagship path failed ({e!r}); falling back to "
+                "the plain tile path",
+                file=sys.stderr,
+            )
+            return flagship(False, H_, W_, *suite)
+
+    views_per_sec, config = flagship_safe(want_subtile, H, W, focals)
+
+    # Secondary metric: the same suite aggregated at the reference
+    # examples' own working scale (aggregate_img_scale = 0.25 in
+    # /root/reference/examples/aggregate_predictions.ipynb) — what a
+    # reference user's default workflow would actually run per 4K view.
+    refscale_vps = None
+    if on_tpu and os.environ.get("BENCH_REFSCALE", "1") == "1":
+        try:
+            refscale_vps, _ = flagship_safe(
+                want_subtile, H // 4, W // 4,
+                tuple(f * 0.25 for f in focals),
+            )
+            refscale_vps = round(refscale_vps, 3)
+        except Exception as e:
+            print(f"refscale metric failed: {e!r}", file=sys.stderr)
     n_dev = jax.device_count()
     # target: 100 views/s on 8 chips -> 12.5 views/s per chip
     target = 12.5 * n_dev if on_tpu else None
@@ -435,8 +460,9 @@ def main():
             c2ws, sensors,
             sensor_IDs=[k % len(focals) for k in range(n_views)],
         )
+        rng_p = np.random.default_rng(1)
         label_imgs = [
-            rng.integers(0, n_classes, (H, W)).astype(np.int32)
+            rng_p.integers(0, n_classes, (H, W)).astype(np.int32)
             for _ in range(n_views)
         ]
         # warm: one pass to compile the device step
@@ -467,6 +493,12 @@ def main():
         "unit": "views/s",
         "vs_baseline": round(vs_baseline, 4),
     }
+    if refscale_vps is not None:
+        out["refscale_views_per_s"] = refscale_vps
+        out["refscale_note"] = (
+            "same 4K suite aggregated at the reference examples' "
+            "aggregate_img_scale=0.25 working scale"
+        )
     if pipeline_vps is not None:
         out["pipeline_views_per_s"] = pipeline_vps
         out["pipeline_note"] = (

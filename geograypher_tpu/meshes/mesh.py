@@ -760,9 +760,12 @@ class TexturedMesh:
         The rasterizer itself never checks (it would force a device sync
         per view); capacities are a static contract.
         """
-        from geograypher_tpu.ops.rasterize import bin_triangles, setup_triangles
+        from geograypher_tpu.ops.rasterize import bin_all, setup_triangles
 
         config = config or self.raster_config
+        config = self._subtile_sized_config(
+            cameras, index, render_img_scale, config, False
+        )
         batch = cameras.get_camera_batch([index], image_scale=render_img_scale)
         tri = self.get_tri_verts_device(cameras)
         setup = setup_triangles(
@@ -771,10 +774,12 @@ class TexturedMesh:
             batch.image_width,
             batch.image_height,
         )
-        binned = bin_triangles(
+        binned, sb = bin_all(
             setup, config, batch.image_height, batch.image_width
         )
         overflow = int(binned.overflow)
+        if sb is not None:
+            overflow += int(np.asarray(sb.overflow))
         if overflow:
             logger.warning(
                 "rasterizer capacity overflow: %d candidate entries dropped "
@@ -812,6 +817,12 @@ class TexturedMesh:
                 )[0]
             )
         config = config or self.raster_config
+        # census-size level-S capacities on first use (no-op without
+        # config.subtile); pix2face rasterizes the ideal pinhole view
+        # (distortion is a post-remap), so the census matches use_dist=False
+        config = self._subtile_sized_config(
+            cameras, index, render_img_scale, config, False
+        )
         batch = cameras.get_camera_batch([index], image_scale=render_img_scale)
         tri = self.get_tri_verts_device(cameras)
         p2f = rasterize_triangles(
@@ -959,6 +970,53 @@ class TexturedMesh:
             )
         return cache[key]
 
+    def _subtile_sized_config(
+        self,
+        cameras: CameraSet,
+        index: int,
+        scale: float,
+        config: RasterConfig,
+        use_dist: bool,
+    ) -> RasterConfig:
+        """``config`` with level-S chunk capacities census-sized from view
+        ``index`` when ``subtile`` is enabled without explicit caps
+        (cached per (scale, config)); no-op otherwise.  Undersizing for
+        other views of the survey surfaces as ``SubtileBinned.overflow``,
+        raised by every fused consumer."""
+        if (
+            config.subtile is None
+            or config.backend != "pallas"
+            or config.s_cap_chunks is not None
+        ):
+            return config
+        from geograypher_tpu.ops.rasterize import (
+            probe_subtile_census,
+            size_subtile_caps,
+        )
+
+        cache = getattr(self, "_s_cap_cache", None)
+        if cache is None:
+            cache = self._s_cap_cache = {}
+        key = (round(scale, 6), config)
+        if key not in cache:
+            batch = cameras.get_camera_batch([index], image_scale=scale)
+            s_tot, s_worst = probe_subtile_census(
+                self._tri_soa_device(cameras),
+                batch.world_to_cam[0],
+                batch.f[0],
+                jnp.asarray(batch.distortion[0], jnp.float32),
+                batch.cx[0],
+                batch.cy[0],
+                batch.image_width,
+                batch.image_height,
+                config,
+                use_dist,
+            )
+            cache[key] = size_subtile_caps(
+                config, int(np.asarray(s_tot)), int(np.asarray(s_worst))
+            )
+        return cache[key]
+
     def _fold_sized_config(
         self,
         cameras: CameraSet,
@@ -974,6 +1032,9 @@ class TexturedMesh:
 
         from geograypher_tpu.ops.rasterize import probe_fold_window
 
+        config = self._subtile_sized_config(
+            cameras, index, scale, config, use_dist
+        )
         cache = getattr(self, "_fold_cap_cache", None)
         if cache is None:
             cache = self._fold_cap_cache = {}

@@ -880,6 +880,57 @@ def probe_fold_window(
 
 @functools.partial(
     jax.jit,
+    static_argnames=("image_w", "image_h", "config", "use_dist"),
+)
+def probe_subtile_census(
+    tri_soa: jax.Array,
+    world_to_cam: jax.Array,
+    f: jax.Array,
+    dist8: jax.Array,
+    pcx: jax.Array,
+    pcy: jax.Array,
+    image_w: int,
+    image_h: int,
+    config: RasterConfig,
+    use_dist: bool,
+):
+    """One view's exact level-S chunk demand ``(total, worst_pair)``.
+
+    Sizes ``RasterConfig.s_cap_chunks`` / ``s_pair_chunks`` for a survey
+    from a probe view (see :func:`size_subtile_caps`); works with an
+    UNsized config (only the subtile geometry fields are read).
+    """
+    from geograypher_tpu.ops.subtile import subtile_counts_census
+
+    setup = setup_from_soa(
+        tri_soa, world_to_cam, f, image_w, image_h, config.znear,
+        distortion=(dist8, pcx, pcy) if use_dist else None,
+    )
+    pair, _nty0p, ntx0p = l0_geometry(config, image_h, image_w)
+    return subtile_counts_census(
+        setup, config, image_h, image_w, ntx0p, pair, kb=config.s_kb
+    )
+
+
+def size_subtile_caps(
+    config: RasterConfig, s_tot: int, s_worst: int, margin: float = 1.5
+) -> RasterConfig:
+    """``config`` with level-S chunk capacities sized from a probe view's
+    census (``margin`` x, kb-aligned).  Unprobed views of the same survey
+    can demand more — undersizing surfaces as ``SubtileBinned.overflow``,
+    which every production consumer raises on (never silent drops)."""
+    import dataclasses
+
+    kb = config.s_kb
+    s_cap = -(-int(int(s_tot) * margin + kb) // kb) * kb
+    s_pc = -(-int(int(s_worst) * margin + kb) // kb) * kb
+    return dataclasses.replace(
+        config, s_cap_chunks=max(s_cap, kb), s_pair_chunks=max(s_pc, kb)
+    )
+
+
+@functools.partial(
+    jax.jit,
     static_argnames=(
         "image_w", "image_h", "config", "n_faces", "n_classes", "use_dist"
     ),

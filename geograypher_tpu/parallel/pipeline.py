@@ -367,6 +367,30 @@ def aggregate_class_images_distributed(
     params = _pack_params(batch, np.ones(n, np.float32))[order]
     params[:, _PROW - 1] = valid
 
+    # -- census-size level-S chunk capacities (no-op without subtile) ----------
+    # One probe view, 1.5x margin; undersizing for later views surfaces
+    # as SubtileBinned.overflow, summed into each step's overflow output
+    # and raised below.
+    if fused and config.subtile is not None and config.s_cap_chunks is None:
+        from geograypher_tpu.ops.rasterize import (
+            probe_subtile_census,
+            size_subtile_caps,
+        )
+
+        row = params[0]
+        s_tot, s_worst = probe_subtile_census(
+            tri_soa,
+            jnp.asarray(row[:16].reshape(4, 4)),
+            jnp.asarray(row[16]),
+            jnp.asarray(row[17:25]),
+            jnp.asarray(row[25]),
+            jnp.asarray(row[26]),
+            w, h, config, use_dist,
+        )
+        config = size_subtile_caps(
+            config, int(np.asarray(s_tot)), int(np.asarray(s_worst))
+        )
+
     # -- auto-size the fold's static window capacity --------------------------
     # Probe the first step's views for the worst per-block tile-window
     # demand; later views are re-measured inside every step and overflow

@@ -261,3 +261,65 @@ def test_subtile_counts_match_plain():
     # most faces agree exactly
     assert (c_s == c_p).all(axis=1).mean() > 0.99
     assert c_p.sum() > 1000
+
+
+def test_mesh_subtile_auto_size_parity():
+    """TexturedMesh census-sizes level-S capacities automatically when a
+    config enables ``subtile`` without explicit chunk caps, and the
+    result matches the plain tile path (pix2face + fused aggregation)."""
+    import dataclasses
+
+    from tests.test_mesh import local_camera_set, make_geo_mesh
+
+    mesh, _ = make_geo_mesh()
+    cams = local_camera_set(mesh)
+    base = RasterConfig(
+        caps=(64, 16, 16, 16), backend="pallas", bin_block=8,
+        l0_window=(5, 2),
+    )
+    s_cfg = dataclasses.replace(
+        base, subtile=(8, 16), s_window=(3, 2), s_block=4
+    )
+    p_plain = mesh.pix2face(cams, config=base)
+    p_s = mesh.pix2face(cams, config=s_cfg)
+    # knife-edge winner flips aside, the maps agree
+    assert (p_plain == p_s).mean() > 0.999
+    assert (p_plain >= 0).mean() > 0.2
+    sized = mesh._s_cap_cache[(1.0, s_cfg)]
+    assert sized.s_cap_chunks is not None and sized.s_cap_chunks > 0
+    assert sized.s_pair_chunks is not None and sized.s_pair_chunks > 0
+
+    # capacity checker covers the S level without raising
+    assert mesh.check_raster_capacity(cams, config=s_cfg) == 0
+
+    # fused aggregation path (project_images via the segmentor one-hot
+    # contract) auto-sizes too and matches the plain config
+    n_classes = 4
+    h = w = 100  # local_camera_set's sensor size
+
+    class _OneHot:
+        def get_image_by_index(self, i, scale=1.0):
+            r = np.random.default_rng(10 + i)
+            cls = r.integers(0, n_classes, (h, w))
+            return np.eye(n_classes, dtype=np.float32)[cls]
+
+    imgs = [_OneHot().get_image_by_index(i) for i in range(len(cams))]
+
+    def run(cfg):
+        import types
+
+        cams2 = cams
+        orig = cams2.get_image_by_index
+        cams2.get_image_by_index = lambda i, s=1.0: imgs[i]
+        try:
+            outs = list(mesh.project_images(cams2, config=cfg))
+        finally:
+            cams2.get_image_by_index = orig
+        return outs
+
+    outs_p = run(base)
+    outs_s = run(s_cfg)
+    for (v_p, c_p), (v_s, c_s) in zip(outs_p, outs_s):
+        assert abs(np.asarray(c_p).sum() - np.asarray(c_s).sum()) <= (
+            0.005 * np.asarray(c_p).sum() + 1
+        )
