@@ -199,3 +199,133 @@ def test_visualize_exports_html_viewer(tmp_path, survey):
     assert np.abs(pos).max() <= 1.0 + 1e-5  # normalized frame
     lines = np.frombuffer(b64mod.b64decode(mesh["lines"]), dtype=np.float32)
     assert lines.size > 0  # frustums present
+
+
+def test_project_detections(survey, tmp_path):
+    """Tabular detection boxes -> sparse per-face instance counts ->
+    geospatial polygons (reference project_detections.py:21-191)."""
+    import pandas as pd
+
+    from geograypher_tpu.entrypoints.project_detections import (
+        project_detections,
+    )
+
+    # two boxes in one image, one in another (96x96 sensor)
+    df = pd.DataFrame(
+        {
+            "image_path": ["img_0000.png", "img_0000.png", "img_0001.png"],
+            "xmin": [20, 60, 30],
+            "xmax": [40, 80, 55],
+            "ymin": [20, 55, 30],
+            "ymax": [40, 75, 55],
+            "label": ["tree_a", "tree_b", "tree_a"],
+        }
+    )
+    det_file = tmp_path / "dets.csv"
+    df.to_csv(det_file, index=False)
+    geo_save = tmp_path / "detections.geojson"
+    counts, vd = project_detections(
+        mesh_file=survey["mesh_file"],
+        cameras_file=survey["cameras_file"],
+        image_folder=survey["image_folder"],
+        detections_folder=det_file,
+        image_shape=(96, 96),
+        aggregate_image_scale=1.0,
+        projections_to_mesh_savefile=tmp_path / "counts.npz",
+        projections_to_geospatial_savefile=geo_save,
+    )
+    assert counts is not None and counts.shape[1] == 3
+    assert counts.sum() > 0
+    # each detection painted onto some faces
+    dense = counts.toarray()
+    assert (dense.sum(axis=0) > 0).sum() >= 2
+    assert geo_save.exists() and vd is not None
+    assert (tmp_path / "counts.npz").exists()
+    assert "detection_label" in vd.attributes
+
+
+def test_multiview_detections(survey, tmp_path):
+    """Per-image detections of one world point triangulate back to its
+    geospatial location (reference multiview_detections.py:183-303)."""
+    import jax.numpy as jnp
+
+    from geograypher_tpu.cameras.core import project_points
+    from geograypher_tpu.cameras.metashape import MetashapeCameraSet
+    from geograypher_tpu.entrypoints.multiview_detections import (
+        multiview_detections,
+    )
+    from geograypher_tpu.meshes.mesh import TexturedMesh
+    from geograypher_tpu.utils.vector import Polygon, VectorData
+
+    cams = MetashapeCameraSet(
+        survey["cameras_file"], survey["image_folder"], validate_images=False
+    )
+    mesh = TexturedMesh(
+        survey["mesh_file"], transform_filename=survey["cameras_file"]
+    )
+    verts_local = mesh.get_verts_in_local_frame(cams)
+    pt = verts_local.mean(axis=0)
+    pt[2] = verts_local[:, 2].max()  # a point at canopy height
+    batch = cams.get_camera_batch()
+    xy, _depth, valid = project_points(
+        batch, jnp.asarray(pt[None], jnp.float32)
+    )
+    xy, valid = np.asarray(xy), np.asarray(valid)
+    det_dir = tmp_path / "dets"
+    det_dir.mkdir()
+    n_written = 0
+    for i in range(len(cams)):
+        if not valid[i, 0]:
+            continue
+        x, y = float(xy[i, 0, 0]), float(xy[i, 0, 1])
+        poly = Polygon(
+            np.array(
+                [[x - 3, y - 3], [x + 3, y - 3], [x + 3, y + 3],
+                 [x - 3, y + 3]]
+            )
+        )
+        VectorData([poly], {"label": ["obj"]}).to_file(
+            det_dir / f"img_{i:04d}.geojson"
+        )
+        n_written += 1
+    assert n_written >= 2
+    save = tmp_path / "points.geojson"
+    points = multiview_detections(
+        mesh_file=survey["mesh_file"],
+        cameras_file=survey["cameras_file"],
+        image_folder=survey["image_folder"],
+        detections_folder=det_dir,
+        ray_length_meters=200.0,
+        similarity_threshold_meters=2.0,
+        covering_mesh_N=8,
+        covering_z_buffer=(5.0, -5.0),
+        triangulated_points_savefile=save,
+    )
+    points = np.asarray(points)
+    assert len(points) >= 1
+    # triangulated point lands at the survey site (lat, lon, alt)
+    assert abs(points[0][0] - 36.0) < 0.01
+    assert abs(points[0][1] - (-119.0)) < 0.01
+    assert save.exists()
+
+
+def test_ortho_cli_wiring():
+    """chip_ortho / assemble_ortho_predictions argparse surfaces parse
+    (the underlying functions are round-tripped in test_predictors)."""
+    import subprocess
+    import sys
+
+    for mod in (
+        "geograypher_tpu.entrypoints.chip_ortho",
+        "geograypher_tpu.entrypoints.assemble_ortho_predictions",
+    ):
+        out = subprocess.run(
+            [sys.executable, "-m", mod, "--help"],
+            capture_output=True, text=True, timeout=120,
+            env={"PATH": "/usr/bin:/bin:/usr/local/bin", "HOME": "/root",
+                 "JAX_PLATFORMS": "cpu",
+                 "PYTHONPATH": "/root/repo"},
+        )
+        assert out.returncode == 0, out.stderr[-500:]
+        assert "--raster-file" in out.stdout or "--chips" in out.stdout \
+            or "--prediction-folder" in out.stdout, out.stdout[:400]
