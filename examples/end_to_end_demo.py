@@ -53,7 +53,57 @@ def main(out="demo_out"):
         f"{int(seen.sum())} observed faces"
     )
 
-    print("4. visualize: top-down composite")
+    print("4. multiview_detections: per-image detections -> 3D points")
+    import jax.numpy as jnp
+
+    from geograypher_tpu.cameras.core import project_points
+    from geograypher_tpu.cameras.metashape import MetashapeCameraSet
+    from geograypher_tpu.entrypoints.multiview_detections import (
+        multiview_detections,
+    )
+    from geograypher_tpu.meshes.mesh import TexturedMesh
+    from geograypher_tpu.utils.vector import Polygon, VectorData
+
+    # simulate a detector: every camera "detects" the canopy-height scene
+    # center (a small box around its projected pixel)
+    cams = MetashapeCameraSet(
+        survey["cameras_file"], survey["image_folder"], validate_images=False
+    )
+    mesh = TexturedMesh(
+        survey["mesh_file"], transform_filename=survey["cameras_file"]
+    )
+    verts_local = mesh.get_verts_in_local_frame(cams)
+    target = verts_local.mean(axis=0)
+    target[2] = verts_local[:, 2].max()
+    xy, _d, valid = project_points(
+        cams.get_camera_batch(), jnp.asarray(target[None], jnp.float32)
+    )
+    xy, valid = np.asarray(xy), np.asarray(valid)
+    det_dir = out / "detections"
+    det_dir.mkdir(parents=True, exist_ok=True)
+    for i in range(len(cams)):
+        if not valid[i, 0]:
+            continue
+        x, y = float(xy[i, 0, 0]), float(xy[i, 0, 1])
+        box = Polygon(
+            np.array([[x - 3, y - 3], [x + 3, y - 3], [x + 3, y + 3],
+                      [x - 3, y + 3]])
+        )
+        VectorData([box], {"label": ["tree"]}).to_file(
+            det_dir / f"img_{i:04d}.geojson"
+        )
+    points = multiview_detections(
+        mesh_file=survey["mesh_file"],
+        cameras_file=survey["cameras_file"],
+        image_folder=survey["image_folder"],
+        detections_folder=det_dir,
+        similarity_threshold_meters=2.0,
+        covering_mesh_N=8,
+        triangulated_points_savefile=out / "triangulated_points.geojson",
+    )
+    print(f"   triangulated {len(points)} object location(s)")
+
+    print("5. visualize: top-down composite")
     from geograypher_tpu.entrypoints.visualize import visualize
 
     visualize(
