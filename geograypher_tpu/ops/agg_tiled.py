@@ -180,6 +180,16 @@ def tile_class_counts(
     (nty0, ntx0), (nty1, ntx1), (nty2, ntx2) = grids
     s1_sc = config.level_scales[1]
     s2_sc = config.level_scales[2]
+    if s1_sc not in (1, 2, 4):
+        # the gx=min(4, s1_sc) grid grouping maps each gx-group of L0
+        # tiles to ONE L1 parent, and the fold's 2-digit-plane bf16
+        # count encoding is exact only up to s1_sc^2 * 1024 px per L1
+        # slot (16384 at 4; see face_counts_from_tiles) — larger scales
+        # would mis-map parents and silently corrupt counts
+        raise ValueError(
+            f"level_scales[1] must be 1, 2 or 4 for the count kernels "
+            f"(got {s1_sc})"
+        )
     # pad the L0 grid so child->parent reductions are pure reshapes
     nty0g = nty1 * s1_sc
     ntx0g = ntx1 * s1_sc
@@ -966,6 +976,14 @@ def fold_tile_counts(
     return_overflow: bool = False,
 ):
     """Fold per-tile per-level (class, slot) counts into (F, C) counts."""
+    if config.level_scales[1] not in (1, 2, 4):
+        # L1 count entries ride a 2-digit base-128 bf16 encoding, exact
+        # only up to s1^2 * 1024 px per slot (16384 at scale 4, vs the
+        # 16512 two-plane bound) — larger scales silently corrupt counts
+        raise ValueError(
+            f"level_scales[1] must be 1, 2 or 4 for the count fold "
+            f"(got {config.level_scales[1]})"
+        )
     return fold_tile_counts_grouped(
         [(outs, binned)], config, image_h, image_w, n_faces, n_classes,
         w_cap=w_cap, block=block, return_overflow=return_overflow,
@@ -997,6 +1015,11 @@ def fold_tile_counts_grouped(
     scalar — callers that enable compaction MUST check it (a nonzero
     value means counts were lost; raise, don't return wrong labels).
     """
+    if config.level_scales[1] not in (1, 2, 4):
+        raise ValueError(
+            f"level_scales[1] must be 1, 2 or 4 for the count fold "
+            f"(got {config.level_scales[1]})"
+        )
     per_level = [
         _per_level_entries(outs, binned, config, image_h, image_w)
         for outs, binned in views

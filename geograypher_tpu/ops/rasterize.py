@@ -5,7 +5,10 @@ the VTK base-256 color-encoding renderer (meshes/meshes.py:1749-1803) and the
 optional PyTorch3D CUDA ``MeshRasterizer`` (meshes/derived_meshes.py:642-737).
 It produces, for each camera, an ``(H, W) int32`` map of the mesh face id
 visible at each pixel (-1 = background), occlusion-correct by construction
-and deterministic (ties broken toward the lowest face id).
+and deterministic: exact depth ties break toward the lowest face id within
+a binning level's candidate list, and by the fixed level order
+(S, L0, L1, L2, global) across levels — the same inputs always produce the
+same map (unlike the reference's last-drawn-wins scatter).
 
 Architecture (chosen from on-chip microbenchmarks; see repo docs):
 
@@ -983,6 +986,10 @@ def fused_view_class_counts(
             w_cap=config.fold_w_cap, block=config.fold_block,
             return_overflow=True,
         )
+        # L0..L3 candidate-cap drops lose counts too: only one view is
+        # probed per survey (check_raster_capacity), so per-view cap
+        # overflow must surface the same way the S and fold drops do
+        over = over + binned.overflow
         if sb is not None:
             # S chunk-capacity drops lose counts, same contract
             over = over + sb.overflow

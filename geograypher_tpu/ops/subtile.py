@@ -376,7 +376,6 @@ def s_raster_pallas(
 
     sh, sw = config.subtile
     spt = config.tile_w // sw
-    th, tw = config.tile_h, config.tile_w
     npx = ntx0p // pair
     n_pairs = sb.pair_start.shape[0]
     nty0p = n_pairs // npx
@@ -497,8 +496,14 @@ def s_raster_pallas(
     )(*operands)
     outs = jax.lax.optimization_barrier(tuple(outs))
     # pairs with no S chunks were never visited — mask their rows to the
-    # empty carry (their output blocks are uninitialized memory)
-    occ = (sb.pair_cnt > 0).reshape(nty0p, npx)[:, :, None, None]
+    # empty carry (their output blocks are uninitialized memory).  Pairs
+    # whose chunk range starts at/beyond an undersized cap_chunks are
+    # equally unvisited: mask them too, so cap overflow degrades to
+    # DETERMINISTIC dropped candidates (reported via sb.overflow, same
+    # contract as the L0..L3 caps) instead of garbage carries.
+    occ = (
+        (sb.pair_cnt > 0) & (sb.pair_start < cap_chunks)
+    ).reshape(nty0p, npx)[:, :, None, None]
     fills = (jnp.float32(NEG_INF), jnp.float32(-1.0))
     outs = tuple(
         jnp.where(
@@ -628,7 +633,6 @@ def s_count_pallas(
         sub_base = i * ntx_s + j * pair * spt
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
         cls_iota = jax.lax.broadcasted_iota(jnp.int32, (kp, CHUNK), 0)
-        _ri = jax.lax.broadcasted_iota(jnp.int32, (3, 1), 0)
         w3 = jnp.ones((3, 1), jnp.bfloat16)
 
         for b in range(kb):

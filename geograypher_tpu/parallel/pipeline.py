@@ -371,7 +371,12 @@ def aggregate_class_images_distributed(
     # One probe view, 1.5x margin; undersizing for later views surfaces
     # as SubtileBinned.overflow, summed into each step's overflow output
     # and raised below.
-    if fused and config.subtile is not None and config.s_cap_chunks is None:
+    if (
+        fused
+        and n > 0
+        and config.subtile is not None
+        and config.s_cap_chunks is None
+    ):
         from geograypher_tpu.ops.rasterize import (
             probe_subtile_census,
             size_subtile_caps,
@@ -430,7 +435,6 @@ def aggregate_class_images_distributed(
     total_views = jax.device_put(jnp.zeros((n_faces,), jnp.float32), replicated)
     worst_overflow = 0
     first_csum = None
-    first_over = None
     first_imgs = None
 
     overflows = []
@@ -476,7 +480,7 @@ def aggregate_class_images_distributed(
             # (the round-2 pipeline lost ~2x to exactly this)
             overflows.append(over)
             if start == 0:
-                first_csum, first_over = csum, over
+                first_csum = csum
                 first_imgs = imgs
 
     if fused:

@@ -128,25 +128,36 @@ def _chain_rings(edges: np.ndarray, verts2d: np.ndarray):
             ring_edges.append(e)
             cands = order[lo[e]:hi[e]]
             cands = cands[~used[cands]]
+            # the (used) seed edge competes as the CLOSING continuation
+            # whenever the trace is back at the ring start: at a pinch
+            # vertex the angle rule must be allowed to close this ring
+            # rather than run into the other lobe (else two rings merge
+            # into one non-simple figure-eight)
+            can_close = bool(edges[seed, 0] == edges[e, 1])
             if cands.size == 0:
-                # closed back to the seed (its slot is already "used") —
-                # or an open chain on defective input; emit what we have
+                # closed back to the seed — or an open chain on
+                # defective input; emit what we have
                 break
-            if cands.size == 1:
+            if cands.size == 1 and not can_close:
                 e = int(cands[0])
                 continue
             # pinch vertex: pick the most-clockwise turn from the
             # incoming direction (interior on the left stays consistent)
             vin = verts2d[edges[e, 1]] - verts2d[edges[e, 0]]
             ang_in = np.arctan2(vin[1], vin[0])
-            vout = (
-                verts2d[edges[cands, 1]] - verts2d[edges[cands, 0]]
+            cand_list = [int(x) for x in cands] + (
+                [seed] if can_close else []
             )
+            ce = edges[np.asarray(cand_list)]
+            vout = verts2d[ce[:, 1]] - verts2d[ce[:, 0]]
             ang = np.arctan2(vout[:, 1], vout[:, 0])
             # turn angle in (-pi, pi], pick the largest CCW turn
             # (tightest wrap around the interior on the left)
             turn = np.mod(ang - ang_in + np.pi, 2 * np.pi) - np.pi
-            e = int(cands[np.argmax(turn)])
+            pick = cand_list[int(np.argmax(turn))]
+            if pick == seed:
+                break  # closing beats every other continuation
+            e = pick
         idx = edges[np.asarray(ring_edges), 0]
         rings.append(verts2d[idx])
     return rings
@@ -194,14 +205,20 @@ def class_region_polygons(
         if holes and polys:
             areas = np.array([_ring_area(o) for o in outers])
             for hring in holes:
-                pt = hring[0:1]
-                containing = [
-                    i
-                    for i, o in enumerate(outers)
-                    if bool(_points_in_ring(pt, o)[0])
-                ]
+                # a hole vertex can lie ON an outer's boundary (T-vertex;
+                # the crossing-number test returns False there) — try
+                # vertices until one lands strictly inside
+                containing: typing.List[int] = []
+                for pt in hring:
+                    containing = [
+                        i
+                        for i, o in enumerate(outers)
+                        if bool(_points_in_ring(pt[None], o)[0])
+                    ]
+                    if containing:
+                        break
                 if not containing:
-                    continue  # hole touching an outer at its test vertex
+                    continue  # every test vertex on an outer boundary
                 best = containing[int(np.argmin(areas[containing]))]
                 polys[best].holes.append(hring)
         out[int(c)] = polys

@@ -222,3 +222,25 @@ def test_fused_counts_entry_compaction_parity():
         w_cap=config.fold_w_cap, return_overflow=True,
     )
     assert int(np.asarray(over)) == sum(max(0, int(v) - 1) for v in occ)
+
+
+def test_fold_rejects_unsupported_level_scale():
+    """level_scales[1] > 4 breaks the 2-digit-plane count exactness bound
+    and the gx grid grouping — the fold must refuse, not corrupt."""
+    import dataclasses
+
+    import pytest
+
+    from geograypher_tpu.ops.agg_tiled import (
+        fold_tile_counts,
+        fold_tile_counts_grouped,
+    )
+    from geograypher_tpu.ops.rasterize import RasterConfig
+
+    cfg = dataclasses.replace(
+        RasterConfig(caps=(16, 16, 16, 16)), level_scales=(1, 8, 16)
+    )
+    with pytest.raises(ValueError, match="level_scales"):
+        fold_tile_counts(None, None, cfg, 64, 64, 10, 3)
+    with pytest.raises(ValueError, match="level_scales"):
+        fold_tile_counts_grouped([], cfg, 64, 64, 10, 3)

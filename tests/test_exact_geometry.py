@@ -177,3 +177,35 @@ def test_cf_vector_vector_exact_matches_analytic():
     np.testing.assert_allclose(cf[0, 2], 1.0, atol=1e-12)
     # pred-b (area 4) extends 2 area units beyond true -> unlabeled row
     np.testing.assert_allclose(cf[2, 1], 2.0, atol=1e-12)
+
+
+def test_pinch_vertex_rings_stay_separate():
+    """Two same-class triangles sharing exactly one vertex must come back
+    as TWO simple polygons, even when the ring trace reaches the pinch
+    vertex with the (used) closing seed edge as the geometrically
+    correct continuation — the figure-eight merge regression."""
+    from geograypher_tpu.utils.exact_geometry import class_region_polygons
+
+    verts2d = np.array(
+        [
+            [9.0, 9.0],  # 0: unused filler
+            [1.0, 1.0],  # 1: the pinch vertex P
+            [9.0, 8.0],  # 2: unused filler
+            [2.0, 0.0],  # 3
+            [2.0, 2.0],  # 4
+            [0.0, 2.0],  # 5
+            [0.0, 0.0],  # 6
+        ]
+    )
+    # face0's FIRST directed edge starts at P, so the trace returns to P
+    # with the seed edge used while face1 still has an unused out-edge
+    faces = np.array([[1, 5, 6], [1, 3, 4]])
+    labels = np.array([1.0, 1.0])
+    out = class_region_polygons(verts2d, faces, labels)
+    polys = out[1]
+    assert len(polys) == 2, [p.exterior for p in polys]
+    areas = sorted(round(p.area, 6) for p in polys)
+    assert areas == [1.0, 1.0]
+    for p in polys:
+        # simple triangle rings, each visiting P exactly once
+        assert p.exterior.shape[0] == 3
