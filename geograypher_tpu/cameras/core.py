@@ -109,11 +109,19 @@ class CameraBatch:
         if image_scale == 1.0:
             return self
         s = float(image_scale)
+        # radial/tangential coefficients act on normalized coordinates
+        # (scale-invariant), but the affinity terms b1/b2 are PIXEL units
+        # like f/cx/cy and must scale with the image
+        dist = self.distortion
+        pix_scale = jnp.asarray(
+            [1.0, 1.0, 1.0, 1.0, 1.0, 1.0, s, s], dist.dtype
+        )
         return dataclasses.replace(
             self,
             f=self.f * s,
             cx=self.cx * s,
             cy=self.cy * s,
+            distortion=dist * pix_scale,
             image_width=int(self.image_width * s),
             image_height=int(self.image_height * s),
         )
@@ -715,19 +723,29 @@ class CameraSet:
                 angle = np.arccos(np.clip(-dirs[:, 2], -1.0, 1.0))
                 keep &= angle <= limit_angle_from_vert
             starts, ends, ids = starts[keep], ends[keep], ids[keep]
+            origins = starts.copy()
             if boundaries is not None:
                 from geograypher_tpu.ops.raycast import clip_line_segments
 
                 (ceil_v, ceil_f), (floor_v, floor_f) = boundaries
-                origins = starts.copy()
                 starts, ends, valid = clip_line_segments(
                     starts, ends, ceil_v[ceil_f], floor_v[floor_f]
                 )
                 valid = np.array(valid)  # writable copy (from device)
-                if limit_ray_length_local is not None:
-                    length = np.linalg.norm(ends - origins, axis=1)
-                    valid &= length <= limit_ray_length_local
-                starts, ends, ids = starts[valid], ends[valid], ids[valid]
+            else:
+                valid = np.ones(len(starts), dtype=bool)
+            if limit_ray_length_local is not None:
+                # applies with OR without boundary clipping (the length
+                # filter is independent of the covering-mesh clip)
+                length = np.linalg.norm(
+                    np.asarray(ends) - origins, axis=1
+                )
+                valid &= length <= limit_ray_length_local
+            starts, ends, ids = (
+                np.asarray(starts)[valid],
+                np.asarray(ends)[valid],
+                ids[valid],
+            )
             data = {"ray_starts": starts, "ray_ends": ends, "ray_IDs": ids}
         if out_dir is not None:
             path = Path(out_dir) / "line_segments.npz"

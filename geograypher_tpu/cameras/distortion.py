@@ -188,6 +188,18 @@ def remap_image(
     interp = cv2.INTER_NEAREST if interpolation_order == 0 else cv2.INTER_LINEAR
     img = np.asarray(image)
     orig_dtype = img.dtype
+    if interpolation_order == 0 and np.issubdtype(orig_dtype, np.integer):
+        # exact nearest-neighbor gather in numpy: the float32 cv2 path
+        # rounds discrete ids above 2^24 (e.g. >16.7M-face pix2face maps)
+        h, w = img.shape[:2]
+        ri = np.rint(map_y).astype(np.int64)
+        ci = np.rint(map_x).astype(np.int64)
+        inside = (ri >= 0) & (ri < h) & (ci >= 0) & (ci < w)
+        out = np.full(
+            map_x.shape + img.shape[2:], fill_value, dtype=orig_dtype
+        )
+        out[inside] = img[ri[inside], ci[inside]]
+        return out
     if img.dtype not in (np.uint8, np.float32, np.int16, np.uint16):
         img = img.astype(np.float32)
     out = cv2.remap(

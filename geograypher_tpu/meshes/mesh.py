@@ -235,7 +235,7 @@ class TexturedMesh:
         self.faces = self.faces[order]
         if self.face_texture is not None:
             self.face_texture = self.face_texture[order]
-        self._tri_verts_cache.clear()
+        self._invalidate_geometry_caches()
         return order
 
     def get_vertices_in_CRS(self, output_CRS: typing.Optional[int]) -> np.ndarray:
@@ -281,6 +281,18 @@ class TexturedMesh:
         while bucket < n:
             bucket = int(bucket * 1.25) // 256 * 256 + 256
         return bucket
+
+    def _invalidate_geometry_caches(self) -> None:
+        """Drop every geometry-derived device cache after a geometry edit
+        (crop/sort/downsample): the (F, 3, 3) and (9, F) triangle caches
+        AND the capacity caches sized from them — stale SOA triangles or
+        fold/S capacities from the old face order yield silently wrong
+        aggregation counts."""
+        self._tri_verts_cache.clear()
+        for name in ("_tri_soa_cache", "_fold_cap_cache", "_s_cap_cache"):
+            cache = getattr(self, name, None)
+            if cache is not None:
+                cache.clear()
 
     def get_tri_verts_device(
         self, cameras: typing.Union[CameraSet, None]
@@ -355,7 +367,7 @@ class TexturedMesh:
                 self.vertex_texture = self.vertex_texture[used]
             if self.face_texture is not None:
                 self.face_texture = self.face_texture[face_mask]
-            self._tri_verts_cache.clear()
+            self._invalidate_geometry_caches()
             return self, face_mask
         sub = TexturedMesh(
             (out_verts, out_faces),
@@ -413,7 +425,7 @@ class TexturedMesh:
             self.faces = new_faces
             self.vertex_texture = new_vertex_texture
             self.face_texture = None
-            self._tri_verts_cache.clear()
+            self._invalidate_geometry_caches()
             return self
         sub = TexturedMesh(
             (new_verts, new_faces),
@@ -558,11 +570,27 @@ class TexturedMesh:
 
     def remap_texture(self, labels_to_IDs: dict):
         """String/label texture values -> integer IDs (reference
-        meshes.py:382-473)."""
+        meshes.py:382-473).
+
+        Textures are stored numerically (set_texture coerces to float),
+        so string labels resolve through the mesh's current
+        ``IDs_to_labels`` mapping (texture id -> label -> new ID);
+        numeric keys match texture values directly.
+        """
         tex = self.get_texture()
         out = np.full_like(tex, np.nan, dtype=np.float64)
-        for label, ID in labels_to_IDs.items():
-            out[tex == label] = ID
+        if any(isinstance(k, str) for k in labels_to_IDs):
+            if not self.IDs_to_labels:
+                raise ValueError(
+                    "remap_texture got string labels but the mesh has no "
+                    "IDs_to_labels mapping to resolve them against"
+                )
+            for old_id, label in self.IDs_to_labels.items():
+                if label in labels_to_IDs:
+                    out[tex == float(old_id)] = labels_to_IDs[label]
+        else:
+            for label, ID in labels_to_IDs.items():
+                out[tex == label] = ID
         self.set_texture(out)
         self.IDs_to_labels = {v: k for k, v in labels_to_IDs.items()}
 
@@ -877,8 +905,12 @@ class TexturedMesh:
             distort_i = self._resolve_distortion(cameras, i, apply_distortion)
             if save_to_cache:
                 cam_hash = cameras.get_subset_cameras([i]).get_camera_hash()
+                # the config is part of the key: maps rendered under
+                # overflowing (lossy) capacities must not be reused after
+                # the user raises caps
                 cache_key = [
-                    mesh_hash, cam_hash, render_img_scale, distort_i
+                    mesh_hash, cam_hash, render_img_scale, distort_i,
+                    repr(config),
                 ]
                 cached = p2f_cache.load_pix2face(
                     "pix2face", cache_key, cache_folder
@@ -1480,10 +1512,16 @@ class TexturedMesh:
             weight_img = np.where(
                 p2f >= 0, face_weighting[np.clip(p2f, 0, None)], 0.0
             )
-        valid = (poly_img >= 0) & np.isfinite(label_img)
+        # negative labels (e.g. -1 unlabeled sentinel) are ignored, like
+        # the exact-mode sibling's face_labels >= 0 mask
+        valid = (
+            (poly_img >= 0)
+            & np.isfinite(label_img)
+            & (label_img >= 0)
+        )
         n_classes = (
             int(np.nanmax(face_labels)) + 1
-            if np.isfinite(face_labels).any()
+            if np.isfinite(face_labels).any() and np.nanmax(face_labels) >= 0
             else 1
         )
         flat_idx = poly_img[valid].astype(np.int64) * n_classes + label_img[

@@ -406,3 +406,54 @@ def test_image_cache_one_read_per_file(tmp_path, monkeypatch):
         cams.get_image_by_index(0)
         cams.get_image_by_index(1, image_scale=0.5)
     assert len(reads) == 1
+
+
+def test_scaled_batch_scales_affinity_terms():
+    """b1/b2 are pixel units like f/cx/cy and must scale with the image;
+    radial/tangential coefficients are normalized-coordinate and must
+    not (review regression)."""
+    import numpy as np
+
+    from geograypher_tpu.cameras.core import CameraSet
+
+    dist = {"k1": -0.1, "k2": 0.01, "p1": 0.001, "p2": -0.002,
+            "b1": 2.0, "b2": -1.0}
+    cams = CameraSet(
+        [np.eye(4)],
+        {0: {"f": 100.0, "cx": 3.0, "cy": -2.0, "image_width": 200,
+             "image_height": 100, "distortion_params": dist}},
+    )
+    batch = cams.get_camera_batch(image_scale=0.5)
+    d = np.asarray(batch.distortion[0])
+    assert np.isclose(d[0], -0.1) and np.isclose(d[4], 0.001)
+    assert np.isclose(d[6], 1.0) and np.isclose(d[7], -0.5)
+    assert np.isclose(float(batch.f[0]), 50.0)
+
+
+def test_ray_length_limit_without_boundaries():
+    """limit_ray_length applies even with no covering-mesh boundaries
+    (review regression: the filter was nested under the clip branch)."""
+    import numpy as np
+
+    from geograypher_tpu.cameras.core import CameraSet
+
+    class OneDet:
+        def get_detection_centers(self, filename):
+            return np.array([[40.0, 40.0]])
+
+    c2w = np.eye(4)
+    cams = CameraSet(
+        [c2w],
+        {0: {"f": 40.0, "cx": 0.0, "cy": 0.0, "image_width": 80,
+             "image_height": 80}},
+    )
+    data = cams.calc_line_segments(
+        OneDet(), ray_length_local=100.0, boundaries=None,
+        limit_ray_length_local=10.0,
+    )
+    assert data["ray_starts"].shape[0] == 0  # 100-unit ray filtered
+    data2 = cams.calc_line_segments(
+        OneDet(), ray_length_local=100.0, boundaries=None,
+        limit_ray_length_local=200.0,
+    )
+    assert data2["ray_starts"].shape[0] == 1

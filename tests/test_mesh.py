@@ -494,3 +494,48 @@ def test_label_polygons_exact_mode():
     )
     out = mesh.label_polygons(labels, polys, mode="exact")
     assert out == ["right", "left"]
+
+
+def test_remap_texture_string_labels():
+    """String labels resolve through IDs_to_labels (textures are stored
+    numerically, so direct string comparison can never match — review
+    regression)."""
+    verts, faces = make_grid_mesh(n=5, size=4.0)
+    mesh = TexturedMesh((verts, faces), raster_config=CFG)
+    tex = np.zeros(mesh.n_faces)
+    tex[: mesh.n_faces // 2] = 1.0
+    mesh.set_texture(tex, is_vertex=False)
+    mesh.IDs_to_labels = {0: "ground", 1: "tree"}
+    mesh.remap_texture({"tree": 7, "ground": 3})
+    out = mesh.get_texture(request_vertex_texture=False)
+    out = np.asarray(out).reshape(-1)
+    assert set(np.unique(out[np.isfinite(out)])) == {3.0, 7.0}
+    assert (out[: mesh.n_faces // 2] == 7.0).all()
+    assert mesh.IDs_to_labels == {7: "tree", 3: "ground"}
+    # numeric keys still match texture values directly
+    mesh.remap_texture({7: 1, 3: 0})
+    out2 = np.asarray(
+        mesh.get_texture(request_vertex_texture=False)
+    ).reshape(-1)
+    assert (out2[: mesh.n_faces // 2] == 1.0).all()
+
+
+def test_geometry_edit_invalidates_soa_cache():
+    """project_images after an in-place geometry edit must use the NEW
+    triangles (review regression: only _tri_verts_cache was cleared)."""
+    from tests.test_mesh import local_camera_set  # self-import for clarity
+
+    mesh, _ = make_geo_mesh(n=9)
+    cams = local_camera_set(mesh)
+    # populate the SOA cache through the fused path
+    p_before = mesh.pix2face(cams, [0])[0]
+    _ = mesh._tri_soa_device(cams)
+    assert mesh._tri_soa_cache
+    order = mesh.spatial_sort_faces()
+    assert not mesh._tri_soa_cache  # cleared by the edit
+    p_after = mesh.pix2face(cams, [0])[0]
+    # same geometry, permuted face ids: the map must follow the new order
+    inv = np.empty_like(order)
+    inv[order] = np.arange(len(order))
+    expect = np.where(p_before >= 0, inv[np.clip(p_before, 0, None)], -1)
+    assert np.array_equal(p_after, expect)
