@@ -9,6 +9,7 @@ giving the same area-weighted answers at controllable resolution.
 
 from __future__ import annotations
 
+import logging
 import typing
 
 import numpy as np
@@ -21,6 +22,8 @@ from geograypher_tpu.utils.vector import (
     polygons_from_mask,
     rasterize_polygons,
 )
+
+logger = logging.getLogger(__name__)
 
 # Re-exports so ported call-sites find the reference's names here
 ensure_projected_CRS = VectorData.ensure_projected
@@ -55,7 +58,9 @@ def get_overlap_raster(
     )
     data = raster.data if raster.data.ndim == 2 else raster.data[..., 0]
     data = data.astype(np.int64)
-    valid = (poly_img >= 0) & (data != nodata)
+    # negative pixels (int16/int32 nodata like -9999) would index the
+    # bincount negatively — class ids are non-negative by contract
+    valid = (poly_img >= 0) & (data != nodata) & (data >= 0)
     if num_classes is None:
         num_classes = int(data[valid].max()) + 1 if valid.any() else 1
     valid &= data < num_classes
@@ -88,6 +93,12 @@ def get_overlap_vector(
         classified_polygons = VectorData.read_file(classified_polygons)
     unlabeled_polygons = unlabeled_polygons.ensure_projected()
     if classified_polygons.epsg is not None:
+        if unlabeled_polygons.epsg is None:
+            raise ValueError(
+                "unlabeled polygons carry no CRS but the classified layer "
+                "does — load them with an explicit CRS (e.g. a .prj "
+                "sidecar) so the layers can be aligned"
+            )
         classified_polygons = classified_polygons.to_crs(unlabeled_polygons.epsg)
 
     col = classified_polygons.attributes[class_column]
@@ -155,10 +166,25 @@ def ensure_non_overlapping_polygons(
         [polys[i] for i in order], [int(i) for i in order], bounds, (grid, grid)
     )
     out_geoms: list = [None] * len(polys)
+    dropped = 0.0
+    total = 0.0
     for i in range(len(polys)):
         parts = polygons_from_mask(img == i, bounds)
         if not parts:
             out_geoms[i] = Polygon(np.zeros((0, 2)))
         else:
-            out_geoms[i] = max(parts, key=lambda p: p.area)
+            # single-geometry rows (no MultiPolygon type here): keep the
+            # largest fragment; disconnected remainders are dropped and
+            # reported (the reference keeps them as MultiPolygons)
+            best = max(parts, key=lambda p: p.area)
+            out_geoms[i] = best
+            total += sum(p.area for p in parts)
+            dropped += sum(p.area for p in parts) - best.area
+    if total > 0 and dropped > 1e-6 * total:
+        logger.warning(
+            "ensure_non_overlapping_polygons dropped %.2f%% of polygon "
+            "area as disconnected fragments (each row keeps only its "
+            "largest de-overlapped part)",
+            100.0 * dropped / total,
+        )
     return VectorData(out_geoms, vector.attributes, vector.epsg)

@@ -148,8 +148,18 @@ class Raster:
         ring_c = np.concatenate([cols, np.full(9, w), cols, np.zeros(9)])
         ring_r = np.concatenate([np.zeros(9), rows, np.full(9, h), rows])
         xs, ys = self.pixel_to_world(ring_c, ring_r)
-        pts = np.stack([xs, ys, np.zeros_like(xs)], axis=1)
+        # rasters follow the GDAL axis order (x=easting/lon, y=northing/
+        # lat) while transform_points uses pyproj's (lat, lon) columns
+        # for geographic CRSs — swap on the way in and out
+        src_geo = self.epsg in crs_utils.GEOGRAPHIC_EPSG
+        dst_geo = dst_epsg in crs_utils.GEOGRAPHIC_EPSG
+        pts = np.stack(
+            ([ys, xs] if src_geo else [xs, ys]) + [np.zeros_like(xs)],
+            axis=1,
+        )
         dst = crs_utils.transform_points(pts, self.epsg, dst_epsg)
+        if dst_geo:
+            dst = dst[:, [1, 0, 2]]
         dx0, dy0 = dst[:, 0].min(), dst[:, 1].min()
         dx1, dy1 = dst[:, 0].max(), dst[:, 1].max()
         if resolution is None:
@@ -169,20 +179,34 @@ class Raster:
         )
         dxs = dx0 + dcol * resolution
         dys = dy1 - drow * resolution
-        back = crs_utils.transform_points(
-            np.stack(
-                [dxs.ravel(), dys.ravel(), np.zeros(dxs.size)], axis=1
-            ),
-            dst_epsg,
-            self.epsg,
+        bpts = np.stack(
+            (
+                [dys.ravel(), dxs.ravel()]
+                if dst_geo
+                else [dxs.ravel(), dys.ravel()]
+            )
+            + [np.zeros(dxs.size)],
+            axis=1,
         )
+        back = crs_utils.transform_points(bpts, dst_epsg, self.epsg)
+        if src_geo:
+            back = back[:, [1, 0, 2]]
         vals = self.sample(back[:, 0], back[:, 1], method=method)
         data = vals.reshape((dh, dw) + self.data.shape[2:])
+        nodata = self.nodata
+        if nodata is not None:
+            # preserve the source dtype + nodata tag (integer class
+            # rasters must stay integer: NaN.astype(int) is undefined)
+            data = np.where(np.isnan(data), nodata, data).astype(
+                self.data.dtype
+            )
+        elif not np.isnan(data).any():
+            data = data.astype(self.data.dtype)
         return Raster(
             data,
             (resolution, 0.0, dx0, 0.0, -resolution, dy1),
             dst_epsg,
-            nodata=None,
+            nodata=nodata,
         )
 
     def downsampled(self, factor: int) -> "Raster":

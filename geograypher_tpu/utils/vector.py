@@ -276,10 +276,13 @@ def _jsonable(v):
 
 def _tx_ring(ring: np.ndarray, src: int, dst: int) -> np.ndarray:
     pts3 = np.concatenate([ring, np.zeros((ring.shape[0], 1))], axis=1)
-    if src == 4326:
-        pts3 = pts3[:, [1, 0, 2]]  # GeoJSON lon/lat -> transform lat/lon
+    # vector files store geographic coords as (lon, lat) for EVERY
+    # geographic datum (4326/4269/4258...), but transform_points follows
+    # the pyproj axis convention of (lat, lon) columns for all of them
+    if src in crs_utils.GEOGRAPHIC_EPSG:
+        pts3 = pts3[:, [1, 0, 2]]  # file lon/lat -> transform lat/lon
     out = crs_utils.transform_points(pts3, src, dst)
-    if dst == 4326:
+    if dst in crs_utils.GEOGRAPHIC_EPSG:
         out = out[:, [1, 0, 2]]
     return out[:, :2]
 
@@ -289,10 +292,15 @@ def _read_geojson(path: Path) -> VectorData:
     epsg = 4326
     crs_field = doc.get("crs")
     if crs_field:
-        name = crs_field.get("properties", {}).get("name", "")
-        digits = "".join(ch for ch in name if ch.isdigit())
-        if digits:
-            epsg = int(digits)
+        name = str(crs_field.get("properties", {}).get("name", ""))
+        # "urn:ogc:def:crs:EPSG:8.9:32611" / "EPSG:32611" / "CRS84":
+        # the code is the TRAILING numeric token (concatenating every
+        # digit would turn versioned URNs into bogus codes)
+        tail = name.split(":")[-1]
+        if tail.upper() == "CRS84":
+            epsg = 4326
+        elif tail.isdigit():
+            epsg = int(tail)
     geoms: List[Union[Polygon, np.ndarray]] = []
     attrs: Dict[str, list] = {}
     feats = doc["features"] if doc.get("type") == "FeatureCollection" else [doc]
@@ -427,10 +435,9 @@ def _read_shapefile(path: Path) -> VectorData:
             geoms_per_record.append([])
         elif base == 1 and stype in (1, 11, 21):  # Point / PointZ / PointM
             x, y = struct.unpack_from("<2d", rec, 4)
-            pt = [x, y]
-            if stype == 11:
-                pt.append(struct.unpack_from("<d", rec, 20)[0])
-            geoms_per_record.append([np.asarray(pt, np.float64)])
+            # PointZ's z is dropped: every geometry consumer here is 2-D
+            # (total_bounds/to_crs reshape(-1, 2))
+            geoms_per_record.append([np.asarray([x, y], np.float64)])
         elif base == 8:  # MultiPoint(Z/M)
             n_pts = struct.unpack_from("<i", rec, 36)[0]
             pts = np.frombuffer(rec, "<f8", 2 * n_pts, 40).reshape(-1, 2)

@@ -263,3 +263,95 @@ def test_reproject_raster_round_trip(tmp_path):
     # one destination-cell NN displacement = at most ~1.5 source cells of
     # the ramp's gradient (0.5/cell + 0.25/cell)
     assert np.abs(src_vals[ok] - dst_vals[ok]).max() < 1.5 * 0.75 + 1e-6
+
+
+def test_geographic_axis_convention_all_datums(tmp_path):
+    """(lon, lat) file coordinates must transform correctly for EVERY
+    geographic datum, not just 4326 (review regression: the lon/lat
+    swap was keyed on ==4326, so NAD83 4269 data transformed with axes
+    swapped)."""
+    from geograypher_tpu.utils.vector import Polygon, VectorData
+
+    lon, lat = -119.0, 36.0
+    sq = np.array(
+        [[lon, lat], [lon + 0.001, lat], [lon + 0.001, lat + 0.001],
+         [lon, lat + 0.001]]
+    )
+    out_wgs = VectorData([Polygon(sq)], {}, epsg=4326).to_crs(32611)
+    out_nad = VectorData([Polygon(sq)], {}, epsg=4269).to_crs(26911)
+    a = out_wgs.geometries[0].exterior
+    b = out_nad.geometries[0].exterior
+    # same numeric zone-11 coordinates to within the ~1-2 m datum shift
+    assert np.allclose(a, b, atol=5.0)
+    assert 200000 < a[0, 0] < 800000  # a plausible UTM easting
+
+
+def test_geojson_crs_name_parsing(tmp_path):
+    """Versioned EPSG URNs and CRS84 names parse to the right code
+    (review regression: every digit was concatenated)."""
+    import json
+
+    from geograypher_tpu.utils.vector import VectorData
+
+    def write(name):
+        doc = {
+            "type": "FeatureCollection",
+            "crs": {"type": "name", "properties": {"name": name}},
+            "features": [{
+                "type": "Feature", "properties": {},
+                "geometry": {"type": "Point", "coordinates": [1.0, 2.0]},
+            }],
+        }
+        f = tmp_path / "t.geojson"
+        f.write_text(json.dumps(doc))
+        return VectorData.read_file(f).epsg
+
+    assert write("urn:ogc:def:crs:OGC:1.3:CRS84") == 4326
+    assert write("urn:ogc:def:crs:EPSG:8.9:32611") == 32611
+    assert write("EPSG:26911") == 26911
+
+
+def test_reprojected_preserves_integer_nodata():
+    """Reprojecting an integer class raster keeps dtype + nodata
+    (review regression: silent float64/NaN widening)."""
+    from geograypher_tpu.utils.raster import Raster
+
+    data = np.full((40, 40), 255, np.uint8)
+    data[10:30, 10:30] = 3
+    r = Raster(
+        data, (1.0, 0.0, 500000.0, 0.0, -1.0, 4000000.0), epsg=32611,
+        nodata=255,
+    )
+    out = r.reprojected(26911)
+    assert out.data.dtype == np.uint8
+    assert out.nodata == 255
+    vals = set(np.unique(out.data))
+    assert vals <= {3, 255} and 3 in vals
+
+
+def test_overlap_raster_negative_nodata(tmp_path):
+    """Negative nodata pixels (int16 -9999 style) must be ignored, not
+    crash the bincount (review regression)."""
+    from geograypher_tpu.utils.geospatial import get_overlap_raster
+    from geograypher_tpu.utils.raster import Raster, write_geotiff
+    from geograypher_tpu.utils.vector import Polygon, VectorData
+
+    data = np.full((20, 20), -9999, np.int16)
+    data[5:15, 5:15] = 2
+    path = tmp_path / "cls.tif"
+    write_geotiff(
+        path,
+        Raster(
+            data, (1.0, 0.0, 500000.0, 0.0, -1.0, 4000000.0),
+            epsg=32611, nodata=-9999,
+        ),
+    )
+    sq = np.array(
+        [[500002.0, 3999998.0], [500018.0, 3999998.0],
+         [500018.0, 3999982.0], [500002.0, 3999982.0]]
+    )
+    vd = VectorData([Polygon(sq)], {}, epsg=32611)
+    counts, _ = get_overlap_raster(vd, path, nodata=-9999)
+    assert counts.shape[0] == 1
+    assert counts[0, 2] > 0
+    assert counts.sum() == counts[0, 2]  # only class 2 counted
