@@ -30,6 +30,18 @@ from geograypher_tpu.utils.vector import Polygon, VectorData
 logger = logging.getLogger(__name__)
 
 
+def _camera_utm_coords(cameras: CameraSet):
+    """((N, 2) planar camera coords, epsg-or-None): projected UTM when
+    georeferenced, else the local frame — the one shared projection rule
+    for clustering and chunk footprints."""
+    lon_lats = cameras.get_lon_lat_coords()
+    if lon_lats and lon_lats[0] is not None:
+        lla = np.array([[ll[1], ll[0], 0.0] for ll in lon_lats])
+        utm = crs_utils.utm_epsg_for(lla[0, 0], lla[0, 1])
+        return crs_utils.transform_points(lla, 4326, utm)[:, :2], utm
+    return cameras.get_camera_locations()[:, :2], None
+
+
 def cluster_cameras(
     cameras: CameraSet, n_clusters: int, seed: int = 0
 ) -> typing.List[np.ndarray]:
@@ -38,13 +50,7 @@ def cluster_cameras(
     georeferenced, else local coords."""
     from sklearn.cluster import KMeans
 
-    lon_lats = cameras.get_lon_lat_coords()
-    if lon_lats and lon_lats[0] is not None:
-        lla = np.array([[ll[1], ll[0], 0.0] for ll in lon_lats])
-        utm = crs_utils.utm_epsg_for(lla[0, 0], lla[0, 1])
-        pts = crs_utils.transform_points(lla, 4326, utm)[:, :2]
-    else:
-        pts = cameras.get_camera_locations()[:, :2]
+    pts, _epsg = _camera_utm_coords(cameras)
     n_clusters = min(n_clusters, len(pts))
     km = KMeans(n_clusters=n_clusters, n_init=10, random_state=seed)
     assignments = km.fit_predict(pts)
@@ -59,15 +65,8 @@ def mesh_chunk_for_cameras(
 ):
     """Buffered sub-mesh around a camera cluster + original face ids
     (reference derived_meshes.py:110-147)."""
-    lon_lats = [cameras.get_lon_lat_coords()[i] for i in camera_indices]
-    if lon_lats and lon_lats[0] is not None:
-        lla = np.array([[ll[1], ll[0], 0.0] for ll in lon_lats])
-        utm = crs_utils.utm_epsg_for(lla[0, 0], lla[0, 1])
-        pts = crs_utils.transform_points(lla, 4326, utm)[:, :2]
-        epsg = utm
-    else:
-        pts = cameras.get_camera_locations()[camera_indices][:, :2]
-        epsg = None
+    all_pts, epsg = _camera_utm_coords(cameras)
+    pts = all_pts[np.asarray(camera_indices)]
     x0, y0 = pts.min(axis=0) - buffer_meters
     x1, y1 = pts.max(axis=0) + buffer_meters
     hull = Polygon(

@@ -99,11 +99,22 @@ def aggregate_index_predictions(
 
 
 def normalize_sparse_counts(
-    counts: scipy.sparse.csr_array, faces_seen: np.ndarray
+    counts: scipy.sparse.csr_array,
+    faces_seen: typing.Optional[np.ndarray] = None,
 ) -> scipy.sparse.csr_array:
-    """Per-face reciprocal normalization (reference
-    derived_meshes.py:522-548): each face's counts divided by its total."""
-    totals = np.asarray(counts.sum(axis=1)).reshape(-1)
+    """Per-face reciprocal normalization of a CSR count matrix.
+
+    With ``faces_seen`` (the views-seeing-each-face vector from
+    :func:`aggregate_index_predictions`), counts divide by the VIEW
+    count — the reference's semantics (derived_meshes.py:522-548:
+    summed projections x reciprocal projection_counts).  Without it,
+    each face's counts divide by its own total, so rows sum to 1
+    (pixel-fraction normalization).
+    """
+    if faces_seen is not None:
+        totals = np.asarray(faces_seen, dtype=float).reshape(-1)
+    else:
+        totals = np.asarray(counts.sum(axis=1)).reshape(-1)
     inv = np.zeros_like(totals)
     nz = totals > 0
     inv[nz] = 1.0 / totals[nz]

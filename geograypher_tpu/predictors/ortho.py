@@ -125,14 +125,18 @@ def write_chips(
                 continue
         name = get_str_from_window(window, output_suffix)
         img_out = chip[..., :3] if chip.ndim == 3 else chip
-        cv2.imwrite(str(imgs_folder / name), np.asarray(img_out))
+        label_chip = None
         if label_img is not None:
             label_chip = label_img[r : r + hh, c : c + ww]
             if (
                 not write_empty_tile_if_no_labels
                 and (label_chip == background_ind).all()
             ):
+                # skip BEFORE writing the image chip: imgs/ and anns/
+                # pair up by name (reference ortho_segmentor.py:228-231)
                 continue
+        cv2.imwrite(str(imgs_folder / name), np.asarray(img_out))
+        if label_chip is not None:
             cv2.imwrite(
                 str(anns_folder / name),
                 label_chip.astype(np.uint8),
@@ -174,7 +178,14 @@ def assemble_tiled_predictions(
         if pred.ndim == 3:
             pred = pred[..., 0]
         r, c = window["row"], window["col"]
-        hh, ww = pred.shape[:2]
+        hh, ww = window["height"], window["width"]
+        if pred.shape[:2] != (hh, ww):
+            raise ValueError(
+                f"prediction {f} shape {pred.shape[:2]} does not match "
+                f"its filename-encoded window ({hh}, {ww}) — chips from "
+                "write_chips are already edge-clipped; un-pad model "
+                "outputs before assembly"
+            )
         key = (hh, ww)
         if key not in weight_cache:
             weight_cache[key] = create_ramped_weighting(
@@ -191,7 +202,10 @@ def assemble_tiled_predictions(
                 0,
                 np.iinfo(count_dtype).max,
             ).astype(count_dtype)
-        observed[r : r + hh, c : c + ww] |= valid
+        # ramp-zero border pixels contribute no counts: marking them
+        # observed would argmax all-zero histograms to class 0 at the
+        # mosaic border instead of nodata
+        observed[r : r + hh, c : c + ww] |= valid & (scaled > 0)
 
     classes = np.argmax(counts, axis=-1).astype(np.uint8)
     classes[~observed] = nodataval

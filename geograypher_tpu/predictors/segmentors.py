@@ -130,8 +130,12 @@ class ImageIDSegmentor(Segmentor):
 
     def segment_image(self, image, filename=None, image_scale: float = 1.0,
                       index: typing.Optional[int] = None, **kw):
-        h, w = self.image_shape
-        h, w = int(h * image_scale), int(w * image_scale)
+        if image is not None:
+            # provided images already arrive at image_scale
+            h, w = np.asarray(image).shape[:2]
+        else:
+            h, w = self.image_shape
+            h, w = int(h * image_scale), int(w * image_scale)
         return np.full((h, w), float(index))
 
 
@@ -193,11 +197,12 @@ class TabularRectangleSegmentor(Segmentor):
         return np.stack([(imin + imax) / 2, (jmin + jmax) / 2], axis=1)
 
     def segment_image(self, image, filename=None, image_scale: float = 1.0, **kw):
-        h, w = (
-            np.asarray(image).shape[:2]
-            if image is not None
-            else self.image_shape
-        )
+        if image is not None:
+            # the provided image already arrives at image_scale
+            h, w = np.asarray(image).shape[:2]
+        else:
+            h = int(self.image_shape[0] * image_scale)
+            w = int(self.image_shape[1] * image_scale)
         out = np.full((h, w), np.nan)
         group = self.grouped.get(Path(str(filename)).name)
         if group is not None:
@@ -249,12 +254,13 @@ class RegionDetectionSegmentor(Segmentor):
     def segment_image(self, image, filename=None, image_scale: float = 1.0, **kw):
         import cv2
 
-        h, w = (
-            np.asarray(image).shape[:2]
-            if image is not None
-            else self.image_shape
-        )
-        h, w = int(h * image_scale), int(w * image_scale)
+        if image is not None:
+            # the provided image already arrives at image_scale — scaling
+            # its shape again would double-apply the factor
+            h, w = np.asarray(image).shape[:2]
+        else:
+            h = int(self.image_shape[0] * image_scale)
+            w = int(self.image_shape[1] * image_scale)
         out = np.full((h, w), np.nan, dtype=np.float64)
         entry = self._lookup(filename)
         if entry is not None:

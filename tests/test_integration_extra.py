@@ -127,10 +127,18 @@ def test_sparse_detection_projection():
     )
     assert counts.shape == (mesh.n_faces, 4)
     assert counts.sum() > 0
-    norm = normalize_sparse_counts(counts, seen)
+    # pixel-fraction normalization (no faces_seen): rows sum to 1
+    norm = normalize_sparse_counts(counts)
     row_sums = np.asarray(norm.sum(axis=1)).reshape(-1)
     nz = row_sums > 0
     assert np.allclose(row_sums[nz], 1.0)
+    # reference semantics: divide by views-seeing-face
+    norm_v = normalize_sparse_counts(counts, seen)
+    dense, dense_v = counts.toarray(), norm_v.toarray()
+    obs = seen > 0
+    assert np.allclose(
+        dense_v[obs], dense[obs] / seen[obs, None]
+    )
     arg = sparse_argmax(counts)
     vals = set(arg[np.isfinite(arg)].astype(int))
     assert vals <= {0, 1, 2, 3} and len(vals) >= 2
