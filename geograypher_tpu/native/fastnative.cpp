@@ -247,10 +247,13 @@ int64_t ply_read(int handle, double* verts, uint8_t* rgb, int32_t* tris,
       have -= pos;
       pos = 0;
       have += std::fread(fbuf.data() + have, 1, fbuf.size() - have, fh);
+      // a truncated face section must error, not parse stale bytes
+      if (pos + static_cast<size_t>(info.count_size) > have) return -3;
     }
     int64_t cnt = 0;
     std::memcpy(&cnt, fbuf.data() + pos, info.count_size);
     pos += info.count_size;
+    if (cnt < 0 || cnt > 255) return -3;  // corrupt count field
     size_t need = static_cast<size_t>(cnt) * info.index_size;
     if (pos + need > have) {
       std::memmove(fbuf.data(), fbuf.data() + pos, have - pos);
@@ -259,7 +262,10 @@ int64_t ply_read(int handle, double* verts, uint8_t* rgb, int32_t* tris,
       have += std::fread(fbuf.data() + have, 1, fbuf.size() - have, fh);
       if (pos + need > have) return -3;
     }
-    const int32_t* idx = reinterpret_cast<const int32_t*>(fbuf.data() + pos);
+    // count fields of 1 byte leave the index run misaligned: copy into
+    // an aligned scratch (unaligned int32 loads are UB)
+    int32_t idx[256];
+    std::memcpy(idx, fbuf.data() + pos, need);
     pos += need;
     for (int64_t k = 1; k + 1 < cnt; k++) {
       if (n_tris >= tri_capacity) return -4;

@@ -100,6 +100,15 @@ def project_image_class_counts(
 
     Returns (n_faces, n_classes) float32 counts.
     """
+    if n_faces * n_classes + 1 >= 2**31:
+        # flattened (face, class) ids ride int32 (JAX default; int64
+        # would silently truncate without jax_enable_x64) — overflow
+        # here would wrap negative and segment_sum DROPS negative ids
+        raise ValueError(
+            f"n_faces * n_classes = {n_faces * n_classes} overflows the "
+            "int32 flattened segment index — aggregate class subsets in "
+            "chunks (e.g. via meshes/sparse.py's per-view local remap)"
+        )
     flat_face = pix2face.reshape(-1)
     flat_cls = class_image.reshape(-1).astype(jnp.int32)
     ok = (flat_face >= 0) & (flat_cls >= 0) & (flat_cls < n_classes)

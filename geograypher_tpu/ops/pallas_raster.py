@@ -209,10 +209,7 @@ def _make_kernel(
     matched by one broadcast compare per chunk, and one-hot class rows
     contract the matches into counts — see module docstring."""
     npix = tile_h * tile_w
-    (nty0, ntx0), (nty1, ntx1), (nty2, ntx2) = grids
     s1_, s2_ = scales[1], scales[2]
-    pp1 = max(1, pair // s1_)  # L1 parents per grid step
-    pp2 = max(1, pair // s2_)
 
     def kernel(c0, c1, c2, *refs):
         refs = list(refs)

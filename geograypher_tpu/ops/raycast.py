@@ -12,7 +12,12 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-EPS = 1e-9
+EPS = 1e-9  # near-zero determinant / ray-parameter guard
+# barycentric slack must be f32-scale: 1e-9 is below the f32 ulp at ~1,
+# so rays grazing shared grid edges would miss BOTH adjacent triangles
+# (Embree's watertight traversal keeps them); 1e-6 admits the shared
+# edge on at least one side
+BARY_EPS = 1e-6
 
 
 @jax.jit
@@ -50,9 +55,9 @@ def ray_triangle_intersect(
     t = f * jnp.sum(e2[None] * q, axis=-1)
     hit = (
         ~parallel
-        & (u >= -EPS)
-        & (v >= -EPS)
-        & (u + v <= 1.0 + EPS)
+        & (u >= -BARY_EPS)
+        & (v >= -BARY_EPS)
+        & (u + v <= 1.0 + BARY_EPS)
         & (t > EPS)
     )
     t = jnp.where(hit, t, jnp.inf)

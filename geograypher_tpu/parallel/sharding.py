@@ -111,7 +111,7 @@ def sharded_render_aggregate(
 
         state = init_aggregation(n_faces, face_texture.shape[1])
         state, _ = unrolled_view_scan(
-            state_scan_fix(per_view), state, (w2c_shard, f_shard, valid_shard)
+            per_view, state, (w2c_shard, f_shard, valid_shard)
         )
         value_sum = jax.lax.psum(state.value_sum, VIEW_AXIS)
         view_count = jax.lax.psum(state.view_count, VIEW_AXIS)
@@ -124,15 +124,6 @@ def sharded_render_aggregate(
         out_specs=(P(), P()),
         check_vma=False,
     )(tri_verts, face_texture, world_to_cam, focals, view_valid)
-
-
-def state_scan_fix(fn):
-    """scan expects (carry, x) -> (carry, y); keep NamedTuple carries."""
-
-    def wrapped(carry, x):
-        return fn(carry, x)
-
-    return wrapped
 
 
 def unrolled_view_scan(f, init, xs):
