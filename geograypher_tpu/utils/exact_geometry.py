@@ -394,19 +394,32 @@ def polygon_overlay_areas(
     return np.maximum(out, 0.0)
 
 
-def polygon_intersection_area(a: Polygon, b: Polygon) -> float:
+def polygon_intersection_area(
+    a: Polygon,
+    b: Polygon,
+    a_tris: typing.Optional[np.ndarray] = None,
+    a_hole_tris: typing.Optional[list] = None,
+) -> float:
     """EXACT area of intersection of two polygons (holes honored).
 
     Ear-clips ``a`` and sums each piece's intersection with ``b`` via
     :func:`polygon_overlay_areas`; ``a``'s holes subtract.  The building
     block of the exact vector-vs-vector confusion matrix (reference
     utils/prediction_metrics.py:95-145 computes these with GEOS).
+
+    Callers testing one ``a`` against MANY ``b``s should pass
+    ``a_tris`` / ``a_hole_tris`` (from :func:`ear_clip`) to hoist the
+    O(K^2) triangulation out of their inner loop.
     """
     ax0, ay0, ax1, ay1 = a.bounds
     bx0, by0, bx1, by1 = b.bounds
     if ax1 < bx0 or bx1 < ax0 or ay1 < by0 or by1 < ay0:
         return 0.0
-    area = float(polygon_overlay_areas(ear_clip(a.exterior), b).sum())
-    for h in a.holes:
-        area -= float(polygon_overlay_areas(ear_clip(h), b).sum())
+    if a_tris is None:
+        a_tris = ear_clip(a.exterior)
+    if a_hole_tris is None:
+        a_hole_tris = [ear_clip(h) for h in a.holes]
+    area = float(polygon_overlay_areas(a_tris, b).sum())
+    for ht in a_hole_tris:
+        area -= float(polygon_overlay_areas(ht, b).sum())
     return max(area, 0.0)

@@ -101,7 +101,10 @@ def perspective_from_equirectangular(
     lon = np.arctan2(rays[..., 0], rays[..., 2])  # [-pi, pi]
     lat = np.arcsin(np.clip(rays[..., 1], -1, 1))  # [-pi/2, pi/2]
     map_x = ((lon / (2 * np.pi)) + 0.5) * we - 0.5
-    map_y = ((lat / np.pi) + 0.5) * he - 0.5
+    # latitude must CLAMP, not wrap: BORDER_WRAP applies to both axes,
+    # and pole-adjacent rows (map_y just past he-1 or below 0) would
+    # otherwise bilinear-blend with the OPPOSITE pole's pixels
+    map_y = np.clip(((lat / np.pi) + 0.5) * he - 0.5, 0.0, he - 1.0)
 
     out = cv2.remap(
         np.asarray(equirect_image),

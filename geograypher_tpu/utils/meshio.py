@@ -147,6 +147,8 @@ def _extract(verts_rec, face_list):
 
 def _triangulate_fans(polys: np.ndarray, lengths: np.ndarray) -> np.ndarray:
     """Fan-triangulate variable-length polygons given as a flat index array."""
+    if lengths.size == 0:
+        return np.zeros((0, 3), np.int32)
     if (lengths == 3).all():
         return polys.reshape(-1, 3).astype(np.int32)
     tris = []
@@ -162,22 +164,40 @@ def _triangulate_fans(polys: np.ndarray, lengths: np.ndarray) -> np.ndarray:
 def _load_ply_binary(fh, elements, endian):
     verts_rec = None
     faces = None
+    # bytes over-read by a list-property parse, consumed before touching
+    # the file again (elements CAN follow the face element per the spec)
+    leftover = b""
+
+    def read_bytes(n):
+        nonlocal leftover
+        if len(leftover) >= n:
+            out, leftover = leftover[:n], leftover[n:]
+            return out
+        out = leftover + fh.read(n - len(leftover))
+        leftover = b""
+        return out
+
     for name, count, props in elements:
         if all(not p[2] for p in props):
             dt = np.dtype([(p[0], endian + p[1]) for p in props])
-            rec = np.frombuffer(fh.read(dt.itemsize * count), dtype=dt)
+            rec = np.frombuffer(read_bytes(dt.itemsize * count), dtype=dt)
             if name == "vertex":
                 verts_rec = rec
         else:
             # list property (face element); read adaptively
             assert name == "face" or faces is None
+            if count == 0:  # point-cloud PLYs declare 'element face 0'
+                if name == "face":
+                    faces = np.zeros((0, 3), np.int32)
+                continue
             cnt_dt = np.dtype(endian + props[0][3])
             idx_dt = np.dtype(endian + props[0][1])
             # Fast path: peek first polygon size, assume uniform, verify
-            raw = fh.read()
+            raw = leftover + fh.read()
+            leftover = b""
             first = int(np.frombuffer(raw[: cnt_dt.itemsize], dtype=cnt_dt)[0])
             stride = cnt_dt.itemsize + first * idx_dt.itemsize
-            if count * stride == len(raw) or count * stride <= len(raw):
+            if count * stride <= len(raw):
                 rec = np.frombuffer(raw[: count * stride], dtype=np.uint8)
                 rec = rec.reshape(count, stride)
                 cnts = rec[:, : cnt_dt.itemsize].copy().view(cnt_dt)[:, 0]
@@ -189,6 +209,7 @@ def _load_ply_binary(fh, elements, endian):
                         .astype(np.int64)
                     )
                     faces = _triangulate_fans(idx.reshape(-1), np.full(count, first))
+                    leftover = raw[count * stride :]
                     continue
             # Slow path: per-polygon parse
             pos = 0
@@ -206,6 +227,7 @@ def _load_ply_binary(fh, elements, endian):
             faces = _triangulate_fans(
                 np.concatenate(polys), np.asarray(lens)
             )
+            leftover = raw[pos:]
     if verts_rec is None:
         raise ValueError("PLY has no vertex element")
     if faces is None:
@@ -240,7 +262,9 @@ def _load_ply_ascii(fh, elements):
                 pos += n
                 lens.append(n)
             faces = _triangulate_fans(
-                np.concatenate([np.asarray(p) for p in polys]),
+                np.concatenate([np.asarray(p) for p in polys])
+                if polys
+                else np.zeros((0,), np.int64),
                 np.asarray(lens),
             )
     if faces is None:
@@ -312,7 +336,12 @@ def _load_obj(filename: Path):
             if line.startswith("v "):
                 verts.append([float(t) for t in line.split()[1:4]])
             elif line.startswith("f "):
-                idx = [int(t.split("/")[0]) - 1 for t in line.split()[1:]]
+                # OBJ indices are 1-based; negative values are relative
+                # to the vertices read so far ("f -4 -3 -2")
+                raw_idx = [int(t.split("/")[0]) for t in line.split()[1:]]
+                idx = [
+                    i - 1 if i > 0 else len(verts) + i for i in raw_idx
+                ]
                 for k in range(1, len(idx) - 1):
                     faces.append((idx[0], idx[k], idx[k + 1]))
     return (

@@ -103,7 +103,10 @@ def format_graph_edges(
     keeping i<j and dropping same-image ray pairs (reference
     numeric.py:379-426)."""
     i_inds, j_inds = np.where(np.isfinite(dist))
-    weights = 1.0 / dist
+    # exactly-intersecting rays (dist 0) would weigh infinite and poison
+    # downstream weight sums; clamp to a tight positive floor
+    with np.errstate(divide="ignore"):
+        weights = 1.0 / np.maximum(dist, 1e-9)
     return [
         (
             int(i) + islice.start,

@@ -46,6 +46,18 @@ def extract_epsg(crs_text: typing.Optional[str]) -> typing.Optional[int]:
     if m:
         codes = re.findall(r'AUTHORITY\["EPSG",\s*"?(\d+)"?\]', crs_text)
         if codes:
+            # the outermost CRS's authority is the LAST code in its own
+            # block, but a compound WKT (horizontal + VERT_CS) ends with
+            # the vertical datum's code — walk right-to-left and return
+            # the first code the CRS engine accepts as horizontal
+            from geograypher_tpu.utils import crs as crs_utils
+
+            for code in reversed(codes):
+                try:
+                    crs_utils.crs_is_projected(int(code))
+                    return int(code)
+                except ValueError:
+                    continue
             return int(codes[-1])
         return int(m.group(1))
     return None

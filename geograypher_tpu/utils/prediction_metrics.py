@@ -82,13 +82,20 @@ def cf_from_vector_vector(
             ]
             return ids, [g.area for g in vd.geometries]
 
+        from geograypher_tpu.utils.exact_geometry import ear_clip
+
         t_ids, t_areas = ids_areas(true)
         p_ids, p_areas = ids_areas(predicted)
         p_overlap = np.zeros(len(predicted))
         for ti, tg in enumerate(true.geometries):
             t_cov = 0.0
+            # hoist the O(K^2) triangulation of tg out of the P-loop
+            tg_tris = ear_clip(tg.exterior)
+            tg_hole_tris = [ear_clip(h) for h in tg.holes]
             for pi, pg in enumerate(predicted.geometries):
-                inter = polygon_intersection_area(tg, pg)
+                inter = polygon_intersection_area(
+                    tg, pg, a_tris=tg_tris, a_hole_tris=tg_hole_tris
+                )
                 if inter <= 0:
                     continue
                 t_cov += inter
@@ -156,10 +163,38 @@ def compute_confusion_matrix_from_geospatial(
 
         pred = read_geotiff(prediction_file)
         true = read_geotiff(groundtruth_file)
-        h = min(pred.data.shape[0], true.data.shape[0])
-        w = min(pred.data.shape[1], true.data.shape[1])
-        p = pred.data[:h, :w].astype(int)
-        t = true.data[:h, :w].astype(int)
+        # align through the geotransforms: resample the finer raster at
+        # the coarser raster's pixel centers (shapes/resolutions need
+        # not match; naive array cropping would compare misaligned
+        # pixels)
+        def px_area(r):
+            return abs(r.transform[0] * r.transform[4]) or 1.0
+
+        coarse, fine = (
+            (true, pred) if px_area(true) >= px_area(pred) else (pred, true)
+        )
+        if (
+            fine.epsg is not None
+            and coarse.epsg is not None
+            and fine.epsg != coarse.epsg
+        ):
+            fine = fine.reprojected(coarse.epsg)
+        h, w = coarse.data.shape[:2]
+        cc, rr = np.meshgrid(np.arange(w) + 0.5, np.arange(h) + 0.5)
+        xs, ys = coarse.pixel_to_world(cc.ravel(), rr.ravel())
+        fv = fine.sample(xs, ys, method="nearest").reshape(
+            (h, w) + fine.data.shape[2:]
+        )
+        if fv.ndim == 3:
+            fv = fv[..., 0]
+        fine_vals = np.where(np.isnan(fv), -1, fv).astype(int)
+        coarse_vals = np.asarray(
+            coarse.data if coarse.data.ndim == 2 else coarse.data[..., 0]
+        ).astype(int)
+        if coarse is true:
+            t, p = coarse_vals, fine_vals
+        else:
+            p, t = coarse_vals, fine_vals
         if class_names is None:
             class_names = sorted(set(np.unique(p)) | set(np.unique(t)))
         n = len(class_names)
