@@ -112,7 +112,10 @@ def parse_args():
     parser.add_argument("--take-every-nth-camera", type=int, default=1)
     parser.add_argument("--aggregate-image-scale", type=float, default=0.05)
     parser.add_argument("--mesh-downsample", type=float, default=1.0)
+    parser.add_argument("--min-observations", type=int, default=1)
     parser.add_argument("--selected-images-savefolder", default=None)
+    parser.add_argument("--selected-images-mask-savefile", default=None)
+    parser.add_argument("--original-image-folder", default=None)
     return parser.parse_args()
 
 

@@ -41,11 +41,17 @@ def project_detections(
     """Project tabular detections onto the mesh as sparse per-face instance
     counts, then export per-detection polygons (reference
     project_detections.py:21-191)."""
+    sensor_defaults = {"cx": 0.0, "cy": 0.0}
+    if default_focal_length_pixels is not None:
+        # reference project_detections.py forwards this as a sensor
+        # default for cameras files lacking calibration
+        sensor_defaults["f"] = float(default_focal_length_pixels)
     camera_set = MetashapeCameraSet(
         cameras_file,
         image_folder,
         original_image_folder=original_image_folder,
         validate_images=False,
+        default_sensor_params=sensor_defaults,
     )
     mesh = TexturedMesh(
         mesh_file,

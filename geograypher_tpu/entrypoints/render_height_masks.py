@@ -83,7 +83,13 @@ def parse_args():
     parser.add_argument("--mesh-CRS", type=int, default=None)
     parser.add_argument("--ground-threshold", type=float, default=2.0)
     parser.add_argument("--canopy-threshold", type=float, default=None)
-    parser.add_argument("--binary-masks", action="store_true", default=True)
+    parser.add_argument(
+        "--binary-masks",
+        action=argparse.BooleanOptionalAction,
+        default=True,
+        help="thresholded uint8 masks (--no-binary-masks: raw "
+        "height-above-ground .npy renders)",
+    )
     parser.add_argument("--render-image-scale", type=float, default=1.0)
     parser.add_argument("--mesh-downsample", type=float, default=1.0)
     return parser.parse_args()

@@ -96,7 +96,6 @@ def render_labels(
     )
 
     if DTM_file is not None and ground_height_threshold is not None:
-        ground_ID = np.nan if not render_ground_class else None
         mesh.label_ground_class(
             DTM_file,
             height_above_ground_threshold=ground_height_threshold,

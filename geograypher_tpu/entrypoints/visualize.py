@@ -61,6 +61,7 @@ def visualize(
         extent=(bounds[0], bounds[2], bounds[1], bounds[3]),
         interpolation="nearest",
     )
+    cams = None
     if cameras_file is not None and image_folder is not None:
         from geograypher_tpu.cameras.metashape import MetashapeCameraSet
         from geograypher_tpu.utils import crs as crs_utils
@@ -73,11 +74,6 @@ def visualize(
             ax.plot(pts[:, 0], pts[:, 1], "r.", markersize=2)
     ax.set_title(str(mesh_file))
     if export_html is not None:
-        cams = None
-        if cameras_file is not None and image_folder is not None:
-            from geograypher_tpu.cameras.metashape import MetashapeCameraSet
-
-            cams = MetashapeCameraSet(cameras_file, image_folder)
         mesh.export_html_viewer(export_html, cameras=cams)
     if screenshot_filename is not None:
         fig.savefig(screenshot_filename, dpi=150, bbox_inches="tight")

@@ -45,16 +45,15 @@ def save_pix2face(
     arr = np.ascontiguousarray(pix2face, dtype=np.int32)
     enc = native.rle_encode(arr)
     if enc is not None:
-        header = MAGIC + np.asarray(arr.shape, dtype=np.int64).tobytes()
-        header = header + np.int64(len(arr.shape)).tobytes()
         # layout: MAGIC | ndim (int64) | shape (ndim int64) | payload
         with open(path, "wb") as fh:
             fh.write(MAGIC)
             fh.write(np.int64(arr.ndim).tobytes())
             fh.write(np.asarray(arr.shape, dtype=np.int64).tobytes())
             fh.write(enc)
-    else:
-        np.savez_compressed(path.with_suffix(".npz"), pix2face=arr)
+        return path
+    path = path.with_suffix(".npz")
+    np.savez_compressed(path, pix2face=arr)
     return path
 
 

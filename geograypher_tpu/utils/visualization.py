@@ -53,9 +53,16 @@ def create_composite(
     (reference visualization.py:113-206)."""
     import matplotlib.pyplot as plt
 
-    rgb = np.asarray(rgb_image, dtype=float)
-    if rgb.max() > 1.0:
-        rgb = rgb / 255.0
+    # normalize by DTYPE, not by observed values (a near-black uint8
+    # image must still scale; NaNs defeat a max() heuristic) — reference
+    # visualization.py:145 checks dtype the same way
+    if np.asarray(rgb_image).dtype == np.uint8:
+        rgb = np.asarray(rgb_image, dtype=float) / 255.0
+    else:
+        rgb = np.asarray(rgb_image, dtype=float)
+        finite = rgb[np.isfinite(rgb)]
+        if finite.size and finite.max() > 1.0:
+            rgb = rgb / 255.0
     if rgb.ndim == 2:
         rgb = np.stack([rgb] * 3, axis=-1)
 
@@ -115,9 +122,13 @@ def show_segmentation_labels(
         comp = create_composite(rgb, lab, IDs_to_labels)
         outputs.append(comp)
         if savefolder is not None:
-            ensure_folder(savefolder)
+            # mirror the label tree: same-named labels in different
+            # subfolders must not overwrite each other's composite
+            out_path = Path(savefolder) / rel.with_suffix("")
+            out_path = out_path.parent / (out_path.name + "_composite.png")
+            ensure_folder(out_path.parent)
             cv2.imwrite(
-                str(Path(savefolder) / (rel.stem + "_composite.png")),
+                str(out_path),
                 (np.clip(comp, 0, 1) * 255).astype(np.uint8)[..., ::-1],
             )
     return outputs
