@@ -247,3 +247,98 @@ def test_sparse_argmax_vectorized_matches_naive():
             seg = m.data[m.indptr[f]:m.indptr[f + 1]]
             exp = m.indices[m.indptr[f]:m.indptr[f + 1]][np.argmax(seg)]
             assert got[f] == exp, f
+
+
+def test_chip_pairing_skips_image_for_empty_labels(tmp_path):
+    """write_chips with write_empty_tile_if_no_labels=False must not
+    leave unpaired chips in imgs/ (review regression: the image was
+    written before the empty-label check)."""
+    from geograypher_tpu.predictors.ortho import write_chips
+    from geograypher_tpu.utils.raster import Raster, write_geotiff
+    from geograypher_tpu.utils.vector import Polygon, VectorData
+
+    rng = np.random.default_rng(1)
+    ortho = rng.integers(0, 255, (100, 120, 3)).astype(np.uint8)
+    write_geotiff(
+        tmp_path / "o.tif",
+        Raster(ortho, (1.0, 0, 500000.0, 0, -1.0, 4000000.0), epsg=32611),
+    )
+    sq = np.array(
+        [[500005.0, 3999995.0], [500040.0, 3999995.0],
+         [500040.0, 3999960.0], [500005.0, 3999960.0]]
+    )
+    VectorData([Polygon(sq)], {"c": ["a"]}, epsg=32611).to_file(
+        tmp_path / "l.geojson"
+    )
+    write_chips(
+        tmp_path / "o.tif", tmp_path / "chips", chip_size=64,
+        chip_stride=48, label_vector_file=tmp_path / "l.geojson",
+        label_column="c", write_empty_tile_if_no_labels=False,
+    )
+    imgs = sorted(p.name for p in (tmp_path / "chips/imgs").glob("*"))
+    anns = sorted(p.name for p in (tmp_path / "chips/anns").glob("*"))
+    assert imgs == anns and imgs
+
+
+def test_assemble_border_is_nodata(tmp_path):
+    """Ramp-zero mosaic border pixels must come back as nodata, not
+    argmax-of-zeros class 0 (review regression)."""
+    from geograypher_tpu.predictors.ortho import (
+        assemble_tiled_predictions, write_chips,
+    )
+    from geograypher_tpu.utils.raster import Raster, read_geotiff, write_geotiff
+
+    data = np.full((80, 96), 1, np.uint8)
+    write_geotiff(
+        tmp_path / "o.tif",
+        Raster(data, (1.0, 0, 500000.0, 0, -1.0, 4000000.0), epsg=32611),
+    )
+    write_chips(tmp_path / "o.tif", tmp_path / "chips", chip_size=48,
+                chip_stride=32)
+    preds = sorted((tmp_path / "chips/imgs").glob("*"))
+    assemble_tiled_predictions(
+        tmp_path / "o.tif", preds, num_classes=3,
+        class_savefile=tmp_path / "out.tif",
+    )
+    out = read_geotiff(tmp_path / "out.tif")
+    assert (out.data[0, :] == 255).all() and (out.data[:, 0] == 255).all()
+    assert (out.data[2:-2, 2:-2] == 1).all()
+
+
+def test_segmentor_scale_conventions():
+    """Provided images arrive pre-scaled; fallback canvases scale the
+    declared shape (review regression: double/zero application)."""
+    from geograypher_tpu.predictors.segmentors import (
+        ImageIDSegmentor, TabularRectangleSegmentor,
+    )
+    import pandas as pd
+
+    df = pd.DataFrame(
+        {"image_path": ["a.jpg"], "xmin": [40], "xmax": [80],
+         "ymin": [20], "ymax": [60], "label": ["t"]}
+    )
+    seg = TabularRectangleSegmentor(df_or_path_init(df), image_shape=(200, 400))
+    # fallback canvas: declared shape x scale; boxes at scale
+    out = seg.segment_image(None, filename="a.jpg", image_scale=0.5)
+    assert out.shape == (100, 200)
+    assert out[20, 30] == 0  # box center at half-scale coords
+    # provided image: shape taken as-is (already scaled)
+    img = np.zeros((100, 200, 3))
+    out2 = seg.segment_image(img, filename="a.jpg", image_scale=0.5)
+    assert out2.shape == (100, 200)
+    assert np.array_equal(
+        np.isfinite(out), np.isfinite(out2)
+    )
+    idseg = ImageIDSegmentor(image_shape=(200, 400), num_images=2)
+    assert idseg.segment_image(None, index=1, image_scale=0.5).shape == (100, 200)
+    assert idseg.segment_image(img, index=1, image_scale=0.5).shape == (100, 200)
+
+
+def df_or_path_init(df):
+    """TabularRectangleSegmentor accepts a folder/file; write a temp csv."""
+    import tempfile
+    from pathlib import Path
+
+    d = Path(tempfile.mkdtemp())
+    df.to_csv(d / "dets.csv", index=False)
+    return d / "dets.csv"
