@@ -278,10 +278,14 @@ def setup_from_soa(
     xmax = jnp.maximum(jnp.maximum(x0, x1), x2)
     ymin = jnp.minimum(jnp.minimum(y0, y1), y2)
     ymax = jnp.maximum(jnp.maximum(y0, y1), y2)
-    px0 = jnp.ceil(xmin - 0.5).astype(jnp.int32)
-    px1 = jnp.floor(xmax - 0.5).astype(jnp.int32)
-    py0 = jnp.ceil(ymin - 0.5).astype(jnp.int32)
-    py1 = jnp.floor(ymax - 0.5).astype(jnp.int32)
+    # clamp BEFORE the int32 cast: near-znear geometry can project past
+    # 2^31 px and an out-of-range f32->int32 cast is implementation-
+    # defined (a screen-covering triangle could silently cull)
+    big = jnp.float32(2**30)
+    px0 = jnp.ceil(jnp.clip(xmin - 0.5, -big, big)).astype(jnp.int32)
+    px1 = jnp.floor(jnp.clip(xmax - 0.5, -big, big)).astype(jnp.int32)
+    py0 = jnp.ceil(jnp.clip(ymin - 0.5, -big, big)).astype(jnp.int32)
+    py1 = jnp.floor(jnp.clip(ymax - 0.5, -big, big)).astype(jnp.int32)
     nonempty = (px1 >= px0) & (py1 >= py0)
     on_screen = (px1 >= 0) & (px0 < image_w) & (py1 >= 0) & (py0 < image_h)
     px0 = jnp.clip(px0, 0, image_w - 1)
@@ -346,12 +350,21 @@ def l0_geometry(config: RasterConfig, image_h: int, image_w: int):
     grids = config.grids(image_h, image_w)
     nty0, ntx0 = grids[0]
     s1_, s2_ = config.level_scales[1], config.level_scales[2]
+    def compatible(p):
+        return (p % s1_ == 0 or s1_ % p == 0) and (
+            p % s2_ == 0 or s2_ % p == 0
+        )
+
+    explicit = getattr(config, "pair", 0)
+    if explicit and not compatible(explicit):
+        raise ValueError(
+            f"config.pair={explicit} must divide or be divided by "
+            f"level_scales {s1_}/{s2_}"
+        )
     pair = 1
     if ntx0 > 1:
-        for p in (getattr(config, "pair", 0), 2):
-            if p and (p % s1_ == 0 or s1_ % p == 0) and (
-                p % s2_ == 0 or s2_ % p == 0
-            ):
+        for p in (explicit, 2):
+            if p and compatible(p):
                 pair = p
                 break
     ntx0p = -(-ntx0 // pair) * pair
@@ -735,6 +748,10 @@ def rasterize_setup(
             cand, setup.planes, config, image_h, image_w,
             return_tiles=return_tiles,
         )
+    if sb is not None:
+        # S chunk-capacity drops are diagnostics too (the diverted faces
+        # left the L0..L3 lists, so only sb.overflow accounts for them)
+        binned = binned._replace(overflow=binned.overflow + sb.overflow)
     return pix2face, binned
 
 
@@ -746,6 +763,7 @@ def rasterize_and_count(
     image_w: int,
     n_faces: int,
     n_classes: int,
+    return_overflow: bool = False,
 ) -> jax.Array:
     """One view's per-face per-class pixel counts, fused and scatter-free.
 
@@ -756,9 +774,15 @@ def rasterize_and_count(
     kernels turn them into dense counts — no XLA scatter ever touches a
     Mosaic output.  The xla backend uses the plain segment-sum.
 
-    Returns (n_faces, n_classes) float32 counts.
+    Returns (n_faces, n_classes) float32 counts; with ``return_overflow``
+    also an int32 scalar counting EVERY dropped contribution (binning
+    caps + S chunk caps + fold windows) — callers wanting the
+    fail-loudly contract must check it.
     """
     binned, sb = bin_all(setup, config, image_h, image_w)
+    over = binned.overflow
+    if sb is not None:
+        over = over + sb.overflow
     if config.backend == "pallas":
         from geograypher_tpu.ops import agg_tiled
 
@@ -766,18 +790,21 @@ def rasterize_and_count(
             setup, binned, sb, class_image, config, image_h, image_w,
             n_classes,
         )
-        return agg_tiled.fold_tile_counts(
+        counts, fold_over = agg_tiled.fold_tile_counts(
             outs, binned, config, image_h, image_w, n_faces, n_classes,
-            w_cap=getattr(config, "fold_w_cap", 256),
-            block=getattr(config, "fold_block", 1024),
+            w_cap=config.fold_w_cap, block=config.fold_block,
+            return_overflow=True,
         )
+        over = over + fold_over
+        return (counts, over) if return_overflow else counts
     from geograypher_tpu.ops.aggregate import project_image_class_counts
 
     cand = concat_candidates_for_tiles(binned, config, image_h, image_w)
     p2f = _raster_tiles_xla(cand, setup.planes, config, image_h, image_w)
-    return project_image_class_counts(
+    counts = project_image_class_counts(
         p2f, class_image, n_faces=n_faces, n_classes=n_classes
     )
+    return (counts, over) if return_overflow else counts
 
 
 def fused_counts_pallas(
@@ -849,7 +876,7 @@ def probe_fold_window(
     config: RasterConfig,
     n_faces: int,
     use_dist: bool,
-) -> jax.Array:
+) -> Tuple[jax.Array, jax.Array]:
     """Worst-case (fold-window demand, per-level nonempty chunk-entry
     occupancy) for one view — sizes ``RasterConfig.fold_w_cap`` and
     ``entry_caps`` (see ops/agg_tiled.fold_window_overflow /
@@ -922,8 +949,6 @@ def size_subtile_caps(
     census (``margin`` x, kb-aligned).  Unprobed views of the same survey
     can demand more — undersizing surfaces as ``SubtileBinned.overflow``,
     which every production consumer raises on (never silent drops)."""
-    import dataclasses
-
     kb = config.s_kb
     s_cap = -(-int(int(s_tot) * margin + kb) // kb) * kb
     s_pc = -(-int(int(s_worst) * margin + kb) // kb) * kb
@@ -1001,7 +1026,7 @@ def fused_view_class_counts(
         counts = project_image_class_counts(
             p2f, class_image, n_faces=n_faces, n_classes=n_classes
         )
-        over = jnp.zeros((), jnp.int32)
+        over = binned.overflow  # cap drops must surface on xla too
     ncand = sum(jnp.sum(c).astype(jnp.int32) for c in binned.counts)
     if sb is not None:
         # S-diverted work counts toward "non-empty rasterization" for
@@ -1066,14 +1091,28 @@ def rasterize_batch(
 
     Views are processed under ``lax.map`` (sequentially) because each view
     already exposes ample tile-level parallelism; batching views would
-    multiply peak memory by the batch size for no throughput gain.
+    multiply peak memory by the batch size for no throughput gain.  The
+    (9, F) coordinate-row transpose happens ONCE for the batch; per-view
+    work runs the fused full-lane setup (tri_to_soa's measured ~10x rule).
     """
+    soa = tri_to_soa(tri_verts)
 
     def one(args):
         w2c, focal = args
-        cam_tris = transform_to_camera(tri_verts, w2c)
-        return rasterize_triangles(
-            cam_tris, focal, image_w=image_w, image_h=image_h, config=config
+        setup = setup_from_soa(
+            soa, w2c, focal, image_w, image_h, config.znear
         )
+        pix2face, _binned = rasterize_setup(setup, config, image_h, image_w)
+        return pix2face
 
+    if config.backend == "pallas":
+        # Mosaic kernels inside lax.scan/map corrupt on the current
+        # runtime (docs/DESIGN.md); unroll the static-length view loop
+        return jnp.stack(
+            [
+                one((world_to_cam[i], f[i]))
+                for i in range(world_to_cam.shape[0])
+            ],
+            axis=0,
+        )
     return jax.lax.map(one, (world_to_cam, f))

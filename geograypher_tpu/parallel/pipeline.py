@@ -181,6 +181,9 @@ def _build_device_step(
                 outs, binned, config, h, w, n_faces, n_classes,
                 w_cap=w_cap, block=fold_block, return_overflow=True,
             )
+            # cap drops (L0..L3 + S) surface like fold drops: only one
+            # view per survey is probed, later views may demand more
+            over = over + binned.overflow
             if sb is not None:
                 over = over + sb.overflow
             return counts, over
@@ -194,7 +197,7 @@ def _build_device_step(
         p2f = _raster_tiles_xla(cand, setup.planes, config, h, w)
         return project_image_class_counts(
             p2f, cls_img, n_faces=n_faces, n_classes=n_classes
-        ), jnp.zeros((), jnp.int32)
+        ), binned.overflow
 
     @functools.partial(jax.jit, donate_argnums=(3, 4))
     def device_step(tri_soa, params_shard, imgs_shard, acc_fracs, acc_views):
