@@ -26,7 +26,9 @@ Stage 2 — output-stationary face-block accumulation:
     Spatially ordered face ids (any roughly-coherent mesh ordering; see
     TexturedMesh.spatial_sort_faces) make each tile's candidate ids a
     narrow band, so each face block intersects only a small window of
-    tiles.  Per-block windows are contiguous tmin-sorted tile RANGES
+    tiles.  Per-block windows are contiguous tmax-sorted tile RANGES
+    (window starts from searchsorted on tmax, ends bounded by the
+    suffix-min of tmin)
     (supersets; stale entries are skipped in-kernel by prefetched band
     scalars), and a Pallas kernel streams each window through a DMA ring,
     folding it into the block's dense (block, classes) slice via the same
@@ -41,7 +43,6 @@ levels with more digit planes); nothing in this module scatters.
 from __future__ import annotations
 
 import functools
-import typing
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -180,6 +181,18 @@ def tile_class_counts(
     (nty0, ntx0), (nty1, ntx1), (nty2, ntx2) = grids
     s1_sc = config.level_scales[1]
     s2_sc = config.level_scales[2]
+    if config.bin_block != 1:
+        raise ValueError(
+            "tile_class_counts matches pixel FACE ids against candidate "
+            "slots and requires bin_block=1 (block-granular binning "
+            "routes through the fused raster+count kernel instead)"
+        )
+    if s2_sc % s1_sc or s2_sc * s2_sc * 1024 > 128 * 128 * 129:
+        raise ValueError(
+            f"level_scales[2]={s2_sc} must be a multiple of "
+            f"level_scales[1]={s1_sc} and small enough for the 3-digit-"
+            "plane count bound (s2^2*1024 <= 2113536, i.e. s2 <= 45)"
+        )
     if s1_sc not in (1, 2, 4):
         # the gx=min(4, s1_sc) grid grouping maps each gx-group of L0
         # tiles to ONE L1 parent, and the fold's 2-digit-plane bf16
@@ -293,7 +306,7 @@ def tile_class_counts(
 
 
 class _Windows(NamedTuple):
-    order: jax.Array  # (T,) tile permutation sorting tiles by tmin
+    order: jax.Array  # (T,) tile permutation sorting tiles by tmax
     lo: jax.Array  # (NB,) each block's window start in the sorted order
     win_len: jax.Array  # (NB,)
     overflow: jax.Array  # () tiles dropped by w_cap (0 when sized right)
@@ -376,7 +389,7 @@ def _stage2_batch_entries(block: int, kp: int, s: int, planes: int) -> int:
 
 
 def _stage2_kernel(
-    block: int, kp: int, s: int, w_cap: int, planes: int, kb: int = _KB
+    block: int, kp: int, s: int, planes: int, kb: int = _KB
 ):
     """Grid over face blocks; each step folds its window of tiles into the
     block's dense slice.
@@ -750,7 +763,7 @@ def face_counts_from_tiles(
     tp = t + pad_n
     ids = ids.reshape(1, tp * s)
 
-    kernel = _stage2_kernel(block, kp, s, w_cap, planes, kb=kb)
+    kernel = _stage2_kernel(block, kp, s, planes, kb=kb)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(nb,),
@@ -975,15 +988,10 @@ def fold_tile_counts(
     block: int = 1024,
     return_overflow: bool = False,
 ):
-    """Fold per-tile per-level (class, slot) counts into (F, C) counts."""
-    if config.level_scales[1] not in (1, 2, 4):
-        # L1 count entries ride a 2-digit base-128 bf16 encoding, exact
-        # only up to s1^2 * 1024 px per slot (16384 at scale 4, vs the
-        # 16512 two-plane bound) — larger scales silently corrupt counts
-        raise ValueError(
-            f"level_scales[1] must be 1, 2 or 4 for the count fold "
-            f"(got {config.level_scales[1]})"
-        )
+    """Fold per-tile per-level (class, slot) counts into (F, C) counts.
+
+    (level_scales validation happens in fold_tile_counts_grouped, which
+    this delegates to.)"""
     return fold_tile_counts_grouped(
         [(outs, binned)], config, image_h, image_w, n_faces, n_classes,
         w_cap=w_cap, block=block, return_overflow=return_overflow,
@@ -1063,12 +1071,16 @@ def project_image_class_counts_tiled(
     :func:`geograypher_tpu.ops.aggregate.project_image_class_counts`,
     taking the rasterizer's row-image pix2face plus its binning lists.
 
-    Returns (n_faces, n_classes) float32 counts.
+    Returns ((n_faces, n_classes) float32 counts, int32 overflow) — the
+    fold sizes from ``config.fold_w_cap``/``fold_block`` and callers
+    MUST check the overflow scalar (nonzero = counts were dropped).
     """
     outs, _kp = tile_class_counts(
         p2f_tiles, class_image, binned.cand, config, image_h, image_w,
         n_classes,
     )
     return fold_tile_counts(
-        outs, binned, config, image_h, image_w, n_faces, n_classes
+        outs, binned, config, image_h, image_w, n_faces, n_classes,
+        w_cap=config.fold_w_cap, block=config.fold_block,
+        return_overflow=True,
     )

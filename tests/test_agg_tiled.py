@@ -47,9 +47,10 @@ def test_tiled_counts_match_segment_sum(backend):
     cls = jnp.asarray(rng.integers(-1, N_CLASSES, (H, W)), jnp.int32)
 
     ref = project_image_class_counts(p2f_img, cls, n_faces, N_CLASSES)
-    got = project_image_class_counts_tiled(
+    got, over = project_image_class_counts_tiled(
         p2f_tiles, cls, binned, config, H, W, n_faces, N_CLASSES
     )
+    assert int(over) == 0
     assert got.shape == (n_faces, N_CLASSES)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
@@ -78,9 +79,10 @@ def test_tiled_counts_with_global_level_faces():
     rng = np.random.default_rng(5)
     cls = jnp.asarray(rng.integers(0, N_CLASSES, (H, W)), jnp.int32)
     ref = project_image_class_counts(p2f_img, cls, n_faces, N_CLASSES)
-    got = project_image_class_counts_tiled(
+    got, over = project_image_class_counts_tiled(
         p2f_tiles, cls, binned, config, H, W, n_faces, N_CLASSES
     )
+    assert int(over) == 0
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
     # the big face must actually have been rendered and counted
     assert float(ref[-1].sum()) > 0
