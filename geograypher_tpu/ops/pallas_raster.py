@@ -177,10 +177,20 @@ def _prep_level_slab(
     return slab, counts
 
 
+def _row_image_spec(th: int, pair: int, tw: int):
+    """The shared (1, th, pair*tw)/(i, 0, j) row-image tile BlockSpec —
+    the ONE layout s_init planes, the class image, and the pix2face
+    output all ride (changing it in one place keeps them in sync)."""
+    return pl.BlockSpec(
+        (1, th, pair * tw),
+        lambda i, j, *_: (i, 0, j),
+        memory_space=pltpu.VMEM,
+    )
+
+
 def _make_kernel(
     tile_h: int,
     tile_w: int,
-    grids,
     scales,
     pair: int,
     ntx0p: int,
@@ -524,9 +534,18 @@ def raster_tiles_pallas(
             (class, slot) pixel counts — the fused equivalent of
             agg_tiled.tile_class_counts with zero extra kernel launches —
             and the return value becomes ``(pix2face, (om, cand2m), kp)``
-            where ``om`` is (nty0p, ntx0p, kp, sum(caps)) with columns
-            [L0 | L1 | L2+global] and ``cand2m`` the merged L2+global
-            candidate lists the L2 columns were matched against.
+            where ``om`` is CHUNK-MAJOR
+            (nty0p, ntx0p, nch_tot, kp, 128) — per-tile 128-slot chunks
+            ordered [L0 | L1 | L2+global] along the chunk axis (see
+            agg_tiled._per_level_entries) — and ``cand2m`` the merged
+            L2+global candidate lists the L2 columns were matched
+            against.
+
+    Exact depth ties across the merged L2/global chunk boundary break
+    toward the LOWEST face id (both faces are genuinely visible
+    coplanar geometry); the XLA reference keeps list order there —
+    deterministic either way, differing only on exact-w coplanar ties
+    between an L2 and a global candidate.
     """
     n_faces = planes.shape[0]
     bb = config.bin_block
@@ -534,6 +553,21 @@ def raster_tiles_pallas(
         raise ValueError(
             f"bin_block {bb} must divide CHUNK ({CHUNK}) and the padded "
             f"face count ({n_faces})"
+        )
+    if n_faces >= (1 << 24):
+        # base-256 digit planes are bf16-exact only below 2^24, and the
+        # empty-slot sentinel id is (1<<24)-1 — chunk the mesh
+        # (meshes/chunked.py) beyond this
+        raise ValueError(
+            f"padded face count {n_faces} exceeds the 2^24-1 id budget "
+            "of the digit-plane encoding; use chunked aggregation"
+        )
+    if config.level_scales[2] % config.level_scales[1]:
+        # rows are padded to s1 only (l0_geometry); s2 must divide the
+        # padded row count or ancestor index maps read out of bounds
+        raise ValueError(
+            f"level_scales[2]={config.level_scales[2]} must be a "
+            f"multiple of level_scales[1]={config.level_scales[1]}"
         )
     sentinel = jnp.asarray(
         [0, 0, -1, 0, 0, -1, 0, 0, -1, 0, 0, 0], planes.dtype
@@ -564,6 +598,9 @@ def raster_tiles_pallas(
     from geograypher_tpu.ops.rasterize import l0_geometry
 
     pair, nty0p, ntx0p = l0_geometry(config, image_h, image_w)
+    if pair > 1 and pair % 2:
+        # the resolve groups L0 tiles in pairs; odd groups never lower
+        raise ValueError(f"config.pair={pair} must be 1 or even")
     pp1 = max(1, pair // s1_)
     pp2 = max(1, pair // s2_)
     # padded ancestor grids: cover all ntx0p tiles, whole blocks
@@ -667,11 +704,7 @@ def raster_tiles_pallas(
                 f"s_init planes shape {sw_pl.shape} != "
                 f"{(nty0p, th, ntx0p * tw)} (padded grid mismatch)"
             )
-        tile_block_spec = lambda: pl.BlockSpec(
-            (1, th, pair * tw),
-            lambda i, j, *_: (i, 0, j),
-            memory_space=pltpu.VMEM,
-        )
+        tile_block_spec = lambda: _row_image_spec(th, pair, tw)
         extra_in += [sw_pl, sid_pl]
         extra_in_specs += [tile_block_spec(), tile_block_spec()]
     if class_image is not None:
@@ -713,7 +746,7 @@ def raster_tiles_pallas(
 
     emit_p2f = return_pix2face or class_image is None
     kernel = _make_kernel(
-        th, tw, grids, config.level_scales, pair, ntx0p, ntx1p, ntx2p,
+        th, tw, config.level_scales, pair, ntx0p, ntx1p, ntx2p,
         kp=kp,
         caps=(
             config.caps[0] * bb, config.caps[1] * bb, (cap2 + cap3) * bb
