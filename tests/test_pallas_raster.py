@@ -184,3 +184,38 @@ def test_pallas_oblique_deep_overdraw_matches_xla():
     a, b = run_both(tris, 90.0, 160, 96, caps=(512, 64, 32, 16))
     assert_equiv(a, b)
     assert (a >= 0).any()
+
+
+def test_kernel_config_guards():
+    """Invalid configs fail loudly instead of lowering corrupt kernels:
+    odd pair, s2 not a multiple of s1, and the 2^24 face-id budget."""
+    import dataclasses
+
+    import pytest
+
+    from geograypher_tpu.ops.rasterize import (
+        RasterConfig, l0_geometry, setup_from_soa, tri_to_soa,
+    )
+    from geograypher_tpu.ops.pallas_raster import raster_tiles_pallas
+    from geograypher_tpu.ops.rasterize import bin_triangles
+    from geograypher_tpu.utils.fixtures import (
+        gather_tri_verts, make_grid_mesh, nadir_camera,
+    )
+
+    w = 384  # > 2 L0 tile columns so an explicit pair takes effect
+    verts, faces = make_grid_mesh(n=5, size=4.0)
+    tv = gather_tri_verts(verts, faces).astype(np.float32)
+    c2w = nadir_camera(4.0, 40.0, w)
+    soa = jnp.asarray(tri_to_soa(tv))
+    w2c = jnp.asarray(np.linalg.inv(c2w), jnp.float32)
+
+    def run(cfg):
+        setup = setup_from_soa(soa, w2c, 40.0, w, 80, cfg.znear)
+        binned = bin_triangles(setup, cfg, 80, w)
+        return raster_tiles_pallas(binned, setup.planes, cfg, 80, w)
+
+    base = RasterConfig(caps=(64, 16, 16, 16), backend="pallas")
+    with pytest.raises(ValueError, match="pair"):
+        run(dataclasses.replace(base, pair=3, level_scales=(1, 3, 9)))
+    with pytest.raises(ValueError, match="multiple"):
+        run(dataclasses.replace(base, level_scales=(1, 4, 6)))
