@@ -40,7 +40,13 @@ class SegmentorCameraSet(CameraSet):
         (reference cameras/segmentor.py:33-47)."""
         fname = self.image_filenames[index]
         raw = None
-        if fname is not None and fname.exists():
+        if (
+            getattr(self.segmentor, "needs_image", False)
+            and fname is not None
+            and fname.exists()
+        ):
+            # only pixel-driven segmentors pay the disk read + resize
+            # (reference dont_load_base_image=True default)
             raw = self.base.get_image_by_index(index, image_scale)
         return self.segmentor.segment_image(
             raw, filename=fname, image_scale=image_scale, index=index

@@ -21,6 +21,12 @@ from geograypher_tpu.constants import PATH_TYPE
 class Segmentor:
     """Abstract per-image predictor (reference segmentor.py:6-69)."""
 
+    # does segment_image consume the raw pixels?  The segmentor camera
+    # set skips the disk read + resize entirely when False (the
+    # reference's dont_load_base_image=True default) — only pixel-driven
+    # segmentors (brightness-style) set this True
+    needs_image = False
+
     def __init__(self, num_classes: typing.Optional[int] = None):
         self.num_classes = num_classes
 
@@ -56,6 +62,8 @@ class Segmentor:
 class BrightnessSegmentor(Segmentor):
     """Toy threshold segmentor (reference derived_segmentors.py:19-29)."""
 
+    needs_image = True
+
     def __init__(self, brightness_threshold: float = np.sqrt(0.75)):
         super().__init__(num_classes=2)
         self.brightness_threshold = brightness_threshold
@@ -85,7 +93,17 @@ class LookUpSegmentor(Segmentor):
 
         from geograypher_tpu.utils.io import read_image_or_numpy
 
-        rel = Path(filename).relative_to(self.base_folder)
+        try:
+            rel = Path(filename).relative_to(self.base_folder)
+        except ValueError:
+            try:  # mixed absolute/relative bases resolve the same tree
+                rel = (
+                    Path(filename)
+                    .resolve()
+                    .relative_to(self.base_folder.resolve())
+                )
+            except ValueError:
+                rel = Path(Path(filename).name)
         candidates = [
             self.lookup_folder / rel.with_suffix(suffix)
             for suffix in (".png", ".npy", ".tif", Path(filename).suffix)
@@ -96,8 +114,15 @@ class LookUpSegmentor(Segmentor):
         labels = read_image_or_numpy(path)
         if labels.ndim == 3:
             labels = labels[..., 0]
-        if image is not None and labels.shape != np.asarray(image).shape[:2]:
-            h, w = np.asarray(image).shape[:2]
+        if image is not None:
+            h, w = np.asarray(image).shape[:2]  # already at image_scale
+        else:
+            # no raw image on disk (or loading skipped): scale the label
+            # raster itself so output resolution matches image_scale —
+            # otherwise mixed-availability surveys return mixed shapes
+            h = int(round(labels.shape[0] * image_scale))
+            w = int(round(labels.shape[1] * image_scale))
+        if labels.shape != (h, w):
             labels = cv2.resize(
                 labels.astype(np.float32), (w, h),
                 interpolation=cv2.INTER_NEAREST,

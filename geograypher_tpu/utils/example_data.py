@@ -126,7 +126,6 @@ def create_example_survey(
     height = scene_size * focal / sensor
     cam_to_worlds = []
     names = []
-    rng = np.random.default_rng(seed)
     for k in range(n_cameras):
         c2w = nadir_camera(scene_size, focal, sensor)
         c2w[0, 3] = (k % 2) * scene_size * 0.2 - scene_size * 0.1
@@ -143,13 +142,13 @@ def create_example_survey(
     # The PLY is saved in the LOCAL chunk frame, exactly like a Metashape
     # mesh export: consumers apply the camera XML's component transform
     # (local -> ECEF) when loading.
-    hom = np.concatenate([verts, np.ones((len(verts), 1))], axis=1)
-    verts_ecef = (l2e @ hom.T).T[:, :3]
     mesh_file = output_folder / "mesh.ply"
     save_mesh(mesh_file, verts, faces)
 
     # per-camera label images: render ground-truth labels with the engine
     if write_label_images:
+        hom = np.concatenate([verts, np.ones((len(verts), 1))], axis=1)
+        verts_ecef = (l2e @ hom.T).T[:, :3]
         from geograypher_tpu.cameras.metashape import MetashapeCameraSet
         from geograypher_tpu.meshes.mesh import TexturedMesh
         from geograypher_tpu.ops.rasterize import RasterConfig
@@ -179,8 +178,7 @@ def create_example_survey(
         np.array([[lat, lon, 0.0]]), 4326, utm
     )[0]
     polys, labels = [], []
-    for k, (cx_, cy_, h) in enumerate(centers):
-        half = 1.0
+    for k, (cx_, cy_, h, half) in enumerate(centers):
         polys.append(
             Polygon(
                 np.array(

@@ -167,7 +167,10 @@ def make_scene_mesh(
     Simplified analog of the reference's ``create_scene_mesh``
     (utils/example_data.py:29-111) used for end-to-end workflow tests.
 
-    Returns (verts (V, 3), faces (F, 3), face_labels (F,), object_centers).
+    Returns (verts (V, 3), faces (F, 3), face_labels (F,),
+    object_centers) where each center is (cx, cy, height, half) —
+    ``half`` is the box's true half-extent (its footprint is the
+    2*half x 2*half square), so ground-truth polygons can be exact.
     """
     rng = np.random.default_rng(seed)
     verts, faces = make_grid_mesh(n=ground_n, size=size)
@@ -184,7 +187,7 @@ def make_scene_mesh(
         all_verts.append(bx)
         all_faces.append(bf + v_off)
         labels.append(np.full((bf.shape[0],), k + 1, dtype=np.int32))
-        centers.append((cx_, cy_, height))
+        centers.append((cx_, cy_, height, half))
         v_off += bx.shape[0]
     return (
         np.concatenate(all_verts, axis=0),
