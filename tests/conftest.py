@@ -17,3 +17,14 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent compilation cache: the suite is dominated by CPU jit compiles
+# (~20 min cold).  Cache compiled executables across runs; correctness runs
+# are unaffected (keys cover HLO + flags + platform).
+_cache_dir = os.environ.get(
+    "GEOGRAYPHER_TEST_CACHE", "/tmp/geograypher_jax_cache"
+)
+if _cache_dir:
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
