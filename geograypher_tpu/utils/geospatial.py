@@ -151,13 +151,48 @@ def get_overlap_vector(
 
 
 def ensure_non_overlapping_polygons(
-    vector: VectorData, grid: int = 4096
+    vector: VectorData, grid: int = 4096, method: str = "auto"
 ) -> VectorData:
     """Remove overlaps between polygons, smaller-area polygons keeping
     their territory (reference geospatial.py:74-110: area-sorted iterative
-    difference).  Raster formulation: burn in DESCENDING area order so
-    smaller polygons overwrite larger ones, then re-vectorize."""
+    difference).
+
+    ``method="exact"`` uses the planar-arrangement boolean engine
+    (:mod:`utils.boolean_ops`) — same answers GEOS would give, no raster
+    quantization.  ``"raster"`` burns polygons in DESCENDING area order
+    (smaller overwrite larger) onto a ``grid``-sized image and
+    re-vectorizes.  ``"auto"`` (default) picks exact when the layer's
+    edge count keeps the O(S^2) arrangement cheap.
+    """
     polys = [g for g in vector.geometries]
+    n_edges = sum(int(p.exterior.shape[0]) for p in polys) + sum(
+        int(h.shape[0]) for p in polys for h in p.holes
+    )
+    if method == "exact" or (method == "auto" and n_edges <= 4000):
+        from geograypher_tpu.utils.boolean_ops import non_overlapping_exact
+
+        parts_per_row = non_overlapping_exact(polys)
+        out_geoms = []
+        dropped = total = 0.0
+        for parts in parts_per_row:
+            if not parts:
+                out_geoms.append(Polygon(np.zeros((0, 2))))
+                continue
+            # single-geometry rows (no MultiPolygon type here): keep the
+            # largest part; disconnected remainders are dropped and
+            # reported (the reference keeps them as MultiPolygons)
+            best = max(parts, key=lambda p: p.area)
+            out_geoms.append(best)
+            total += sum(p.area for p in parts)
+            dropped += sum(p.area for p in parts) - best.area
+        if total > 0 and dropped > 1e-9 * total:
+            logger.warning(
+                "ensure_non_overlapping_polygons dropped %.2f%% of polygon "
+                "area as disconnected fragments (each row keeps only its "
+                "largest de-overlapped part)",
+                100.0 * dropped / total,
+            )
+        return VectorData(out_geoms, vector.attributes, vector.epsg)
     order = np.argsort([-p.area for p in polys])
     bounds = vector.total_bounds()
     pad = max(bounds[2] - bounds[0], bounds[3] - bounds[1]) * 0.01 + 1e-9

@@ -756,11 +756,29 @@ def buffer_polygons(
     return polygons_from_mask(out > 0, bounds)
 
 
-def union_all(polygons: Sequence[Polygon], grid: int = 4096) -> List[Polygon]:
-    """Raster-based union of many polygons (replaces the reference's
-    recursive batched GEOS union, geometric.py:13-95)."""
+def union_all(
+    polygons: Sequence[Polygon], grid: int = 4096, method: str = "auto"
+) -> List[Polygon]:
+    """Union of many polygons (replaces the reference's recursive batched
+    GEOS union, geometric.py:13-95).
+
+    ``method="exact"`` runs the planar-arrangement boolean engine
+    (:mod:`utils.boolean_ops` — GEOS-exact, no grid); ``"raster"`` burns
+    onto a ``grid``-sized image and re-vectorizes; ``"auto"`` (default)
+    picks exact while the layer's edge count keeps the O(S^2)
+    arrangement cheap (mesh-face-scale unions stay raster-assisted —
+    the exact per-class path for those is
+    ``exact_geometry.class_region_polygons``).
+    """
     if not polygons:
         return []
+    n_edges = sum(int(p.exterior.shape[0]) for p in polygons) + sum(
+        int(h.shape[0]) for p in polygons for h in p.holes
+    )
+    if method == "exact" or (method == "auto" and n_edges <= 4000):
+        from geograypher_tpu.utils.boolean_ops import union_exact
+
+        return union_exact(polygons)
     bs = np.asarray([p.bounds for p in polygons])
     x0, y0, x1, y1 = bs[:, 0].min(), bs[:, 1].min(), bs[:, 2].max(), bs[:, 3].max()
     pad = max(x1 - x0, y1 - y0) * 0.01 + 1e-9

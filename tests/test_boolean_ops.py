@@ -1,0 +1,165 @@
+"""Exact boolean-ops engine (utils/boolean_ops.py) property tests.
+
+Validates the planar-arrangement union/intersection/difference against
+closed-form cases, inclusion-exclusion on random concave layers, and
+the de-overlap invariants the reference gets from GEOS
+(reference utils/geometric.py:13-96, utils/geospatial.py:74-149).
+"""
+
+import numpy as np
+import pytest
+
+from geograypher_tpu.utils.boolean_ops import (
+    boolean_layers,
+    difference_exact,
+    intersection_exact,
+    non_overlapping_exact,
+    union_exact,
+)
+from geograypher_tpu.utils.exact_geometry import polygon_intersection_area
+from geograypher_tpu.utils.vector import Polygon
+
+
+def square(x0, y0, s):
+    return Polygon(
+        np.array(
+            [[x0, y0], [x0 + s, y0], [x0 + s, y0 + s], [x0, y0 + s]], float
+        )
+    )
+
+
+def star(rng, cx, cy, n=9, rmin=0.4, rmax=1.6):
+    """Random star-shaped (concave) polygon."""
+    ang = np.sort(rng.uniform(0, 2 * np.pi, n))
+    r = rng.uniform(rmin, rmax, n)
+    return Polygon(np.stack([cx + r * np.cos(ang), cy + r * np.sin(ang)], 1))
+
+
+def area(polys):
+    return sum(p.area for p in polys)
+
+
+def test_squares_closed_form():
+    a, b = square(0, 0, 2), square(1, 1, 2)
+    assert area(union_exact([a, b])) == pytest.approx(7.0, abs=1e-12)
+    assert area(intersection_exact([a], [b])) == pytest.approx(1.0, abs=1e-12)
+    assert area(difference_exact([a], [b])) == pytest.approx(3.0, abs=1e-12)
+
+
+def test_shared_edge_union_welds():
+    # collinear shared boundary: the union must be ONE rectangle
+    a, b = square(0, 0, 2), square(2, 0, 2)
+    u = union_exact([a, b])
+    assert len(u) == 1
+    assert area(u) == pytest.approx(8.0, abs=1e-12)
+
+
+def test_disjoint_and_contained():
+    a, b = square(0, 0, 1), square(5, 5, 1)
+    assert len(union_exact([a, b])) == 2
+    assert area(intersection_exact([a], [b])) == 0.0
+    inner = square(0.25, 0.25, 0.5)
+    assert area(union_exact([a, inner])) == pytest.approx(1.0, abs=1e-12)
+    assert area(difference_exact([inner], [a])) == 0.0
+
+
+def test_holes_and_island():
+    holed = Polygon(
+        np.array([[0, 0], [4, 0], [4, 4], [0, 4]], float),
+        holes=[np.array([[1, 1], [3, 1], [3, 3], [1, 3]], float)],
+    )
+    island = square(1.5, 1.5, 1.0)
+    u = union_exact([holed, island])
+    assert area(u) == pytest.approx(16 - 4 + 1, abs=1e-12)
+    # the outer part keeps a hole; the island is its own part
+    assert sorted(len(p.holes) for p in u) == [0, 1]
+    # difference that PUNCHES a hole: big minus centered small
+    d = difference_exact([square(0, 0, 4)], [square(1, 1, 2)])
+    assert area(d) == pytest.approx(12.0, abs=1e-12)
+    assert any(p.holes for p in d)
+
+
+def test_random_concave_inclusion_exclusion():
+    rng = np.random.default_rng(0)
+    for _ in range(10):
+        a = star(rng, 0, 0)
+        b = star(rng, rng.uniform(-1, 1), rng.uniform(-1, 1))
+        inter = area(intersection_exact([a], [b]))
+        # cross-check against the independent convex-clipping engine
+        assert inter == pytest.approx(
+            polygon_intersection_area(a, b), abs=1e-9
+        )
+        assert area(union_exact([a, b])) == pytest.approx(
+            a.area + b.area - inter, abs=1e-9
+        )
+        assert area(difference_exact([a], [b])) == pytest.approx(
+            a.area - inter, abs=1e-9
+        )
+
+
+def test_multiway_union_coverage_sampling():
+    rng = np.random.default_rng(1)
+    polys = [
+        star(rng, rng.uniform(-2, 2), rng.uniform(-2, 2)) for _ in range(8)
+    ]
+    u = union_exact(polys)
+    pts = rng.uniform(-4, 4, (4000, 2))
+    cov_u = np.zeros(len(pts), bool)
+    for p in u:
+        cov_u |= p.contains_points(pts)
+    cov_in = np.zeros(len(pts), bool)
+    for p in polys:
+        cov_in |= p.contains_points(pts)
+    assert np.array_equal(cov_u, cov_in)
+
+
+def test_non_overlapping_exact_invariants():
+    rng = np.random.default_rng(2)
+    polys = [
+        star(rng, rng.uniform(-2, 2), rng.uniform(-2, 2)) for _ in range(6)
+    ]
+    rows = non_overlapping_exact(polys)
+    flat = [p for row in rows for p in row]
+    # total area preserved exactly (parts tile the union)
+    assert area(flat) == pytest.approx(area(union_exact(polys)), abs=1e-9)
+    # parts pairwise disjoint
+    for i in range(len(flat)):
+        for j in range(i + 1, len(flat)):
+            assert polygon_intersection_area(flat[i], flat[j]) < 1e-9
+    # each row stays within its input polygon (smaller keep territory)
+    for row, poly in zip(rows, polys):
+        for part in row:
+            assert polygon_intersection_area(part, poly) == pytest.approx(
+                part.area, abs=1e-9
+            )
+    # the smallest-area polygon keeps ALL its territory
+    smallest = int(np.argmin([p.area for p in polys]))
+    assert area(rows[smallest]) == pytest.approx(
+        polys[smallest].area, abs=1e-9
+    )
+
+
+def test_bad_op_raises():
+    with pytest.raises(ValueError):
+        boolean_layers([square(0, 0, 1)], [], "xor")
+
+
+def test_auto_wiring_in_public_apis():
+    from geograypher_tpu.utils.geospatial import (
+        ensure_non_overlapping_polygons,
+    )
+    from geograypher_tpu.utils.vector import VectorData, union_all
+
+    # union_all auto-picks the exact engine at this size: weld is exact
+    merged = union_all([square(0, 0, 2), square(2, 0, 2)])
+    assert len(merged) == 1 and merged[0].area == pytest.approx(8.0)
+
+    overlapping = VectorData(
+        [square(0, 0, 2), square(1, 0, 2)], {"name": ["big", "small"]},
+        epsg=32611,
+    )
+    fixed = ensure_non_overlapping_polygons(overlapping)
+    areas = [g.area for g in fixed.geometries]
+    # equal-area tie: stable order keeps the first; total = union exactly
+    assert sum(areas) == pytest.approx(6.0, abs=1e-12)
+    assert min(areas) > 0
