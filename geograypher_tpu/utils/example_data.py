@@ -221,3 +221,181 @@ def create_example_survey(
         "n_classes": n_objects + 1,
         "utm_epsg": utm,
     }
+
+
+# Rig orientations matching the reference's under-canopy workflow
+# (/root/reference/examples/undercanopy_painting.ipynb): four horizontal
+# yaw quadrants plus straight up / straight down, together covering the
+# full 360-degree sphere of the original equirectangular capture.
+UNDERCANOPY_RIG_ORIENTATIONS = [
+    {"yaw_deg": 0.0, "pitch_deg": 0.0, "roll_deg": 0.0},
+    {"yaw_deg": 90.0, "pitch_deg": 0.0, "roll_deg": 0.0},
+    {"yaw_deg": 180.0, "pitch_deg": 0.0, "roll_deg": 0.0},
+    {"yaw_deg": 270.0, "pitch_deg": 0.0, "roll_deg": 0.0},
+    {"yaw_deg": 0.0, "pitch_deg": -90.0, "roll_deg": 0.0},
+    {"yaw_deg": 0.0, "pitch_deg": 90.0, "roll_deg": 0.0},
+]
+UNDERCANOPY_FORMAT_STR = "_yaw{yaw_deg:03.0f}_pitch{pitch_deg:03.0f}"
+
+
+def create_undercanopy_survey(
+    output_folder,
+    n_stations: int = 3,
+    sensor: int = 128,
+    scene_size: float = 20.0,
+    n_objects: int = 4,
+    station_height: float = 1.6,
+    pano_size: tuple = (128, 256),
+    lat: float = 36.0,
+    lon: float = -119.0,
+    seed: int = 0,
+):
+    """Write a synthetic under-canopy 360-capture survey to disk.
+
+    Mirrors the data layout of the reference's under-canopy example
+    (/root/reference/examples/undercanopy_painting.ipynb): ground-level
+    equirectangular captures between canopy objects, perspective
+    re-projections of each panorama (the "raw" image folder), and a
+    parallel folder of per-pixel class predictions for those perspective
+    images.  Here the predictions are OCCLUSION-CORRECT renders of the
+    known per-face labels through the rig camera set, so an aggregation
+    run can be checked against ground truth exactly.
+
+    Returns a dict of paths + ground truth: cameras_file, mesh_file,
+    equirect_folder, perspective_folder, prediction_folder, rig_camera,
+    rig_orientations, format_str, face_labels, n_classes, local_to_ecef.
+    """
+    import cv2
+
+    from geograypher_tpu.utils.image import perspective_from_equirectangular
+    from geograypher_tpu.utils.meshio import save_mesh
+
+    output_folder = Path(output_folder)
+    equirect_folder = output_folder / "equirect"
+    perspective_folder = output_folder / "images-reprojected"
+    prediction_folder = output_folder / "predictions"
+    for f in (equirect_folder, perspective_folder, prediction_folder):
+        f.mkdir(parents=True, exist_ok=True)
+
+    verts, faces, face_labels, centers = make_scene_mesh(
+        n_objects=n_objects, ground_n=21, size=scene_size, seed=seed
+    )
+    l2e = local_to_ecef_frame(lat, lon)
+
+    # ground-level stations on a walking line through the scene, nudged
+    # off any canopy-object footprint (cameras must stand BESIDE objects,
+    # not inside them)
+    xs = np.linspace(-scene_size / 4, scene_size / 4, n_stations)
+    stations = []
+    for x in xs:
+        pos = np.array([x, 0.0, station_height])
+        for _ in range(20):
+            clear = all(
+                max(abs(pos[0] - cx_), abs(pos[1] - cy_)) > half + 0.7
+                for cx_, cy_, _h, half in centers
+            )
+            if clear:
+                break
+            pos[1] += 0.9
+        stations.append(pos.copy())
+
+    # base 360-camera pose: upright, forward = +x (east); camera frame is
+    # x right, y down, z forward, so x_cam=-north, y_cam=-up, z_cam=east
+    base_rot = np.eye(4)
+    base_rot[:3, 0] = [0.0, -1.0, 0.0]
+    base_rot[:3, 1] = [0.0, 0.0, -1.0]
+    base_rot[:3, 2] = [1.0, 0.0, 0.0]
+    c2ws, names = [], []
+    for k, pos in enumerate(stations):
+        c2w = base_rot.copy()
+        c2w[:3, 3] = pos
+        c2ws.append(c2w)
+        names.append(f"pano_{k:04d}.png")
+
+    cameras_file = output_folder / "cameras.xml"
+    # real Metashape labels are absolute paths to the photogrammetry-time
+    # images (reference derived_cameras.py:33-38 rebases them)
+    cameras_file.write_text(
+        make_metashape_xml(
+            c2ws, [str(equirect_folder / n) for n in names], l2e,
+            sensor / 2.0, sensor, sensor,
+        )
+    )
+    mesh_file = output_folder / "mesh.ply"
+    save_mesh(mesh_file, verts, faces)
+
+    # synthetic equirectangular panoramas (yaw hue x pitch brightness
+    # gradient) + their perspective re-projections: the "raw images" an
+    # ML model would consume (reference utils/image.py:129-267 path)
+    he, we = pano_size
+    yy, xx = np.mgrid[0:he, 0:we]
+    pano = np.stack(
+        [
+            (255 * xx / we).astype(np.uint8),
+            (255 * yy / he).astype(np.uint8),
+            np.full((he, we), 96, np.uint8),
+        ],
+        axis=-1,
+    )
+    for k in range(n_stations):
+        cv2.imwrite(str(equirect_folder / names[k]), pano)
+        for o in UNDERCANOPY_RIG_ORIENTATIONS:
+            persp = perspective_from_equirectangular(
+                pano, o["roll_deg"], o["pitch_deg"], o["yaw_deg"],
+                fov_deg=90.0, out_size=(sensor, sensor),
+            )
+            out_name = (
+                Path(names[k]).stem
+                + UNDERCANOPY_FORMAT_STR.format(**o)
+                + ".png"
+            )
+            cv2.imwrite(str(perspective_folder / out_name), persp)
+
+    rig_camera = {
+        "f": sensor / 2.0,  # 90-degree horizontal FOV
+        "cx": 0.0,
+        "cy": 0.0,
+        "image_width": sensor,
+        "image_height": sensor,
+    }
+
+    # occlusion-correct per-pixel "predictions" for every perspective
+    # image: render the known face labels through the rig camera set
+    from geograypher_tpu.cameras.rig import (
+        create_rig_cameras_from_equirectangular,
+    )
+    from geograypher_tpu.meshes.mesh import TexturedMesh
+    from geograypher_tpu.ops.rasterize import RasterConfig
+
+    rig_set = create_rig_cameras_from_equirectangular(
+        camera_file=cameras_file,
+        original_images=equirect_folder,
+        perspective_images=perspective_folder,
+        rig_camera=rig_camera,
+        rig_orientations=UNDERCANOPY_RIG_ORIENTATIONS,
+        perspective_filename_format_str=UNDERCANOPY_FORMAT_STR,
+    )
+    mesh = TexturedMesh(
+        mesh_file,
+        transform_filename=cameras_file,
+        raster_config=RasterConfig(caps=(1024, 128, 64, 32)),
+    )
+    mesh.set_texture(face_labels.astype(float), is_vertex=False)
+    for cam_idx, img in enumerate(mesh.render_flat(rig_set)):
+        lab = np.where(np.isfinite(img[..., 0]), img[..., 0], 255)
+        out = prediction_folder / rig_set.image_filenames[cam_idx].name
+        cv2.imwrite(str(out), lab.astype(np.uint8))
+
+    return {
+        "cameras_file": cameras_file,
+        "mesh_file": mesh_file,
+        "equirect_folder": equirect_folder,
+        "perspective_folder": perspective_folder,
+        "prediction_folder": prediction_folder,
+        "rig_camera": rig_camera,
+        "rig_orientations": list(UNDERCANOPY_RIG_ORIENTATIONS),
+        "format_str": UNDERCANOPY_FORMAT_STR,
+        "face_labels": face_labels,
+        "n_classes": int(face_labels.max()) + 1,
+        "local_to_ecef": l2e,
+    }
