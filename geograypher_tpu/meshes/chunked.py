@@ -179,3 +179,63 @@ def label_polygons_chunked(
         for i, lab in zip(idx, labels):
             out[i] = lab
     return out
+
+
+def aggregate_class_images_chunked_distributed(
+    mesh: TexturedMesh,
+    cameras: CameraSet,
+    n_classes: int,
+    n_clusters: int = 4,
+    buffer_meters: float = CHUNKED_MESH_BUFFER_DIST_METERS,
+    class_image_provider: typing.Optional[
+        typing.Callable[[int], np.ndarray]
+    ] = None,
+    **pipeline_kwargs,
+):
+    """Chunked survey aggregation over a DEVICE MESH: each camera
+    cluster's buffered sub-mesh runs through the production distributed
+    pipeline (``parallel.pipeline.aggregate_class_images_distributed`` —
+    sharded views, fused scatter-free kernels, donated accumulators),
+    and per-chunk results scatter-add back into full-mesh arrays via the
+    chunk's original face ids — the composition of the reference's
+    chunked processing (derived_meshes.py:222-317) with multi-chip view
+    sharding.  Returns ``(fraction_sums (F, C), view_counts (F,))``
+    exactly like the unchunked pipeline.
+    """
+    from geograypher_tpu.parallel.pipeline import (
+        aggregate_class_images_distributed,
+    )
+
+    clusters = cluster_cameras(cameras, n_clusters)
+    total_fracs = np.zeros((mesh.n_faces, n_classes))
+    total_views = np.zeros(mesh.n_faces)
+    produced = False
+    for k, cam_idx in enumerate(clusters):
+        if len(cam_idx) == 0:
+            continue
+        sub_mesh, face_ids = mesh_chunk_for_cameras(
+            mesh, cameras, cam_idx, buffer_meters
+        )
+        if sub_mesh.n_faces == 0:
+            continue
+        sub_cams = cameras.get_subset_cameras(cam_idx)
+        logger.info(
+            "distributed chunk %d: %d cameras, %d faces",
+            k, len(cam_idx), sub_mesh.n_faces,
+        )
+        provider = None
+        if class_image_provider is not None:
+            # remap the sub-set's view index back to the survey index
+            def provider(j, _idx=np.asarray(cam_idx)):
+                return class_image_provider(int(_idx[j]))
+
+        fracs, views = aggregate_class_images_distributed(
+            sub_mesh, sub_cams, n_classes,
+            class_image_provider=provider, **pipeline_kwargs,
+        )
+        np.add.at(total_fracs, face_ids, np.nan_to_num(fracs))
+        np.add.at(total_views, face_ids, views)
+        produced = True
+    if not produced:
+        raise ValueError("No chunks produced data")
+    return total_fracs, total_views

@@ -289,7 +289,10 @@ class TexturedMesh:
         fold/S capacities from the old face order yield silently wrong
         aggregation counts."""
         self._tri_verts_cache.clear()
-        for name in ("_tri_soa_cache", "_fold_cap_cache", "_s_cap_cache"):
+        for name in (
+            "_tri_soa_cache", "_fold_cap_cache", "_s_cap_cache",
+            "_pipeline_cfg_cache",
+        ):
             cache = getattr(self, name, None)
             if cache is not None:
                 cache.clear()
@@ -694,31 +697,72 @@ class TexturedMesh:
         self,
         DTM_file: PATH_TYPE,
         height_above_ground_threshold: float = 2.0,
+        labels: typing.Optional[np.ndarray] = None,
+        only_label_existing_labels: typing.Optional[bool] = None,
+        ground_class_name: str = "ground",
         ground_ID: typing.Optional[int] = None,
-        only_label_existing: bool = True,
         set_mesh_texture: bool = True,
+        only_label_existing: typing.Optional[bool] = None,
     ):
-        """Relabel near-ground vertices to the ground class (reference
-        meshes.py:1504-1596)."""
+        """Relabel near-ground vertices (or faces) to the ground class
+        (reference meshes.py:1504-1596).
+
+        ``labels`` may be a vertex- or face-aligned array to relabel;
+        when omitted the mesh's vertex texture is used (and
+        ``set_mesh_texture`` defaults to installing the result, unlike
+        the reference's False default).  ``only_label_existing`` is a
+        backwards-compatible alias of ``only_label_existing_labels``.
+        Returns ``(labels, ground_ID)``.
+        """
+        if only_label_existing_labels is None:
+            only_label_existing_labels = (
+                True if only_label_existing is None else only_label_existing
+            )
+        use_vertex = True
+        if labels is not None:
+            labels = np.asarray(labels, dtype=np.float64)
+            if labels.ndim == 1:
+                labels = labels[:, None]
+            if labels.shape[0] == self.n_verts:
+                use_vertex = True
+            elif labels.shape[0] == self.n_faces:
+                use_vertex = False
+            else:
+                raise ValueError(
+                    "labels match neither the vertex nor the face count"
+                )
+            labels = labels.copy()
+        else:
+            tex = self.get_texture(request_vertex_texture=True)
+            labels = (
+                np.full((self.n_verts, 1), np.nan) if tex is None
+                else tex.copy()
+            )
         ground = self.get_height_above_ground(
             DTM_file, threshold=height_above_ground_threshold
         )
-        tex = self.get_texture(request_vertex_texture=True)
-        if tex is None:
-            tex = np.full((self.n_verts, 1), np.nan)
-        tex = tex.copy()
-        if ground_ID is None:
-            finite = tex[np.isfinite(tex)]
-            ground_ID = int(finite.max()) + 1 if finite.size else 0
+        if not use_vertex:
+            # majority vote of the face's vertices (the reference's
+            # vert_to_face mode vote on a binary mask)
+            ground = ground[self.faces].mean(axis=1) >= 0.5
         mask = ground.copy()
-        if only_label_existing:
-            mask &= np.isfinite(tex[:, 0])
-        tex[mask, 0] = ground_ID
-        if set_mesh_texture:
+        if only_label_existing_labels:
+            mask &= np.isfinite(labels[:, 0])
+        if ground_ID is None:
+            ids = self.IDs_to_labels or {}
+            labels_to_ids = {v: k for k, v in ids.items()}
+            if ground_class_name in labels_to_ids:
+                ground_ID = labels_to_ids[ground_class_name]
+            else:
+                finite = labels[np.isfinite(labels)]
+                ground_ID = int(finite.max()) + 1 if finite.size else 0
+        labels[mask, 0] = ground_ID
+        if set_mesh_texture and use_vertex:
             ids = dict(self.IDs_to_labels or {})
-            ids[ground_ID] = "ground"
-            self.set_texture(tex, is_vertex=True, IDs_to_labels=ids)
-        return tex, ground_ID
+            if np.isfinite(ground_ID):
+                ids[ground_ID] = ground_class_name
+            self.set_texture(labels, is_vertex=True, IDs_to_labels=ids)
+        return labels, ground_ID
 
     # -- rasterization / rendering / aggregation -----------------------------
 

@@ -370,6 +370,30 @@ def aggregate_class_images_distributed(
     params = _pack_params(batch, np.ones(n, np.float32))[order]
     params[:, _PROW - 1] = valid
 
+    # -- cached auto-sizing ----------------------------------------------------
+    # The census + fold-window probes cost several views of device work;
+    # re-running them on every call would put them on the steady-state
+    # critical path (the timed bench calls this twice with identical
+    # inputs).  The sized config is cached on the MESH keyed by
+    # everything the probes see; geometry edits clear it via
+    # _invalidate_geometry_caches.
+    _cfg_cache = getattr(mesh, "_pipeline_cfg_cache", None)
+    if _cfg_cache is None:
+        _cfg_cache = {}
+        mesh._pipeline_cfg_cache = _cfg_cache
+    _cfg_key = None
+    if fused and n > 0 and (auto_size_fold or (
+        config.subtile is not None and config.s_cap_chunks is None
+    )):
+        _cfg_key = (
+            config, use_dist, w, h, n_dev, group, min(n, n_dev * group),
+            cameras.get_camera_hash(),
+        )
+        cached_cfg = _cfg_cache.get(_cfg_key)
+        if cached_cfg is not None:
+            config = cached_cfg
+            auto_size_fold = False  # already sized
+
     # -- census-size level-S chunk capacities (no-op without subtile) ----------
     # One probe view, 1.5x margin; undersizing for later views surfaces
     # as SubtileBinned.overflow, summed into each step's overflow output
@@ -385,19 +409,23 @@ def aggregate_class_images_distributed(
             size_subtile_caps,
         )
 
-        row = params[0]
-        s_tot, s_worst = probe_subtile_census(
-            tri_soa,
-            jnp.asarray(row[:16].reshape(4, 4)),
-            jnp.asarray(row[16]),
-            jnp.asarray(row[17:25]),
-            jnp.asarray(row[25]),
-            jnp.asarray(row[26]),
-            w, h, config, use_dist,
-        )
-        config = size_subtile_caps(
-            config, int(np.asarray(s_tot)), int(np.asarray(s_worst))
-        )
+        # probe the whole first step's views (not just view 0): a survey
+        # slice whose first view sees no far-field would size the caps to
+        # the floor and overflow on the next view
+        s_tot_w = s_worst_w = 0
+        for row in params[: min(n, step_views)]:
+            s_tot, s_worst = probe_subtile_census(
+                tri_soa,
+                jnp.asarray(row[:16].reshape(4, 4)),
+                jnp.asarray(row[16]),
+                jnp.asarray(row[17:25]),
+                jnp.asarray(row[25]),
+                jnp.asarray(row[26]),
+                w, h, config, use_dist,
+            )
+            s_tot_w = max(s_tot_w, int(np.asarray(s_tot)))
+            s_worst_w = max(s_worst_w, int(np.asarray(s_worst)))
+        config = size_subtile_caps(config, s_tot_w, s_worst_w)
 
     # -- auto-size the fold's static window capacity --------------------------
     # Probe the first step's views for the worst per-block tile-window
@@ -426,6 +454,9 @@ def aggregate_class_images_distributed(
             config, fold_w_cap=w_cap, entry_caps=entry_caps
         )
 
+    if _cfg_key is not None:
+        _cfg_cache[_cfg_key] = config
+
     device_step = _build_device_step(
         device_mesh, config, use_dist, fused, group, w, h, n_faces, n_classes
     )
@@ -441,8 +472,18 @@ def aggregate_class_images_distributed(
     first_imgs = None
 
     overflows = []
-    with concurrent.futures.ThreadPoolExecutor(prefetch_workers) as pool:
+    # Two-stage prefetch: an image pool loads + casts label images, and a
+    # dedicated single-thread put pool stacks each step's images and
+    # device_puts them (params + int8 stack) WHILE the device computes the
+    # previous step.  Through this environment's ~40 MB/s host<->device
+    # tunnel the puts are the dominant cost (8.3 MB per int8 4K view) —
+    # on the main thread they serialized with compute and capped the
+    # round-2/3 pipeline at ~1/4 of the transfer ceiling.
+    with concurrent.futures.ThreadPoolExecutor(
+        prefetch_workers
+    ) as pool, concurrent.futures.ThreadPoolExecutor(1) as put_pool:
         futures: dict = {}
+        put_futures: dict = {}
 
         def fetch(i: int) -> np.ndarray:
             # clip/cast in the worker: the main loop stays free to keep
@@ -455,28 +496,37 @@ def aggregate_class_images_distributed(
             if i not in futures and i < n_pad:
                 futures[i] = pool.submit(fetch, i)
 
-        window = step_views * 2  # slots kept in flight ahead of the device
-        for i in range(min(n_pad, window)):
-            ensure(i)
-        for start in range(0, n_pad, step_views):
+        def put_step(start: int):
             idx = list(range(start, start + step_views))
             imgs = np.stack(
                 [futures.pop(i).result() for i in idx], axis=0
             )
-            for j in range(
-                start + step_views, min(start + 2 * step_views, n_pad)
-            ):
-                ensure(j)
+            params_dev = jax.device_put(
+                params[idx].reshape(n_dev, group, _PROW), sharding
+            )
+            imgs_dev = jax.device_put(
+                imgs.reshape((n_dev, group) + imgs.shape[1:]), sharding
+            )
+            # block until the transfer lands so the put thread's timeline
+            # reflects the tunnel (and the next put starts immediately)
+            jax.block_until_ready(imgs_dev)
+            return params_dev, imgs_dev, imgs if start == 0 else None
+
+        def ensure_put(start: int):
+            if start not in put_futures and start < n_pad:
+                for i in range(start, start + step_views):
+                    ensure(i)
+                put_futures[start] = put_pool.submit(put_step, start)
+
+        ensure_put(0)
+        ensure_put(step_views)
+        for start in range(0, n_pad, step_views):
+            params_dev, imgs_dev, host_imgs = put_futures.pop(
+                start
+            ).result()
+            ensure_put(start + 2 * step_views)
             total_fracs, total_views, csum, over = device_step(
-                tri_soa,
-                jax.device_put(
-                    params[idx].reshape(n_dev, group, _PROW), sharding
-                ),
-                jax.device_put(
-                    imgs.reshape((n_dev, group) + imgs.shape[1:]), sharding
-                ),
-                total_fracs,
-                total_views,
+                tri_soa, params_dev, imgs_dev, total_fracs, total_views
             )
             # keep only device handles here: fetching any scalar now
             # would sync the step and serialize transfer with compute
@@ -484,7 +534,7 @@ def aggregate_class_images_distributed(
             overflows.append(over)
             if start == 0:
                 first_csum = csum
-                first_imgs = imgs
+                first_imgs = host_imgs
 
     if fused:
         for over in overflows:
