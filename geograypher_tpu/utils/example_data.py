@@ -399,3 +399,128 @@ def create_undercanopy_survey(
         "n_classes": int(face_labels.max()) + 1,
         "local_to_ecef": l2e,
     }
+
+
+def create_non_overlapping_points(
+    n_points: int,
+    distance_thresh: float = 1.0,
+    size: float = 10.0,
+    random_seed: Optional[int] = None,
+) -> np.ndarray:
+    """Rejection-sample ``n_points`` 2D points at least ``distance_thresh``
+    apart inside a ``size x size`` square centered at the origin
+    (reference utils/example_data.py:9-21)."""
+    rng = np.random.default_rng(random_seed)
+    points = (rng.random((1, 2)) - 0.5) * size
+    while points.shape[0] < n_points:
+        cand = (rng.random((1, 2)) - 0.5) * size
+        if np.min(np.linalg.norm(points - cand, axis=1)) > distance_thresh:
+            points = np.concatenate([points, cand], axis=0)
+    return points
+
+
+def _cylinder_mesh(center, radius: float, height: float, resolution: int = 10):
+    """Closed triangulated cylinder (axis +z, base at z=0)."""
+    cx, cy = center
+    ang = 2 * np.pi * np.arange(resolution) / resolution
+    ring = np.stack([cx + radius * np.cos(ang), cy + radius * np.sin(ang)], 1)
+    bot = np.concatenate([ring, np.zeros((resolution, 1))], axis=1)
+    top = np.concatenate([ring, np.full((resolution, 1), height)], axis=1)
+    verts = np.concatenate(
+        [bot, top, [[cx, cy, 0.0]], [[cx, cy, height]]], axis=0
+    )
+    cb, ct = 2 * resolution, 2 * resolution + 1
+    faces = []
+    for i in range(resolution):
+        j = (i + 1) % resolution
+        faces += [
+            (i, j, resolution + i),  # side quad
+            (j, resolution + j, resolution + i),
+            (cb, j, i),  # bottom cap
+            (ct, resolution + i, resolution + j),  # top cap
+        ]
+    return verts, np.array(faces, dtype=np.int32)
+
+
+def _cone_mesh(center, radius: float, height: float, resolution: int = 12):
+    """Closed triangulated cone (base at z=0, apex at z=height)."""
+    cx, cy = center
+    ang = 2 * np.pi * np.arange(resolution) / resolution
+    ring = np.stack([cx + radius * np.cos(ang), cy + radius * np.sin(ang)], 1)
+    base = np.concatenate([ring, np.zeros((resolution, 1))], axis=1)
+    verts = np.concatenate(
+        [base, [[cx, cy, 0.0]], [[cx, cy, height]]], axis=0
+    )
+    cb, apex = resolution, resolution + 1
+    faces = []
+    for i in range(resolution):
+        j = (i + 1) % resolution
+        faces += [(i, j, apex), (cb, j, i)]
+    return verts, np.array(faces, dtype=np.int32)
+
+
+def create_scene_mesh(
+    box_centers=(),
+    cylinder_centers=(),
+    cone_centers=(),
+    cylinder_radius: float = 0.5,
+    cone_radius: float = 0.5,
+    box_size: float = 1.0 / np.sqrt(2.0),
+    grid_size=(20.0, 20.0),
+    add_ground: bool = True,
+    ground_resolution: int = 200,
+):
+    """Procedural concept-figure scene: boxes, cylinders, and cones on an
+    optional ground plane (API analog of the reference's
+    ``create_scene_mesh``, utils/example_data.py:29-111).
+
+    Returns ``(verts, faces, face_IDs, labels_vd)``: ``face_IDs`` is a
+    float per-face instance ID (NaN for ground faces, instances numbered
+    across all shapes in box/cylinder/cone order, like the reference),
+    and ``labels_vd`` is a :class:`~geograypher_tpu.utils.vector
+    .VectorData` of per-instance convex-hull footprint polygons with a
+    ``name`` column in {"cube", "cylinder", "cone"}.
+    """
+    from scipy.spatial import ConvexHull
+
+    from geograypher_tpu.utils.fixtures import _box_mesh, make_grid_mesh
+    from geograypher_tpu.utils.vector import Polygon, VectorData
+
+    all_verts, all_faces, all_ids = [], [], []
+    polygons, names = [], []
+    v_off = 0
+    instance = 0.0
+
+    def add(verts, faces, name):
+        nonlocal v_off, instance
+        all_verts.append(verts)
+        all_faces.append(faces + v_off)
+        all_ids.append(np.full((faces.shape[0],), instance))
+        hull = ConvexHull(verts[:, :2])
+        polygons.append(Polygon(verts[hull.vertices, :2]))
+        names.append(name)
+        v_off += verts.shape[0]
+        instance += 1.0
+
+    for x, y in box_centers:
+        bv, bf = _box_mesh((x, y, 0.0), box_size / 2.0, box_size)
+        add(bv, bf, "cube")
+    for x, y in cylinder_centers:
+        cv, cf = _cylinder_mesh((x, y), cylinder_radius, 1.0)
+        add(cv, cf, "cylinder")
+    for x, y in cone_centers:
+        cv, cf = _cone_mesh((x, y), cone_radius, 1.0)
+        add(cv, cf, "cone")
+
+    if add_ground:
+        gx, _gy = grid_size
+        gv, gf = make_grid_mesh(n=int(ground_resolution), size=float(gx))
+        all_verts.append(gv)
+        all_faces.append(gf + v_off)
+        all_ids.append(np.full((gf.shape[0],), np.nan))
+
+    verts = np.concatenate(all_verts, axis=0)
+    faces = np.concatenate(all_faces, axis=0).astype(np.int32)
+    face_ids = np.concatenate(all_ids, axis=0)
+    labels_vd = VectorData(polygons, {"name": names})
+    return verts, faces, face_ids, labels_vd
