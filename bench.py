@@ -438,8 +438,12 @@ def run_bench(out):
             raise RuntimeError("timed run disagrees with warmup output")
         return n_views / dt, config
 
+    # Level-S sub-tile raster: OFF by default since round-4 on-device
+    # measurement — at full 4K its CSR build (+23 ms/view), second kernel
+    # pass, and 29k-chunk fold level cost MORE than the resolve it saves
+    # (5.36 vs 6.93 views/s on this suite; docs/DESIGN.md round-4 entry).
     want_subtile = (
-        os.environ.get("BENCH_SUBTILE", "1") == "1" and backend == "pallas"
+        os.environ.get("BENCH_SUBTILE", "0") == "1" and backend == "pallas"
     )
 
     def flagship_safe(subtile_on, H_, W_, focals_):

@@ -58,6 +58,7 @@ import concurrent.futures
 import dataclasses
 import functools
 import logging
+import time
 import typing
 
 import numpy as np
@@ -497,10 +498,12 @@ def aggregate_class_images_distributed(
                 futures[i] = pool.submit(fetch, i)
 
         def put_step(start: int):
+            t0 = time.perf_counter()
             idx = list(range(start, start + step_views))
             imgs = np.stack(
                 [futures.pop(i).result() for i in idx], axis=0
             )
+            t1 = time.perf_counter()
             params_dev = jax.device_put(
                 params[idx].reshape(n_dev, group, _PROW), sharding
             )
@@ -510,6 +513,12 @@ def aggregate_class_images_distributed(
             # block until the transfer lands so the put thread's timeline
             # reflects the tunnel (and the next put starts immediately)
             jax.block_until_ready(imgs_dev)
+            if logger.isEnabledFor(logging.DEBUG):
+                logger.debug(
+                    "put_step %d: fetch-wait %.0f ms, put %.0f ms",
+                    start, (t1 - t0) * 1e3,
+                    (time.perf_counter() - t1) * 1e3,
+                )
             return params_dev, imgs_dev, imgs if start == 0 else None
 
         def ensure_put(start: int):
@@ -521,13 +530,21 @@ def aggregate_class_images_distributed(
         ensure_put(0)
         ensure_put(step_views)
         for start in range(0, n_pad, step_views):
+            t0 = time.perf_counter()
             params_dev, imgs_dev, host_imgs = put_futures.pop(
                 start
             ).result()
+            t1 = time.perf_counter()
             ensure_put(start + 2 * step_views)
             total_fracs, total_views, csum, over = device_step(
                 tri_soa, params_dev, imgs_dev, total_fracs, total_views
             )
+            if logger.isEnabledFor(logging.DEBUG):
+                logger.debug(
+                    "step %d: put-wait %.0f ms, dispatch %.0f ms",
+                    start, (t1 - t0) * 1e3,
+                    (time.perf_counter() - t1) * 1e3,
+                )
             # keep only device handles here: fetching any scalar now
             # would sync the step and serialize transfer with compute
             # (the round-2 pipeline lost ~2x to exactly this)
