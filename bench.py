@@ -261,88 +261,139 @@ def run_bench(out):
             )
             return lvl, s_tot, s_worst
 
-        worst = np.zeros(4, np.int64)
-        s_tot_w = s_pair_w = 0
+        # Per-view census -> per-view margined caps.  Views are BUCKETED
+        # by caps rounded up to a coarse grid and each bucket runs its
+        # own jit program: mixed suites stop paying the worst view's
+        # static shapes (a nadir view at the worst oblique's L0 cap 96
+        # measured 83 ms vs 55 at its own cap — docs/DESIGN.md round 4).
+        CAP_GRID = (16, 32, 48, 64, 96, 128, 192, 256, 384, 512, 768, 1024)
+
+        def margin_caps(lvl):
+            return tuple(
+                int(max(16, -(-int(c * 5 // 4) // 16) * 16)) for c in lvl
+            )
+
+        def bucket_key(caps):
+            return tuple(
+                min((g for g in CAP_GRID if g >= c), default=c) for c in caps
+            )
+
+        view_caps = []
+        view_s = []
         for k in range(n_views):
             lvl, s_tot, s_worst = census(tri, w2c[k], fl[k])
-            worst = np.maximum(worst, np.asarray(lvl))
-            s_tot_w = max(s_tot_w, int(np.asarray(s_tot)))
-            s_pair_w = max(s_pair_w, int(np.asarray(s_worst)))
-        caps = tuple(
-            int(max(16, -(-int(c * 5 // 4) // 16) * 16)) for c in worst
-        )  # 1.25x margin, multiples of 16 units
-        print(f"census caps (x{bin_block} faces): {caps}", file=sys.stderr)
-        config = RasterConfig(
-            caps=caps, backend=backend, bin_block=bin_block,
-            l0_window=(5, 2),
-        )
-        if subtile_on:
-            # the S census is EXACT per view and the same views run the
-            # bench, so the worst-view demand needs no margin (only kb=4
-            # alignment); margin here would inflate every view's dense
-            # (cap, kp, 128) entry stack in the grouped fold
-            s_cap = -(-int(s_tot_w) // census_cfg.s_kb) * census_cfg.s_kb
-            s_pc = -(-int(s_pair_w) // census_cfg.s_kb) * census_cfg.s_kb
-            print(
-                f"S census: {s_tot_w} chunks (cap {s_cap}), worst pair "
-                f"{s_pair_w} (cap {s_pc})",
-                file=sys.stderr,
+            view_caps.append(margin_caps(np.asarray(lvl)))
+            view_s.append(
+                (int(np.asarray(s_tot)), int(np.asarray(s_worst)))
             )
-            config = dataclasses.replace(
-                config, subtile=(8, 16), s_cap_chunks=max(s_cap, 4),
-                s_pair_chunks=max(s_pc, 4),
-            )
-
-        @jax.jit
-        def window_stats(tri, w2c_k, f_k):
-            setup = setup_from_soa(tri, w2c_k, f_k, W, H, config.znear)
-            binned, sb = bin_all(setup, config, H, W)
-            over, win = fold_window_overflow(
-                l0_face_ids(binned, config), n_faces=n_faces, w_cap=504,
-                block=4096,
-            )
-            bin_over = binned.overflow
-            if sb is not None:
-                from geograypher_tpu.ops.subtile import s_entry_ids
-
-                _so, s_win = fold_window_overflow(
-                    s_entry_ids(sb, config), n_faces=n_faces, w_cap=504,
-                    block=4096,
-                )
-                win = jnp.maximum(win, s_win)
-                bin_over = bin_over + sb.overflow
-            return over, win, bin_over, entry_occupancy(
-                binned, config, H, W
-            )
-
-        max_win = 0
-        worst_entries = np.zeros(3, np.int64)
-        for k in range(n_views):
-            _over, win, bin_over, occ = window_stats(tri, w2c[k], fl[k])
-            win, bin_over = int(np.asarray(win)), int(np.asarray(bin_over))
-            if bin_over:
-                raise RuntimeError(
-                    f"view {k}: rasterizer cap overflow ({bin_over} "
-                    f"candidates dropped) — raise caps {caps}"
-                )
-            # win is the EXACT per-block max window for this view (the
-            # probe w_cap does not clip it); the grouped fold sizes from
-            # the worst
-            max_win = max(max_win, win)
-            worst_entries = np.maximum(worst_entries, np.asarray(occ))
-        # per-view nonempty chunk-entry caps (1.25x margin): compacting
-        # each view's fold entries to its occupied chunks right after the
-        # raster keeps the dense census-cap count buffers from staying
-        # live across the whole group (they are ~5x occupancy and OOMed
-        # group-20)
-        entry_caps = tuple(
-            int(8 * (-(-int(n * 5 // 4) // 8))) for n in worst_entries
-        )
+        buckets: dict = {}
+        for k, caps_k in enumerate(view_caps):
+            buckets.setdefault(bucket_key(caps_k), []).append(k)
         print(
-            f"entry caps (128-slot chunks/view): {entry_caps}",
+            "census buckets: "
+            + ", ".join(f"{key} x{len(v)}" for key, v in buckets.items()),
             file=sys.stderr,
         )
-        config = dataclasses.replace(config, entry_caps=entry_caps)
+
+        def build_bucket(caps, idxs):
+            """Sized config + fold stats + group program for one bucket."""
+            config = RasterConfig(
+                caps=caps, backend=backend, bin_block=bin_block,
+                l0_window=(5, 2),
+            )
+            if subtile_on:
+                # the S census is EXACT per view and the same views run
+                # the bench, so the bucket-worst demand needs no margin
+                # (only kb alignment)
+                s_tot_w = max(view_s[k][0] for k in idxs)
+                s_pair_w = max(view_s[k][1] for k in idxs)
+                s_cap = -(-int(s_tot_w) // census_cfg.s_kb) * census_cfg.s_kb
+                s_pc = -(-int(s_pair_w) // census_cfg.s_kb) * census_cfg.s_kb
+                print(
+                    f"  S census: {s_tot_w} chunks (cap {s_cap}), worst "
+                    f"pair {s_pair_w} (cap {s_pc})",
+                    file=sys.stderr,
+                )
+                config = dataclasses.replace(
+                    config, subtile=(8, 16), s_cap_chunks=max(s_cap, 4),
+                    s_pair_chunks=max(s_pc, 4),
+                )
+
+            from geograypher_tpu.ops.rasterize import _occupied_pairs
+
+            pair_, nty0p_, ntx0p_ = l0_geometry(config, H, W)
+            n_pairs_tot = nty0p_ * (ntx0p_ // pair_)
+
+            @jax.jit
+            def window_stats(tri, w2c_k, f_k):
+                setup = setup_from_soa(
+                    tri, w2c_k, f_k, W, H, config.znear
+                )
+                binned, sb = bin_all(setup, config, H, W)
+                over, win = fold_window_overflow(
+                    l0_face_ids(binned, config), n_faces=n_faces,
+                    w_cap=504, block=4096,
+                )
+                bin_over = binned.overflow
+                if sb is not None:
+                    from geograypher_tpu.ops.subtile import s_entry_ids
+
+                    _so, s_win = fold_window_overflow(
+                        s_entry_ids(sb, config), n_faces=n_faces,
+                        w_cap=504, block=4096,
+                    )
+                    win = jnp.maximum(win, s_win)
+                    bin_over = bin_over + sb.overflow
+                # exact occupied-pair count for this view (sizes
+                # config.occ_pairs — the compacted kernel grid)
+                _pids, occ_mask, _oo = _occupied_pairs(
+                    setup, binned, sb,
+                    dataclasses.replace(config, occ_pairs=n_pairs_tot),
+                    H, W,
+                )
+                return over, win, bin_over, entry_occupancy(
+                    binned, config, H, W
+                ), jnp.sum(occ_mask.astype(jnp.int32))
+
+            max_win = 0
+            max_occ = 0
+            worst_entries = np.zeros(3, np.int64)
+            for k in idxs:
+                _over, win, bin_over, occ, n_occ = window_stats(
+                    tri, w2c[k], fl[k]
+                )
+                win = int(np.asarray(win))
+                bin_over = int(np.asarray(bin_over))
+                if bin_over:
+                    raise RuntimeError(
+                        f"view {k}: rasterizer cap overflow ({bin_over} "
+                        f"candidates dropped) — raise caps {caps}"
+                    )
+                # win is the EXACT per-block max window for this view
+                # (the probe w_cap does not clip it); the grouped fold
+                # sizes from the worst
+                max_win = max(max_win, win)
+                max_occ = max(max_occ, int(np.asarray(n_occ)))
+                worst_entries = np.maximum(worst_entries, np.asarray(occ))
+            # per-view nonempty chunk-entry caps (1.25x margin):
+            # compacting each view's fold entries to its occupied chunks
+            # right after the raster keeps the dense census-cap count
+            # buffers from staying live across the whole group (they are
+            # ~5x occupancy and OOMed group-20)
+            entry_caps = tuple(
+                int(8 * (-(-int(n * 5 // 4) // 8))) for n in worst_entries
+            )
+            # occupied-pair grid compaction: exact per-view census (the
+            # same views run the bench), small alignment pad only
+            occ_cap = min(8 * (-(-max_occ // 8)) + 8, n_pairs_tot)
+            print(
+                f"  entry caps (128-slot chunks/view): {entry_caps}; "
+                f"occupied pairs {max_occ}/{n_pairs_tot} (cap {occ_cap})",
+                file=sys.stderr,
+            )
+            return dataclasses.replace(
+                config, entry_caps=entry_caps, occ_pairs=occ_cap
+            ), max_win
 
         # One jit program per GROUP of views, chained on a device-resident
         # accumulator.  Large many-chain programs trigger the runtime's
@@ -351,7 +402,7 @@ def run_bench(out):
         # every group's output is coverage-checked at warmup.  Dispatches
         # queue asynchronously, so the per-program overhead is pipelined
         # away.
-        def make_group_step(g):
+        def make_group_step(config, max_win, g):
             @jax.jit
             def group_step(tri, w2cs_g, fls_g, labels_g, acc):
                 views = []
@@ -377,65 +428,108 @@ def run_bench(out):
 
             return group_step
 
-        def run_all(group_step, g, warm_check=False):
+        # labels padded with one all-ignore image: bucket sizes that do
+        # not divide the group size repeat view index n_views, which
+        # contributes zero counts
+        labels_pad = jnp.concatenate(
+            [labels, jnp.full((1, H, W), -1, jnp.int32)], axis=0
+        )
+        w2c_pad = jnp.concatenate([w2c, w2c[:1]], axis=0)
+        fl_pad = jnp.concatenate([fl, fl[:1]], axis=0)
+
+        def bucket_groups(idxs, g):
+            padded = list(idxs) + [n_views] * (-len(idxs) % g)
+            return [padded[i:i + g] for i in range(0, len(padded), g)]
+
+        def run_all(plans, warm_check=False):
+            """plans: list of (group_step, idx_groups, entry_caps)."""
             acc = jnp.zeros((n_faces, n_classes), jnp.float32)
-            for g0 in range(0, n_views, g):
-                acc, over = group_step(
-                    tri, w2c[g0:g0 + g], fl[g0:g0 + g],
-                    labels[g0:g0 + g], acc
-                )
-                if warm_check:
-                    n_over = int(np.asarray(over))
-                    if n_over:
-                        raise RuntimeError(
-                            f"group {g0 // g}: fold dropped {n_over} "
-                            f"entries (window w_cap or entry_caps "
-                            f"{entry_caps} undersized)"
-                        )
-                    got = float(np.asarray(jnp.sum(acc)))
-                    want = 0.85 * (g0 + g) * H * W * cover_min
-                    if got < want:
-                        raise RuntimeError(
-                            f"group {g0 // g}: sum {got:.3g} < {want:.3g} "
-                            "(corrupted Mosaic output)"
-                        )
+            done = 0
+            for group_step, idx_groups, entry_caps in plans:
+                for gi, idx in enumerate(idx_groups):
+                    sel = jnp.asarray(idx, jnp.int32)
+                    acc, over = group_step(
+                        tri, w2c_pad[sel], fl_pad[sel], labels_pad[sel],
+                        acc,
+                    )
+                    done += sum(1 for i in idx if i < n_views)
+                    if warm_check:
+                        n_over = int(np.asarray(over))
+                        if n_over:
+                            raise RuntimeError(
+                                f"group {gi}: fold dropped {n_over} "
+                                f"entries (window w_cap or entry_caps "
+                                f"{entry_caps} undersized)"
+                            )
+                        got = float(np.asarray(jnp.sum(acc)))
+                        want = 0.85 * done * H * W * cover_min
+                        if got < want:
+                            raise RuntimeError(
+                                f"group {gi}: sum {got:.3g} < {want:.3g} "
+                                "(corrupted Mosaic output)"
+                            )
             return acc
 
-        group_step, group = None, group_init
-        acc = None
-        for g in (group_init, 10, 5, 4, 3, 2, 1):
-            if n_views % g:
-                continue
-            candidate = make_group_step(g)
-            try:
-                acc = run_all(candidate, g, warm_check=True)
-                group_step, group = candidate, g
-                break
-            except RuntimeError as e:
-                print(f"group={g}: {e}; retrying smaller", file=sys.stderr)
-                # drop every reference to the failed attempt's device
-                # buffers (incl. the exception traceback) before trying
-                # the next size — OOM-failed dispatches otherwise pin HBM
-                # and cascade smaller groups into spurious
-                # RESOURCE_EXHAUSTED
-                import gc
+        # build each bucket's program, falling back to smaller group
+        # sizes on corruption/OOM per bucket
+        plans = []
+        bucket_configs = []
+        for key, idxs in sorted(buckets.items()):
+            print(f"bucket {key}: {len(idxs)} views", file=sys.stderr)
+            config_b, max_win_b = build_bucket(key, idxs)
+            bucket_configs.append((len(idxs), config_b))
+            chosen = None
+            g_tries = []
+            for g in (min(group_init, len(idxs)), 10, 5, 4, 3, 2, 1):
+                if 1 <= g <= len(idxs) and g not in g_tries:
+                    g_tries.append(g)
+            for g in g_tries:
+                candidate = make_group_step(config_b, max_win_b, g)
+                plan = (candidate, bucket_groups(idxs, g), config_b.entry_caps)
+                try:
+                    run_all([plan], warm_check=True)
+                    chosen = plan
+                    break
+                except RuntimeError as e:
+                    print(
+                        f"  bucket {key} group={g}: {e}; retrying smaller",
+                        file=sys.stderr,
+                    )
+                    # drop every reference to the failed attempt's device
+                    # buffers (incl. the exception traceback) before
+                    # trying the next size — OOM-failed dispatches
+                    # otherwise pin HBM and cascade smaller groups into
+                    # spurious RESOURCE_EXHAUSTED
+                    import gc
 
-                e = None
-                acc = None
-                candidate = None
-                gc.collect()
-        if group_step is None:
-            raise RuntimeError("all group sizes produced corrupted output")
+                    e = None
+                    plan = None
+                    candidate = None
+                    gc.collect()
+            if chosen is None:
+                raise RuntimeError(
+                    f"bucket {key}: all group sizes produced corrupted "
+                    "output"
+                )
+            plans.append(chosen)
+
+        acc = run_all(plans, warm_check=True)
         warm_sum = float(np.asarray(jnp.sum(acc)))
 
         t0 = time.perf_counter()
-        total = run_all(group_step, group)
+        total = run_all(plans)
         np.asarray(jnp.sum(total))
         dt = time.perf_counter() - t0
         if abs(
             float(np.asarray(jnp.sum(total))) - warm_sum
         ) > 1e-3 * warm_sum:
             raise RuntimeError("timed run disagrees with warmup output")
+        # the sized config of the WORST (largest-caps) bucket stands in
+        # for the suite in downstream metrics (the pipeline sizes its own
+        # fold caps; it only needs binning caps that cover every view)
+        config = max(
+            bucket_configs, key=lambda t: sum(t[1].caps)
+        )[1]
         return n_views / dt, config
 
     # Level-S sub-tile raster: OFF by default since round-4 on-device

@@ -177,13 +177,14 @@ def _prep_level_slab(
     return slab, counts
 
 
-def _row_image_spec(th: int, pair: int, tw: int):
+def _row_image_spec(th: int, pair: int, tw: int, idx=None):
     """The shared (1, th, pair*tw)/(i, 0, j) row-image tile BlockSpec —
     the ONE layout s_init planes, the class image, and the pix2face
-    output all ride (changing it in one place keeps them in sync)."""
+    output all ride (changing it in one place keeps them in sync).
+    ``idx`` overrides the index map (occupied-pair compaction)."""
     return pl.BlockSpec(
         (1, th, pair * tw),
-        lambda i, j, *_: (i, 0, j),
+        idx if idx is not None else (lambda i, j, *_: (i, 0, j)),
         memory_space=pltpu.VMEM,
     )
 
@@ -200,6 +201,7 @@ def _make_kernel(
     caps: Optional[Tuple[int, int, int, int]] = None,
     emit_p2f: bool = True,
     s_init: bool = False,
+    occ: bool = False,
 ):
     """Kernel over grid (tile_rows, tile_cols / pair): each step resolves
     ``pair`` adjacent L0 tiles from one slab block.  ``pair`` is chosen so
@@ -220,9 +222,12 @@ def _make_kernel(
     contract the matches into counts — see module docstring."""
     npix = tile_h * tile_w
     s1_, s2_ = scales[1], scales[2]
+    npx_pairs = ntx0p // pair
 
     def kernel(c0, c1, c2, *refs):
         refs = list(refs)
+        if occ:
+            pids_ref = refs.pop(0)
         s0, s1, s2 = refs[:3]
         refs = refs[3:]
         if s_init:
@@ -237,8 +242,16 @@ def _make_kernel(
             out_ref = None
         else:
             (out_ref,) = refs
-        ty = pl.program_id(0)
-        txp = pl.program_id(1)  # pair index
+        if occ:
+            # compacted grid: one step per OCCUPIED pair, the pair id
+            # scalar-prefetched (padding repeats the last real id — a
+            # benign identical recompute)
+            pid = pids_ref[pl.program_id(0)]
+            ty = pid // npx_pairs
+            txp = pid % npx_pairs
+        else:
+            ty = pl.program_id(0)
+            txp = pl.program_id(1)  # pair index
 
         pix = jax.lax.broadcasted_iota(jnp.int32, (1, npix), 1)
         xs_local = (pix % tile_w).astype(jnp.float32) + 0.5
@@ -668,25 +681,42 @@ def raster_tiles_pallas(
         slabs.append(s)
         counts.append(c.reshape(-1))
 
+    # occupied-pair compaction (config.occ_pairs via binned.occ_pids):
+    # the grid flattens to one step per OCCUPIED pair, every index map
+    # derives (row, pair-col) from the scalar-prefetched pair-id array —
+    # empty/sky pairs cost neither DMA nor grid steps
+    occ_pids = getattr(binned, "occ_pids", None)
+    occ_mode = occ_pids is not None
+    npx_pairs = ntx0p // pair
+
+    if occ_mode:
+        def IDX(fn):
+            return lambda k, c0, c1, c2, pids, fn=fn: fn(
+                pids[k] // npx_pairs, pids[k] % npx_pairs
+            )
+    else:
+        def IDX(fn):
+            return lambda i, j, *_unused, fn=fn: fn(i, j)
+
     def slab_spec(lvl):
         if lvl == 0:
             rows, cols = slabs[0].shape[1:]
             # block = `pair` consecutive tiles; index in block units
             return pl.BlockSpec(
                 (pair, rows, cols),
-                lambda i, j, *_: (i * (ntx0p // pair) + j, 0, 0),
+                IDX(lambda i, j: (i * npx_pairs + j, 0, 0)),
                 memory_space=pltpu.VMEM,
             )
         rows, cols = slabs[lvl].shape[2:]
         if lvl == 1:
-            idx = lambda i, j, *_: (
+            idx = IDX(lambda i, j: (
                 i // s1_, ((j * pair) // s1_) // pp1, 0, 0
-            )
+            ))
             ppl = pp1
         else:
-            idx = lambda i, j, *_: (
+            idx = IDX(lambda i, j: (
                 i // s2_, ((j * pair) // s2_) // pp2, 0, 0
-            )
+            ))
             ppl = pp2
         return pl.BlockSpec(
             (1, ppl, rows, cols), idx, memory_space=pltpu.VMEM
@@ -704,7 +734,9 @@ def raster_tiles_pallas(
                 f"s_init planes shape {sw_pl.shape} != "
                 f"{(nty0p, th, ntx0p * tw)} (padded grid mismatch)"
             )
-        tile_block_spec = lambda: _row_image_spec(th, pair, tw)
+        tile_block_spec = lambda: _row_image_spec(
+            th, pair, tw, idx=IDX(lambda i, j: (i, 0, j))
+        )
         extra_in += [sw_pl, sid_pl]
         extra_in_specs += [tile_block_spec(), tile_block_spec()]
     if class_image is not None:
@@ -718,7 +750,7 @@ def raster_tiles_pallas(
         extra_in_specs += [
             pl.BlockSpec(
                 (1, th, pair * tw),
-                lambda i, j, *_: (i, 0, j),
+                IDX(lambda i, j: (i, 0, j)),
                 memory_space=pltpu.VMEM,
             )
         ]
@@ -739,7 +771,7 @@ def raster_tiles_pallas(
         extra_out_specs.append(
             pl.BlockSpec(
                 (1, pair, nch_tot, kp, CHUNK),
-                lambda i, j, *_: (i, j, 0, 0, 0),
+                IDX(lambda i, j: (i, j, 0, 0, 0)),
                 memory_space=pltpu.VMEM,
             )
         )
@@ -753,13 +785,14 @@ def raster_tiles_pallas(
         ),
         emit_p2f=emit_p2f,
         s_init=s_init is not None,
+        occ=occ_mode,
     )
 
     p2f_out_specs = (
         [
             pl.BlockSpec(
                 (1, th, pair * tw),
-                lambda i, j, *_: (i, 0, j),
+                IDX(lambda i, j: (i, 0, j)),
                 memory_space=pltpu.VMEM,
             )
         ]
@@ -767,8 +800,12 @@ def raster_tiles_pallas(
         else []
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,  # the per-tile count arrays, in SMEM
-        grid=(nty0p, ntx0p // pair),
+        # per-tile count arrays (+ the occupied-pair id map), in SMEM
+        num_scalar_prefetch=4 if occ_mode else 3,
+        grid=(
+            (occ_pids.shape[0],) if occ_mode
+            else (nty0p, ntx0p // pair)
+        ),
         in_specs=[slab_spec(lvl) for lvl in range(3)] + extra_in_specs,
         out_specs=p2f_out_specs + extra_out_specs,
     )
@@ -783,6 +820,7 @@ def raster_tiles_pallas(
             counts[0],
             counts[1],
             counts[2],
+            *((occ_pids,) if occ_mode else ()),
             *slabs,
             *extra_in,
         )
@@ -800,6 +838,22 @@ def raster_tiles_pallas(
     )(*operands)
 
     outs = jax.lax.optimization_barrier(tuple(outs))
+    if occ_mode:
+        # skipped pairs were never visited: their pix2face blocks are
+        # undefined and their count blocks would otherwise be read by
+        # the fold's candidate-driven entry compaction (the merged
+        # global list flags every tile's L2 chunks nonempty) — mask both
+        tile_mask = jnp.repeat(
+            binned.occ_mask.reshape(nty0p, npx_pairs), pair, axis=1
+        )
+        outs = list(outs)
+        if emit_p2f:
+            pixm = jnp.repeat(tile_mask, tw, axis=1)[:, None, :]
+            outs[0] = jnp.where(pixm, outs[0], -1)
+        if class_image is not None:
+            outs[-1] = jnp.where(
+                tile_mask[:, :, None, None, None], outs[-1], 0.0
+            )
     if emit_p2f:
         out = outs[0]
         if not return_tiles:

@@ -115,6 +115,15 @@ class RasterConfig:
     # chunks per S-kernel DMA batch (grid step); pair ranges and
     # s_cap_chunks must be multiples of it
     s_kb: int = 4
+    # census-sized count of OCCUPIED L0 tile pairs (None = dense grid).
+    # When set, the pallas raster kernel's grid compacts to the pairs
+    # that any candidate (tile lists, global bboxes, or level-S chunks)
+    # actually touches, via a scalar-prefetched pair-id map — off-mesh /
+    # sky tile pairs cost neither DMA nor grid steps (oblique views are
+    # ~40% empty at 4K).  Size from a per-view census of
+    # ``BinnedTriangles.occ_mask.sum()``; undersizing surfaces in
+    # ``BinnedTriangles.overflow`` (dropped pairs, never silent).
+    occ_pairs: Optional[int] = None
 
     def grids(self, image_h: int, image_w: int):
         """Tile-grid shapes (nty, ntx) for levels 0..2."""
@@ -144,6 +153,11 @@ class BinnedTriangles(NamedTuple):
     cand: Tuple[jax.Array, jax.Array, jax.Array, jax.Array]
     counts: Tuple[jax.Array, jax.Array, jax.Array, jax.Array]
     overflow: jax.Array  # () int32 candidates dropped by capacity limits
+    # occupied-pair compaction (config.occ_pairs; None = dense grid):
+    # (occ_pairs,) int32 occupied L0-pair ids (ascending, padded by
+    # repeating the last id) and the (n_pairs,) bool occupancy mask
+    occ_pids: Optional[jax.Array] = None
+    occ_mask: Optional[jax.Array] = None
 
 
 def tri_to_soa(tri_verts: jax.Array) -> jax.Array:
@@ -383,24 +397,115 @@ def bin_all(setup: TriangleSetup, config: RasterConfig, image_h: int,
     ``s_pair_chunks`` (see subtile.subtile_counts_census).
     """
     if config.subtile is None or config.backend != "pallas":
-        return bin_triangles(setup, config, image_h, image_w), None
-    from geograypher_tpu.ops.subtile import bin_subtiles
+        binned, sb = bin_triangles(setup, config, image_h, image_w), None
+    else:
+        from geograypher_tpu.ops.subtile import bin_subtiles
 
-    if config.s_cap_chunks is None or config.s_pair_chunks is None:
-        raise ValueError(
-            "config.subtile requires census-sized s_cap_chunks and "
-            "s_pair_chunks (run subtile.subtile_counts_census per view "
-            "and size from the worst)"
+        if config.s_cap_chunks is None or config.s_pair_chunks is None:
+            raise ValueError(
+                "config.subtile requires census-sized s_cap_chunks and "
+                "s_pair_chunks (run subtile.subtile_counts_census per "
+                "view and size from the worst)"
+            )
+        pair, _nty0p, ntx0p = l0_geometry(config, image_h, image_w)
+        sb = bin_subtiles(
+            setup, config, image_h, image_w, ntx0p, pair,
+            cap_chunks=config.s_cap_chunks, kb=config.s_kb,
         )
-    pair, _nty0p, ntx0p = l0_geometry(config, image_h, image_w)
-    sb = bin_subtiles(
-        setup, config, image_h, image_w, ntx0p, pair,
-        cap_chunks=config.s_cap_chunks, kb=config.s_kb,
-    )
-    binned = bin_triangles(
-        setup, config, image_h, image_w, exclude_blocks=sb.s_mask8
-    )
+        binned = bin_triangles(
+            setup, config, image_h, image_w, exclude_blocks=sb.s_mask8
+        )
+    if config.occ_pairs is not None and config.backend == "pallas":
+        pids, occ_mask, occ_over = _occupied_pairs(
+            setup, binned, sb, config, image_h, image_w
+        )
+        binned = binned._replace(
+            occ_pids=pids, occ_mask=occ_mask,
+            overflow=binned.overflow + occ_over,
+        )
     return binned, sb
+
+
+def _occupied_pairs(setup, binned, sb, config, image_h, image_w):
+    """Occupied L0-pair compaction inputs (see RasterConfig.occ_pairs).
+
+    A pair is OCCUPIED iff any candidate can touch it: an L0 candidate
+    in either of its tiles, an L1/L2 candidate in an ancestor, a GLOBAL
+    (level-3) candidate whose pixel bbox intersects the pair, or a
+    level-S chunk bound to it.  Skipped pairs are provably background —
+    the kernel's compacted grid never visits them, and the caller masks
+    their pix2face/count blocks.
+
+    Returns (occ_pids (config.occ_pairs,) int32 ascending + last-id
+    padding, occ_mask (n_pairs,) bool, overflow () int32 dropped pairs).
+    """
+    pair, nty0p, ntx0p = l0_geometry(config, image_h, image_w)
+    npx = ntx0p // pair
+    grids = config.grids(image_h, image_w)
+    (nty0, ntx0), (nty1, ntx1), (nty2, ntx2) = grids
+    s1_, s2_ = config.level_scales[1], config.level_scales[2]
+
+    occ_t = jnp.any(binned.cand[0] >= 0, axis=1).reshape(nty0, ntx0)
+    occ_t = jnp.pad(occ_t, ((0, nty0p - nty0), (0, ntx0p - ntx0)))
+    for lvl, nty_l, ntx_l, s_l in ((1, nty1, ntx1, s1_), (2, nty2, ntx2, s2_)):
+        o = jnp.any(binned.cand[lvl] >= 0, axis=1).reshape(nty_l, ntx_l)
+        o = jnp.repeat(jnp.repeat(o, s_l, axis=0), s_l, axis=1)
+        pad_y = max(0, nty0p - o.shape[0])
+        pad_x = max(0, ntx0p - o.shape[1])
+        if pad_y or pad_x:
+            o = jnp.pad(o, ((0, pad_y), (0, pad_x)))
+        occ_t = occ_t | o[:nty0p, :ntx0p]
+    occ_p = jnp.any(occ_t.reshape(nty0p, npx, pair), axis=2)
+
+    # global (level-3) candidates: pixel-bbox intersection with each pair
+    cand3 = binned.cand[3].reshape(-1)
+    if cand3.shape[0]:
+        bb = config.bin_block
+        py0, px0, py1, px1 = (setup.bbox[k] for k in range(4))
+        valid = setup.valid
+        if bb > 1:
+            big = jnp.asarray(INT32_MAX, jnp.int32)
+            py0 = jnp.min(jnp.where(valid, py0, big).reshape(-1, bb), axis=1)
+            px0 = jnp.min(jnp.where(valid, px0, big).reshape(-1, bb), axis=1)
+            py1 = jnp.max(jnp.where(valid, py1, -1).reshape(-1, bb), axis=1)
+            px1 = jnp.max(jnp.where(valid, px1, -1).reshape(-1, bb), axis=1)
+        g = jnp.clip(cand3, 0, py0.shape[0] - 1)
+        gv = (cand3 >= 0)[:, None, None]
+        gy0, gx0 = py0[g][:, None, None], px0[g][:, None, None]
+        gy1, gx1 = py1[g][:, None, None], px1[g][:, None, None]
+        th, tw = config.tile_h, config.tile_w
+        ty = jnp.arange(nty0p, dtype=jnp.int32)[None, :, None]
+        tx = jnp.arange(npx, dtype=jnp.int32)[None, None, :]
+        ylo, yhi = ty * th, ty * th + (th - 1)
+        xlo = tx * (pair * tw)
+        xhi = xlo + (pair * tw - 1)
+        touch = jnp.any(
+            gv & (gy0 <= yhi) & (gy1 >= ylo) & (gx0 <= xhi) & (gx1 >= xlo),
+            axis=0,
+        )
+        occ_p = occ_p | touch
+
+    if sb is not None:
+        # pairs holding level-S chunks must run: the kernel seeds its
+        # carry from the S winners and writes them into pix2face
+        occ_p = occ_p | (sb.pair_cnt > 0).reshape(nty0p, npx)
+
+    occ_flat = occ_p.reshape(-1)
+    n_pairs = occ_flat.shape[0]
+    cap = int(config.occ_pairs)
+    order = jnp.argsort(~occ_flat, stable=True).astype(jnp.int32)
+    n_occ = jnp.sum(occ_flat.astype(jnp.int32))
+    take = order[:cap]
+    if cap > n_pairs:  # cap can exceed the grid on small images
+        take = jnp.pad(take, (0, cap - n_pairs))
+    idx = jnp.arange(cap, dtype=jnp.int32)
+    # pad with the first UNOCCUPIED pair: all its counts are zero, so
+    # pad steps cost one (cached) empty DMA and no resolve work; falls
+    # back to pair 0 when the grid is fully occupied (benign recompute)
+    pad_id = jnp.argmin(occ_flat).astype(jnp.int32)
+    pids = jnp.where(idx < n_occ, take, pad_id)
+    overflow = jnp.maximum(n_occ - cap, 0)
+    return pids, occ_flat, overflow
 
 
 def expand_block_ids(cand: jax.Array, block: int) -> jax.Array:

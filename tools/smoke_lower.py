@@ -84,6 +84,18 @@ def shipped_variants():
             **base, bin_block=8, l0_window=(5, 2), subtile=(8, 16),
             s_cap_chunks=64, s_pair_chunks=16, entry_caps=(16, 16, 16),
         ),
+        "occ_pairs": RasterConfig(
+            **base, bin_block=8, l0_window=(5, 2), occ_pairs=64,
+        ),
+        "occ_entry_caps": dataclasses.replace(
+            RasterConfig(**base, bin_block=8, l0_window=(5, 2),
+                         occ_pairs=64),
+            entry_caps=(16, 16, 16),
+        ),
+        "occ_subtile": RasterConfig(
+            **base, bin_block=8, l0_window=(5, 2), subtile=(8, 16),
+            s_cap_chunks=64, s_pair_chunks=16, occ_pairs=64,
+        ),
     }
     return variants
 
