@@ -289,6 +289,27 @@ def run_bench(out):
         buckets: dict = {}
         for k, caps_k in enumerate(view_caps):
             buckets.setdefault(bucket_key(caps_k), []).append(k)
+        # Cap the bucket count: every bucket compiles its own group
+        # program through the remote compiler (minutes each), and the
+        # marginal speedup of a tiny bucket never pays for its compile.
+        # Merge the smallest-view-count bucket into whichever other
+        # bucket costs least extra static-shape work (views moved up to
+        # the elementwise-max caps), until the cap is met.
+        max_buckets = int(os.environ.get("BENCH_MAX_BUCKETS", "4"))
+        while len(buckets) > max(1, max_buckets):
+            keys = sorted(buckets, key=lambda key: (len(buckets[key]), sum(key)))
+            src = keys[0]
+
+            def merge_cost(dst):
+                merged = tuple(max(a, b) for a, b in zip(src, dst))
+                return sum(merged) * (len(buckets[src]) + len(buckets[dst])) - (
+                    sum(src) * len(buckets[src]) + sum(dst) * len(buckets[dst])
+                )
+
+            dst = min((key for key in keys[1:]), key=merge_cost)
+            merged_key = tuple(max(a, b) for a, b in zip(src, dst))
+            views_merged = buckets.pop(src) + buckets.pop(dst)
+            buckets.setdefault(merged_key, []).extend(views_merged)
         print(
             "census buckets: "
             + ", ".join(f"{key} x{len(v)}" for key, v in buckets.items()),
@@ -636,7 +657,53 @@ def run_bench(out):
         out["pipeline_views_per_s"] = pipeline_vps
         out["pipeline_note"] = (
             "end-to-end streaming path incl. host prefetch + tunnel-"
-            "limited image transfer"
+            "limited image transfer (worst case: incompressible random "
+            "labels, dense int8 transport)"
+        )
+
+    # Same streaming path with REALISTIC segmentation masks (spatially
+    # coherent class regions, like any real predictor's output): the
+    # pipeline's auto label transport ships them as RLE (device decode is
+    # exact), cutting the per-view transfer ~10-50x.  Random-label
+    # pipeline_views_per_s above remains the worst-case number.
+    pipeline_rle_vps = None
+    if pipeline_vps is not None:
+        try:
+            yy, xx = np.mgrid[0:H, 0:W]
+            yy = yy.astype(np.float32)
+            xx = xx.astype(np.float32)
+
+            def coherent_label(i):
+                base = (
+                    np.sin(xx * 0.002 + 0.9 * i)
+                    + np.cos(yy * 0.0017 + 0.4 * i)
+                    + np.sin((xx + 2.0 * yy) * 0.0008 + i)
+                )
+                return np.clip(
+                    (base + 3.0) * (n_classes / 6.0), 0, n_classes - 1
+                ).astype(np.int32)
+
+            coherent = [coherent_label(i) for i in range(n_views)]
+            aggregate_class_images_distributed(
+                tmesh, cams, n_classes,
+                class_image_provider=lambda i: coherent[i],
+            )
+            t0 = time.perf_counter()
+            _fr, views_seen = aggregate_class_images_distributed(
+                tmesh, cams, n_classes,
+                class_image_provider=lambda i: coherent[i],
+            )
+            dt_r = time.perf_counter() - t0
+            if float(views_seen.max()) < 1:
+                raise RuntimeError("rle pipeline produced no observations")
+            pipeline_rle_vps = round(n_views / dt_r, 3)
+        except Exception as e:
+            print(f"rle pipeline metric failed: {e!r}", file=sys.stderr)
+    if pipeline_rle_vps is not None:
+        out["pipeline_views_per_s_rle"] = pipeline_rle_vps
+        out["pipeline_rle_note"] = (
+            "same streaming path with realistic coherent label masks; "
+            "auto transport ships them as RLE with exact on-device decode"
         )
 
 

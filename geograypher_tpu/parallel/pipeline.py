@@ -108,6 +108,54 @@ def _unpack_row(row: jax.Array, use_dist: bool):
 
 
 # ---------------------------------------------------------------------------
+# RLE label transport.  Real segmentation label images are spatially
+# coherent (large constant regions), so shipping them through a slow
+# host<->device link as dense pixels wastes nearly all the bytes: the
+# run-length form is typically 10-100x smaller.  The device reconstructs
+# the dense image EXACTLY with one scatter-add of per-run value DELTAS at
+# the run starts followed by an integer cumsum (no gathers — gathers are
+# the expensive op class on TPU; see docs/DESIGN.md measured table).
+# ---------------------------------------------------------------------------
+
+
+def _rle_encode_class_image(img: np.ndarray, cap: int):
+    """Row-major RLE of an integer class image, scatter-decode form.
+
+    Returns (starts (cap,) int32, deltas (cap,) int8, n_runs) with
+    padding starts = img.size (dropped by the device scatter's
+    ``mode="drop"``), or None when the image needs more than ``cap``
+    runs (caller falls back to dense transport).  Deltas telescope:
+    ``cumsum(scatter(deltas at starts)) == flat image`` exactly.  Class
+    values must fit int8 after deltas, i.e. classes in [-1, 126] — the
+    int8 dense transport has the same bound.
+    """
+    flat = np.ascontiguousarray(img, dtype=np.int16).ravel()
+    change = np.nonzero(np.diff(flat))[0]
+    n_runs = change.size + 1
+    if n_runs > cap:
+        return None
+    starts = np.empty(cap, np.int32)
+    starts[0] = 0
+    starts[1:n_runs] = change + 1
+    starts[n_runs:] = flat.size
+    vals = flat[starts[:n_runs]]
+    deltas = np.zeros(cap, np.int16)
+    deltas[0] = vals[0]
+    deltas[1:n_runs] = np.diff(vals)
+    return starts, deltas.astype(np.int8), n_runs
+
+
+def _rle_decode_device(starts: jax.Array, deltas: jax.Array, h: int, w: int):
+    """Exact device-side inverse of :func:`_rle_encode_class_image`."""
+    d = (
+        jnp.zeros((h * w,), jnp.int32)
+        .at[starts]
+        .add(deltas.astype(jnp.int32), mode="drop")
+    )
+    return jnp.cumsum(d).reshape(h, w)
+
+
+# ---------------------------------------------------------------------------
 # Program builders.  jax.jit caches per wrapped-function OBJECT, so programs
 # must be built once per static configuration and reused across
 # ``aggregate_class_images_distributed`` calls — a fresh closure per call
@@ -162,9 +210,16 @@ def _build_probe_windows(
 def _build_device_step(
     device_mesh: Mesh, config: RasterConfig, use_dist: bool, fused: bool,
     group: int, w: int, h: int, n_faces: int, n_classes: int,
+    rle_cap: int = 0,
 ):
     """The jitted per-step program (``config.fold_w_cap`` is the auto-sized
-    fold-window capacity; part of the cache key via ``config``)."""
+    fold-window capacity; part of the cache key via ``config``).
+
+    With ``rle_cap > 0`` the image operand is the RLE pair
+    ``(starts (n_dev, G, cap) int32, deltas (n_dev, G, cap) int8)`` and
+    each view's class image is reconstructed on device
+    (:func:`_rle_decode_device`) — the host->device transfer shrinks
+    from h*w bytes to 5*cap per view."""
     fold_block = config.fold_block
     w_cap = config.fold_w_cap
 
@@ -205,7 +260,12 @@ def _build_device_step(
         def per_device(tri_soa, params_b, imgs_b, acc_fracs, acc_views):
             # collapse the local-shard=1 leading axis
             params_b = params_b.reshape(-1, _PROW)
-            imgs_b = imgs_b.reshape((-1,) + imgs_b.shape[2:])
+            if rle_cap:
+                starts_b, deltas_b = imgs_b
+                starts_b = starts_b.reshape(-1, rle_cap)
+                deltas_b = deltas_b.reshape(-1, rle_cap)
+            else:
+                imgs_b = imgs_b.reshape((-1,) + imgs_b.shape[2:])
 
             fracs = jnp.zeros((n_faces, n_classes), jnp.float32)
             views = jnp.zeros((n_faces,), jnp.float32)
@@ -222,9 +282,11 @@ def _build_device_step(
                     distortion=dist_k,
                 )
                 binned, sb = bin_all(setup, config, h, w)
-                counts, eover_k = count_one_view(
-                    setup, binned, sb, imgs_b[k].astype(jnp.int32)
-                )
+                if rle_cap:
+                    cls_k = _rle_decode_device(starts_b[k], deltas_b[k], h, w)
+                else:
+                    cls_k = imgs_b[k].astype(jnp.int32)
+                counts, eover_k = count_one_view(setup, binned, sb, cls_k)
                 counts = counts * valid_k
                 if fused:
                     # eover_k from the fold itself covers dropped window
@@ -295,6 +357,7 @@ def aggregate_class_images_distributed(
     views_per_step: int = 4,
     integrity_check: bool = True,
     auto_size_fold: bool = True,
+    label_transport: str = "auto",
 ):
     """Aggregate per-view class images onto mesh faces across all devices.
 
@@ -320,6 +383,16 @@ def aggregate_class_images_distributed(
             first step's views (default).  When False, ``config.fold_w_cap``
             is used as-is — the in-step overflow guard still fails loudly
             if it is undersized.
+        label_transport: "auto" (default), "dense", or "rle".  Real
+            segmentation masks are spatially coherent, so their
+            run-length form is typically 10-100x smaller than dense
+            pixels — decisive when the host<->device link, not compute,
+            bounds the pipeline.  "auto" probes the first step's images
+            and picks RLE when it saves >= 2x bytes; the capacity is
+            sized at 2x the probed worst run count, and any later step
+            whose images exceed it falls back to the dense program for
+            that step (correct, just slower).  Decoding on device is
+            exact (scatter of run deltas + integer cumsum).
 
     Returns (fraction_sums (F, n_classes), view_counts (F,)) as numpy
     arrays: ``fraction_sums`` is the sum over views of each view's
@@ -458,11 +531,40 @@ def aggregate_class_images_distributed(
     if _cfg_key is not None:
         _cfg_cache[_cfg_key] = config
 
-    device_step = _build_device_step(
-        device_mesh, config, use_dist, fused, group, w, h, n_faces, n_classes
-    )
-
     img_dtype = np.int8 if n_classes < 128 else np.int32
+
+    # -- label transport selection --------------------------------------------
+    # RLE requires int8-range classes (deltas must fit int8) and pays off
+    # only when runs are long; probe the first step's images once and keep
+    # them seeded for the prefetch pool below.
+    if label_transport not in ("auto", "dense", "rle"):
+        raise ValueError(f"unknown label_transport {label_transport!r}")
+    rle_cap = 0
+    _seed_imgs: dict = {}
+    if label_transport != "dense" and img_dtype == np.int8 and n > 0:
+        probe_runs = 0
+        for i in range(min(n, step_views)):
+            img = np.clip(class_image_provider(order[i]), -1, None).astype(
+                img_dtype
+            )
+            _seed_imgs[i] = img
+            flat = img.ravel()
+            probe_runs = max(
+                probe_runs, int(np.count_nonzero(np.diff(flat))) + 1
+            )
+        cap = 8 * (-(-2 * probe_runs // 8))
+        if label_transport == "rle" or 5 * cap * 2 <= h * w:
+            rle_cap = cap
+        logger.debug(
+            "label transport: probed worst %d runs -> %s", probe_runs,
+            f"rle cap {rle_cap}" if rle_cap else "dense",
+        )
+
+    device_step = _build_device_step(
+        device_mesh, config, use_dist, fused, group, w, h, n_faces,
+        n_classes, rle_cap=rle_cap,
+    )
+    dense_step = None  # built lazily for per-step RLE-overflow fallback
 
     total_fracs = jax.device_put(
         jnp.zeros((n_faces, n_classes), jnp.float32), replicated
@@ -486,12 +588,16 @@ def aggregate_class_images_distributed(
         futures: dict = {}
         put_futures: dict = {}
 
-        def fetch(i: int) -> np.ndarray:
-            # clip/cast in the worker: the main loop stays free to keep
-            # the device dispatch queue full
-            return np.clip(class_image_provider(order[i]), -1, None).astype(
-                img_dtype
-            )
+        def fetch(i: int):
+            # clip/cast (and RLE-encode) in the worker: the main loop
+            # stays free to keep the device dispatch queue full
+            img = _seed_imgs.pop(i, None)
+            if img is None:
+                img = np.clip(
+                    class_image_provider(order[i]), -1, None
+                ).astype(img_dtype)
+            enc = _rle_encode_class_image(img, rle_cap) if rle_cap else None
+            return img, enc
 
         def ensure(i: int):
             if i not in futures and i < n_pad:
@@ -500,16 +606,34 @@ def aggregate_class_images_distributed(
         def put_step(start: int):
             t0 = time.perf_counter()
             idx = list(range(start, start + step_views))
-            imgs = np.stack(
-                [futures.pop(i).result() for i in idx], axis=0
-            )
+            fetched = [futures.pop(i).result() for i in idx]
             t1 = time.perf_counter()
             params_dev = jax.device_put(
                 params[idx].reshape(n_dev, group, _PROW), sharding
             )
-            imgs_dev = jax.device_put(
-                imgs.reshape((n_dev, group) + imgs.shape[1:]), sharding
-            )
+            use_rle = rle_cap and all(enc is not None for _, enc in fetched)
+            if use_rle:
+                starts = np.stack([enc[0] for _, enc in fetched], axis=0)
+                deltas = np.stack([enc[1] for _, enc in fetched], axis=0)
+                imgs_dev = (
+                    jax.device_put(
+                        starts.reshape(n_dev, group, rle_cap), sharding
+                    ),
+                    jax.device_put(
+                        deltas.reshape(n_dev, group, rle_cap), sharding
+                    ),
+                )
+            else:
+                if rle_cap:
+                    logger.warning(
+                        "step %d: an image exceeded the RLE capacity %d "
+                        "runs; falling back to dense transport for this "
+                        "step", start, rle_cap,
+                    )
+                imgs = np.stack([img for img, _ in fetched], axis=0)
+                imgs_dev = jax.device_put(
+                    imgs.reshape((n_dev, group) + imgs.shape[1:]), sharding
+                )
             # block until the transfer lands so the put thread's timeline
             # reflects the tunnel (and the next put starts immediately)
             jax.block_until_ready(imgs_dev)
@@ -519,7 +643,12 @@ def aggregate_class_images_distributed(
                     start, (t1 - t0) * 1e3,
                     (time.perf_counter() - t1) * 1e3,
                 )
-            return params_dev, imgs_dev, imgs if start == 0 else None
+            host_imgs = (
+                np.stack([img for img, _ in fetched], axis=0)
+                if start == 0
+                else None
+            )
+            return params_dev, imgs_dev, host_imgs, bool(use_rle)
 
         def ensure_put(start: int):
             if start not in put_futures and start < n_pad:
@@ -531,12 +660,23 @@ def aggregate_class_images_distributed(
         ensure_put(step_views)
         for start in range(0, n_pad, step_views):
             t0 = time.perf_counter()
-            params_dev, imgs_dev, host_imgs = put_futures.pop(
+            params_dev, imgs_dev, host_imgs, step_rle = put_futures.pop(
                 start
             ).result()
             t1 = time.perf_counter()
             ensure_put(start + 2 * step_views)
-            total_fracs, total_views, csum, over = device_step(
+            if rle_cap and not step_rle:
+                # per-step dense fallback (an image overflowed the RLE
+                # capacity); compiled once, cached across calls
+                if dense_step is None:
+                    dense_step = _build_device_step(
+                        device_mesh, config, use_dist, fused, group, w, h,
+                        n_faces, n_classes, rle_cap=0,
+                    )
+                step_fn = dense_step
+            else:
+                step_fn = device_step
+            total_fracs, total_views, csum, over = step_fn(
                 tri_soa, params_dev, imgs_dev, total_fracs, total_views
             )
             if logger.isEnabledFor(logging.DEBUG):
