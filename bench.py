@@ -204,7 +204,7 @@ def run_bench(out):
     # catch empty/corrupted kernel output, not certify exact coverage
     cover_min = 0.45
 
-    def flagship(subtile_on, H, W, w2c, fl, labels):
+    def flagship(subtile_on, H, W, w2c, fl, labels, max_buckets=None):
         """The full flagship measurement: census -> caps -> fold-window
         probe -> group-size selection -> timed run, at the given image
         scale.  Self-contained so a level-S failure at full scale can
@@ -295,7 +295,8 @@ def run_bench(out):
         # Merge the smallest-view-count bucket into whichever other
         # bucket costs least extra static-shape work (views moved up to
         # the elementwise-max caps), until the cap is met.
-        max_buckets = int(os.environ.get("BENCH_MAX_BUCKETS", "4"))
+        if max_buckets is None:
+            max_buckets = int(os.environ.get("BENCH_MAX_BUCKETS", "4"))
         while len(buckets) > max(1, max_buckets):
             keys = sorted(buckets, key=lambda key: (len(buckets[key]), sum(key)))
             src = keys[0]
@@ -537,6 +538,22 @@ def run_bench(out):
         acc = run_all(plans, warm_check=True)
         warm_sum = float(np.asarray(jnp.sum(acc)))
 
+        # per-bucket attribution (sync per bucket; diagnostic only — the
+        # headline metric below times the whole suite in one stream)
+        for plan in plans:
+            nv = sum(
+                1 for idx in plan[1] for i in idx if i < n_views
+            )
+            t0 = time.perf_counter()
+            a = run_all([plan])
+            np.asarray(jnp.sum(a))
+            dt_b = time.perf_counter() - t0
+            print(
+                f"  bucket timing: {nv} views in {dt_b*1e3:.0f} ms "
+                f"({dt_b*1e3/max(nv,1):.1f} ms/view)",
+                file=sys.stderr,
+            )
+
         t0 = time.perf_counter()
         total = run_all(plans)
         np.asarray(jnp.sum(total))
@@ -545,12 +562,20 @@ def run_bench(out):
             float(np.asarray(jnp.sum(total))) - warm_sum
         ) > 1e-3 * warm_sum:
             raise RuntimeError("timed run disagrees with warmup output")
-        # the sized config of the WORST (largest-caps) bucket stands in
-        # for the suite in downstream metrics (the pipeline sizes its own
-        # fold caps; it only needs binning caps that cover every view)
-        config = max(
-            bucket_configs, key=lambda t: sum(t[1].caps)
-        )[1]
+        # downstream metrics (the streaming pipeline) need ONE config
+        # whose binning caps cover EVERY view: take the elementwise max
+        # over bucket caps, and drop the flagship's view-exact sizings
+        # (entry caps, occupied-pair cap) — the pipeline sizes its own
+        # (the max-cap-SUM bucket config used before round 4 did not
+        # cover other buckets' L2 caps and overflowed the r4 pipeline
+        # metric)
+        cover_caps = tuple(
+            max(t[1].caps[i] for t in bucket_configs) for i in range(4)
+        )
+        config = dataclasses.replace(
+            bucket_configs[0][1], caps=cover_caps, entry_caps=None,
+            occ_pairs=None,
+        )
         return n_views / dt, config
 
     # Level-S sub-tile raster: OFF by default since round-4 on-device
@@ -561,10 +586,11 @@ def run_bench(out):
         os.environ.get("BENCH_SUBTILE", "0") == "1" and backend == "pallas"
     )
 
-    def flagship_safe(subtile_on, H_, W_, focals_):
+    def flagship_safe(subtile_on, H_, W_, focals_, max_buckets=None):
         suite = build_suite(H_, W_, focals_)[2:]
         try:
-            return flagship(subtile_on, H_, W_, *suite)
+            return flagship(subtile_on, H_, W_, *suite,
+                            max_buckets=max_buckets)
         except Exception as e:
             if not subtile_on:
                 raise
@@ -573,7 +599,7 @@ def run_bench(out):
                 "the plain tile path",
                 file=sys.stderr,
             )
-            return flagship(False, H_, W_, *suite)
+            return flagship(False, H_, W_, *suite, max_buckets=max_buckets)
 
     views_per_sec, config = flagship_safe(want_subtile, H, W, focals)
     n_dev = jax.device_count()
@@ -592,6 +618,7 @@ def run_bench(out):
             refscale_vps, _ = flagship_safe(
                 want_subtile, H // 4, W // 4,
                 tuple(f * 0.25 for f in focals),
+                max_buckets=2,
             )
             refscale_vps = round(refscale_vps, 3)
         except Exception as e:

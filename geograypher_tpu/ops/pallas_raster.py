@@ -202,6 +202,7 @@ def _make_kernel(
     emit_p2f: bool = True,
     s_init: bool = False,
     occ: bool = False,
+    l0_group: int = 2,
 ):
     """Kernel over grid (tile_rows, tile_cols / pair): each step resolves
     ``pair`` adjacent L0 tiles from one slab block.  ``pair`` is chosen so
@@ -390,7 +391,7 @@ def _make_kernel(
             ty * ntx0p + txp * pair + s for s in range(pair)
         )
         carries = [None] * pair
-        gsz = 2 if pair >= 2 else 1
+        gsz = min(l0_group, pair) if pair >= 2 else 1
         for w in range(0, pair, gsz):
             subs = tuple(range(w, w + gsz))
             res = level0_group(
@@ -776,6 +777,11 @@ def raster_tiles_pallas(
             )
         )
 
+    l0g = getattr(config, "l0_group", 2)
+    if pair > 1 and (l0g < 1 or pair % l0g):
+        raise ValueError(
+            f"config.l0_group={l0g} must be >= 1 and divide pair={pair}"
+        )
     emit_p2f = return_pix2face or class_image is None
     kernel = _make_kernel(
         th, tw, config.level_scales, pair, ntx0p, ntx1p, ntx2p,
@@ -786,6 +792,7 @@ def raster_tiles_pallas(
         emit_p2f=emit_p2f,
         s_init=s_init is not None,
         occ=occ_mode,
+        l0_group=l0g,
     )
 
     p2f_out_specs = (

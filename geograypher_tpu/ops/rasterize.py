@@ -115,6 +115,12 @@ class RasterConfig:
     # chunks per S-kernel DMA batch (grid step); pair ranges and
     # s_cap_chunks must be multiples of it
     s_kb: int = 4
+    # L0 tiles sharing one wide resolve dot per chunk in the pallas
+    # kernel (must divide ``pair``).  2 halves the MXU dot issues but
+    # runs BOTH tiles' resolve loops to the pair's max chunk count; 1
+    # bounds each tile by its own count (cheaper when neighbor tiles'
+    # occupancies are skewed, e.g. oblique horizon rows).
+    l0_group: int = 2
     # census-sized count of OCCUPIED L0 tile pairs (None = dense grid).
     # When set, the pallas raster kernel's grid compacts to the pairs
     # that any candidate (tile lists, global bboxes, or level-S chunks)

@@ -219,3 +219,60 @@ def test_kernel_config_guards():
         run(dataclasses.replace(base, pair=3, level_scales=(1, 3, 9)))
     with pytest.raises(ValueError, match="multiple"):
         run(dataclasses.replace(base, level_scales=(1, 4, 6)))
+
+
+def test_pallas_l0_group1_matches_group2():
+    """l0_group=1 (each L0 tile resolved to its own candidate count) must
+    be BIT-IDENTICAL to the default grouped resolve (same math, same tie
+    rules — only the loop bound / dot width differ)."""
+    import dataclasses
+
+    verts, faces = make_grid_mesh(
+        n=15, size=4.0, z_fn=lambda x, y: 0.25 * np.sin(2 * x) * np.cos(y)
+    )
+    c2w = nadir_camera(4.0, 50.0, 80)
+    tris = cam_tris(verts, faces, c2w)
+    base = RasterConfig(
+        caps=(64, 16, 16, 16), backend="pallas", bin_block=8,
+        l0_window=(5, 2),
+    )
+    g1 = dataclasses.replace(base, l0_group=1)
+    a = np.asarray(
+        rasterize_triangles(
+            jnp.asarray(tris, jnp.float32), jnp.float32(50.0),
+            image_w=80, image_h=80, config=base,
+        )
+    )
+    b = np.asarray(
+        rasterize_triangles(
+            jnp.asarray(tris, jnp.float32), jnp.float32(50.0),
+            image_w=80, image_h=80, config=g1,
+        )
+    )
+    assert (a == b).all()
+    assert (a >= 0).any()
+
+
+def test_pallas_l0_group_guard():
+    import dataclasses
+
+    import jax
+    from geograypher_tpu.ops.rasterize import (
+        bin_all,
+        setup_from_soa,
+        tri_to_soa,
+    )
+    from geograypher_tpu.ops.pallas_raster import raster_tiles_pallas
+
+    verts, faces = make_grid_mesh(n=9, size=4.0)
+    c2w = nadir_camera(4.0, 50.0, 80)
+    tris = cam_tris(verts, faces, c2w)
+    cfg = dataclasses.replace(
+        RasterConfig(caps=(64, 16, 16, 16), backend="pallas", pair=2),
+        l0_group=3,
+    )
+    tri = jnp.asarray(tri_to_soa(np.asarray(tris, np.float32)))
+    setup = setup_from_soa(tri, jnp.eye(4), jnp.float32(50.0), 256, 80)
+    binned, _sb = bin_all(setup, cfg, 80, 256)
+    with pytest.raises(ValueError, match="l0_group"):
+        raster_tiles_pallas(binned, setup.planes, cfg, 80, 256)

@@ -96,6 +96,9 @@ def shipped_variants():
             **base, bin_block=8, l0_window=(5, 2), subtile=(8, 16),
             s_cap_chunks=64, s_pair_chunks=16, occ_pairs=64,
         ),
+        "l0_group1": RasterConfig(
+            **base, bin_block=8, l0_window=(5, 2), l0_group=1,
+        ),
     }
     return variants
 
