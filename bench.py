@@ -119,6 +119,11 @@ def run_bench(out):
     verts, faces = make_grid_mesh(
         n=n_grid, size=4.0, z_fn=lambda x, y: 0.1 * np.sin(3 * x) * np.cos(3 * y)
     )
+    # serpentine spatial order, as TexturedMesh.spatial_sort_faces applies
+    # in production (row-wrap blocks otherwise land at the coarse levels)
+    from geograypher_tpu.utils.geometric import serpentine_face_order
+
+    faces = faces[serpentine_face_order(verts[faces].mean(axis=1)[:, :2])]
     n_faces = faces.shape[0]
     # pad to a bin_block multiple with degenerate (zero-area -> culled)
     # filler triangles, mirroring TexturedMesh's face-bucket padding

@@ -46,6 +46,7 @@ from geograypher_tpu.ops.rasterize import (
     transform_to_camera,
 )
 from geograypher_tpu.utils import crs as crs_utils
+from geograypher_tpu.utils import geometric
 from geograypher_tpu.utils.vector import (
     Polygon,
     VectorData,
@@ -200,8 +201,8 @@ class TexturedMesh:
         return hasher.hexdigest()
 
     def spatial_sort_faces(self) -> np.ndarray:
-        """Reorder faces in scanline (y-then-x) order over ground-plane
-        centroids.
+        """Reorder faces in serpentine scanline order (y rows, x reversed on
+        odd rows) over ground-plane centroids.
 
         Spatially coherent face ids make each raster tile's candidate list
         a narrow id band, which the scatter-free aggregation
@@ -223,15 +224,7 @@ class TexturedMesh:
         except ValueError:
             verts2d = self.verts[:, :2]
         cent = verts2d[self.faces].mean(axis=1)
-        # quantize y to ~sqrt(F) scanlines, then sort (y_bin, x)
-        n_bins = max(int(np.sqrt(len(cent))), 1)
-        lo = cent.min(axis=0)
-        span = np.maximum(cent.max(axis=0) - lo, 1e-12)
-        y_bin = np.minimum(
-            ((cent[:, 1] - lo[1]) / span[1] * n_bins).astype(np.int64),
-            n_bins - 1,
-        )
-        order = np.lexsort((cent[:, 0], y_bin))
+        order = geometric.serpentine_face_order(cent)
         self.faces = self.faces[order]
         if self.face_texture is not None:
             self.face_texture = self.face_texture[order]

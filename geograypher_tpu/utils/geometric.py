@@ -51,3 +51,27 @@ def projection_onto_spanned_plane(
     dims."""
     normal = np.cross(np.asarray(e1, np.float64), np.asarray(e2, np.float64))
     return projection_onto_plane(v, normal)
+
+
+def serpentine_face_order(centroids_2d: np.ndarray) -> np.ndarray:
+    """Scanline face permutation with SERPENTINE x order (x reversed on odd
+    scanline rows) over 2D centroids.
+
+    Consecutive ids stay spatially adjacent across row turns, so fixed-size
+    id blocks (RasterConfig.bin_block) never union an image-wide bbox at a
+    row wrap — plain scanline wraps produced ~1 full-width block per mesh
+    row, which fell to the coarse raster levels (L2/global) where each
+    costs a whole-parent resolve in the tile kernel.
+
+    Returns ``order`` with ``new_faces = faces[order]``.
+    """
+    cent = np.asarray(centroids_2d, np.float64)
+    n_bins = max(int(np.sqrt(len(cent))), 1)
+    lo = cent.min(axis=0)
+    span = np.maximum(cent.max(axis=0) - lo, 1e-12)
+    y_bin = np.minimum(
+        ((cent[:, 1] - lo[1]) / span[1] * n_bins).astype(np.int64),
+        n_bins - 1,
+    )
+    x_key = np.where(y_bin % 2 == 1, -cent[:, 0], cent[:, 0])
+    return np.lexsort((x_key, y_bin))

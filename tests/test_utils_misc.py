@@ -173,3 +173,31 @@ def test_hilbert_argsort_locality():
     cent = pts[order]
     step = np.linalg.norm(np.diff(cent, axis=0), axis=1)
     assert np.max(step) <= np.sqrt(2) + 1e-9
+
+
+def test_serpentine_face_order_no_widefield_blocks():
+    """Serpentine scanline order: consecutive-id blocks stay spatially
+    compact ACROSS row turns (plain scanline wraps produce one
+    image-wide block per mesh row, which falls to the coarse raster
+    levels — see RasterConfig.bin_block)."""
+    from geograypher_tpu.utils.fixtures import make_grid_mesh
+    from geograypher_tpu.utils.geometric import serpentine_face_order
+
+    verts, faces = make_grid_mesh(n=41, size=4.0)
+    cent = verts[faces].mean(axis=1)[:, :2]
+    order = serpentine_face_order(cent)
+    assert sorted(order) == list(range(len(faces)))
+
+    c = cent[order]
+    bb = 8
+    nb = len(c) // bb
+    spans = (
+        c[: nb * bb].reshape(nb, bb, 2).max(axis=1)
+        - c[: nb * bb].reshape(nb, bb, 2).min(axis=1)
+    )
+    cell = 4.0 / 40
+    # every 8-face block spans only a local neighborhood in BOTH axes;
+    # plain scanline order would have ~40 blocks spanning the full 4.0
+    # extent in x at row wraps
+    assert spans[:, 0].max() < 8 * cell + 1e-9
+    assert spans[:, 1].max() < 3 * cell + 1e-9

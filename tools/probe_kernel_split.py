@@ -63,6 +63,10 @@ def main():
         oblique_camera,
     )
 
+    import os
+
+    from geograypher_tpu.utils.geometric import serpentine_face_order
+
     H, W = 2160, 3840
     n_classes = 10
     bin_block = 8
@@ -70,6 +74,11 @@ def main():
         n=708, size=4.0,
         z_fn=lambda x, y: 0.1 * np.sin(3 * x) * np.cos(3 * y),
     )
+    if os.environ.get("PROBE_ORDER", "serpentine") == "serpentine":
+        faces = faces[serpentine_face_order(verts[faces].mean(axis=1)[:, :2])]
+        print("order: serpentine")
+    else:
+        print("order: rowmajor")
     n_faces = faces.shape[0]
     f_pad = -(-n_faces // bin_block) * bin_block
     tv = gather_tri_verts(verts, faces).astype(np.float32)
