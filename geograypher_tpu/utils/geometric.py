@@ -53,7 +53,9 @@ def projection_onto_spanned_plane(
     return projection_onto_plane(v, normal)
 
 
-def serpentine_face_order(centroids_2d: np.ndarray) -> np.ndarray:
+def serpentine_face_order(
+    centroids_2d: np.ndarray, rows_per_bin: float = 2.0
+) -> np.ndarray:
     """Scanline face permutation with SERPENTINE x order (x reversed on odd
     scanline rows) over 2D centroids.
 
@@ -63,10 +65,18 @@ def serpentine_face_order(centroids_2d: np.ndarray) -> np.ndarray:
     row, which fell to the coarse raster levels (L2/global) where each
     costs a whole-parent resolve in the tile kernel.
 
+    ``rows_per_bin`` sets the scanline bin height in units of the mesh's
+    natural face-row pitch (``sqrt(F)`` bins = 1.0).  The default 2.0
+    keeps id blocks SQUARE-ISH (~2 face rows tall x ~4 faces wide):
+    1-row bins make blocks 8 faces long in x, and oblique views looking
+    along x turn those runs into ~2x-taller image bboxes that overflow
+    the L0/L1 fit windows (measured: L2 census 514-588 units on
+    azimuth-aligned oblique 4K views at 1.0 vs exactly 0 at 2.0).
+
     Returns ``order`` with ``new_faces = faces[order]``.
     """
     cent = np.asarray(centroids_2d, np.float64)
-    n_bins = max(int(np.sqrt(len(cent))), 1)
+    n_bins = max(int(np.sqrt(len(cent)) / max(rows_per_bin, 1e-9)), 1)
     lo = cent.min(axis=0)
     span = np.maximum(cent.max(axis=0) - lo, 1e-12)
     y_bin = np.minimum(

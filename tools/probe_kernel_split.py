@@ -69,7 +69,9 @@ def main():
 
     H, W = 2160, 3840
     n_classes = 10
-    bin_block = 8
+    bin_block = int(os.environ.get("PROBE_BB", "8"))
+    l0_group = int(os.environ.get("PROBE_L0G", "2"))
+    print(f"bin_block={bin_block} l0_group={l0_group}")
     verts, faces = make_grid_mesh(
         n=708, size=4.0,
         z_fn=lambda x, y: 0.1 * np.sin(3 * x) * np.cos(3 * y),
@@ -116,7 +118,8 @@ def main():
         lvl = np.asarray(census(tri, w2c, flv))
         caps = tuple(int(max(16, -(-int(c * 5 // 4) // 16) * 16)) for c in lvl)
         config = RasterConfig(
-            caps=caps, backend="pallas", bin_block=bin_block, l0_window=(5, 2)
+            caps=caps, backend="pallas", bin_block=bin_block,
+            l0_window=(5, 2), l0_group=l0_group,
         )
         print(f"== {name}: census {lvl.tolist()} -> caps {caps}")
 
