@@ -42,6 +42,7 @@ def main():
     ap.add_argument("--no-subtile", action="store_true")
     ap.add_argument("--views", type=int, default=4)
     ap.add_argument("--scale", type=float, default=1.0)
+    ap.add_argument("--fold-block", type=int, default=4096)
     args = ap.parse_args()
 
     import jax
@@ -76,10 +77,13 @@ def main():
     bin_block = 8
     subtile_on = not args.no_subtile
 
+    from geograypher_tpu.utils.geometric import serpentine_face_order
+
     verts, faces = make_grid_mesh(
         n=n_grid, size=4.0,
         z_fn=lambda x, y: 0.1 * np.sin(3 * x) * np.cos(3 * y),
     )
+    faces = faces[serpentine_face_order(verts[faces].mean(axis=1)[:, :2])]
     n_faces = faces.shape[0]
     f_pad = -(-n_faces // bin_block) * bin_block
     tv = gather_tri_verts(verts, faces).astype(np.float32)
@@ -98,9 +102,11 @@ def main():
             c2w = nadir_camera(4.0, focal, W)
             c2w[0, 3] += rng.uniform(-0.3, 0.3)
         else:
+            # azimuths ~0/180 are the WORST case for the scanline face
+            # order (depth-runs); keep them in the probe suite
             c2w = oblique_camera(
                 4.0, focal, W, pitch_deg=float(rng.uniform(15.0, 35.0)),
-                azimuth_deg=float(360.0 * k / max(n_views, 1)),
+                azimuth_deg=float(18.0 + 180.0 * (k // 2)),
             )
         w2cs.append(np.linalg.inv(c2w))
         fls.append(focal)
@@ -148,7 +154,8 @@ def main():
         s_pair_w = max(s_pair_w, int(np.asarray(s_worst)))
     caps = tuple(int(max(16, -(-int(c * 5 // 4) // 16) * 16)) for c in worst)
     config = RasterConfig(
-        caps=caps, backend="pallas", bin_block=bin_block, l0_window=(5, 2)
+        caps=caps, backend="pallas", bin_block=bin_block, l0_window=(5, 2),
+        fold_block=args.fold_block,
     )
     if subtile_on:
         s_cap = -(-int(s_tot_w) // census_cfg.s_kb) * census_cfg.s_kb
@@ -165,14 +172,14 @@ def main():
         binned, sb = bin_all(setup, config, H, W)
         over, win = fold_window_overflow(
             l0_face_ids(binned, config), n_faces=n_faces, w_cap=504,
-            block=4096,
+            block=args.fold_block,
         )
         if sb is not None:
             from geograypher_tpu.ops.subtile import s_entry_ids
 
             _so, s_win = fold_window_overflow(
                 s_entry_ids(sb, config), n_faces=n_faces, w_cap=504,
-                block=4096,
+                block=args.fold_block,
             )
             win = jnp.maximum(win, s_win)
         from geograypher_tpu.ops.agg_tiled import entry_occupancy
@@ -223,7 +230,8 @@ def main():
                 views.append((outs, binned))
             counts, _over = fold_tile_counts_grouped(
                 views, config, H, W, n_faces, n_classes,
-                w_cap=8 * ((g * max_win * 5 // 4 + 7) // 8), block=4096,
+                w_cap=8 * ((g * max_win * 5 // 4 + 7) // 8),
+                block=args.fold_block,
                 return_overflow=True,
             )
             return acc + counts
@@ -249,10 +257,43 @@ def main():
     print(f"full group step:  {t_group * 1e3:8.2f} ms/view "
           f"({1.0 / t_group:.2f} views/s, group={g})")
     # per-view odd/even split: oblique views cost more
+    tks = []
     for k in range(min(n_views, 4)):
         tk = timeit(stage_kernels, tri, w2c[k], fl[k], labels[k], reps=2)
+        tks.append(tk)
         kind = "nadir " if k % 2 == 0 else "oblique"
         print(f"  view {k} ({kind}): setup+bin+kernel {tk * 1e3:8.2f} ms")
+    if tks:
+        mean_k = sum(tks) / len(tks)
+        print(f"implied fold+glue: {1e3 * (t_group - mean_k):8.2f} ms/view "
+              f"(group step {1e3 * t_group:.2f} - mean kernel chain "
+              f"{1e3 * mean_k:.2f})")
+
+    # fold-only: feed the captured kernel outputs through the grouped
+    # fold in its own jit (attribution for the fold+glue block)
+    import functools
+
+    views_dev = []
+    for k in range(g):
+        setup_binned = stage_bin(tri, w2c[k], fl[k])
+        outs = stage_kernels(tri, w2c[k], fl[k], labels[k])
+        views_dev.append((outs, setup_binned[0]))
+
+    @functools.partial(jax.jit, static_argnames=("blk",))
+    def fold_only(flat, blk):
+        views_r = jax.tree.unflatten(treedef, flat)
+        counts, _over = fold_tile_counts_grouped(
+            views_r, dataclasses.replace(config, fold_block=blk),
+            H, W, n_faces, n_classes,
+            w_cap=8 * ((g * max_win * 5 // 4 + 7) // 8), block=blk,
+            return_overflow=True,
+        )
+        return counts
+
+    flat, treedef = jax.tree.flatten(views_dev)
+    for blk in (1024, 4096, 16384):
+        tf = timeit(fold_only, flat, blk)
+        print(f"fold-only (block={blk:5d}): {tf * 1e3 / g:8.2f} ms/view")
 
 
 if __name__ == "__main__":
