@@ -377,7 +377,8 @@ def _stage2_batch_entries(block: int, kp: int, s: int, planes: int) -> int:
         sb = kb * s
         vmem = (
             _RING * (kp + 1) * sb * 4  # cnt/ids ring buffers
-            + planes * nq * kp * sb * 2  # cq radix deposit (bf16)
+            + 2 * nq * kp * sb * 2  # one plane's cq + its dot staging
+            + nq * kp * 128 * 4  # per-plane dot output
             + sb * 128 * 2  # oh_r
             + nq * sb * 2  # oh_q
             + fixed
@@ -486,7 +487,6 @@ def _stage2_kernel(
                 ],
                 axis=1,
             )  # (kp, sb)
-            parts = []
             c = cnt
             for j in range(planes):
                 if j + 1 < planes:
@@ -495,17 +495,19 @@ def _stage2_kernel(
                     c = hi_q
                 else:
                     dig = c.astype(jnp.bfloat16)
-                # cq[(q, k), slot] = onehot_q[q, slot] * digit[k, slot]
-                parts.append(
-                    (oh_q[:, None, :] * dig[None, :, :]).reshape(
-                        nq * kp, sb
-                    )
+                # cq[(q, k), slot] = onehot_q[q, slot] * digit[k, slot];
+                # one dot PER PLANE: peak live VMEM is one plane's cq
+                # (a planes-stacked cq + concat kept two copies live and
+                # stack-OOMed Mosaic at block >= 16384)
+                cq = (oh_q[:, None, :] * dig[None, :, :]).reshape(
+                    nq * kp, sb
                 )
-            cq = jnp.concatenate(parts, axis=0)  # (planes*nq*kp, sb)
-            acc2_ref[...] += jax.lax.dot_general(
-                cq, oh_r, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # (planes*nq*kp, 128): exact integer deposits
+                acc2_ref[j * nq * kp:(j + 1) * nq * kp, :] += (
+                    jax.lax.dot_general(
+                        cq, oh_r, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                )  # (nq*kp, 128): exact integer deposits
 
         def consume(w8, z):
             for dma in dmas(w8):
@@ -542,6 +544,116 @@ def _stage2_kernel(
                     precision=jax.lax.Precision.HIGHEST,
                 )  # (128, kp)
             out_ref[0, q * 128:(q + 1) * 128, :] = t
+
+    return kernel
+
+
+_KB_U = 8  # unit-kernel DMA batch: 8 entries x 16 units = one 128-lane row
+
+
+def _stage2_kernel_units(block: int, kp_pad: int, planes: int):
+    """Unit-granular radix deposit: the fast fold for 8-ALIGNED entries.
+
+    Entry ids from the binning are runs of ``bin_block`` CONSECUTIVE
+    faces starting at multiples of 8 (position-aligned: slot s of an
+    entry holds face ``unit[s // 8] * 8 + s % 8``), so each group of 8
+    slots shares ONE unit id.  Depositing at UNIT granularity with the
+    (face-offset, class) pair on LANES shrinks the deposit matmul by
+    ~8x versus the face-slot radix kernel (whose per-batch MACs are
+    ``planes * block * kp * slot_lanes`` — measured block-size-invariant
+    at ~0.5 us/entry-visit, the grouped pipeline's dominant term on
+    oblique views whose far-field entries span many face blocks):
+
+      oh_u[u, slot16]      = (unit16[slot16] == u)          (nu, 128)
+      acc[(j, u), f*16+k] += oh_u @ count_digit_j           one MXU dot
+                                                            per plane
+
+    Count rows arrive pre-relayouted as (E*16, 128) unit-major rows
+    (lane = face-offset * 16 + class, classes padded to 16 so a unit row
+    is exactly one 128-lane vreg) and unit ids as a flat (1, E*16) row;
+    window starts are rounded DOWN to 8-entry multiples so every DMA
+    slice is 128-lane aligned (the extra leading entries belong to
+    earlier blocks and mask to q = -1, depositing nothing).  The final
+    (block, kp) unpack is a pure XLA reshape — no in-kernel transposes
+    at all.
+    """
+    ring = _RING
+    nu = block // 8  # units per face block
+    kb = _KB_U
+    sbu = kb * 16  # unit slots per DMA batch == 128 lanes
+
+    def kernel(lo_ref, wl_ref, cnt_hbm, ids_hbm, out_ref,
+               cnt_buf, ids_buf, acc_ref, sems):
+        b = pl.program_id(0)
+        lo_b = lo_ref[b]
+        wl = wl_ref[b]
+        nwb = (wl + kb - 1) // kb
+        bu0 = b * nu  # first unit id of this block
+
+        def dmas(w8):
+            slot = jax.lax.rem(w8, ring)
+            row0 = pl.multiple_of((lo_b + w8 * kb) * 16, sbu)
+            return (
+                pltpu.make_async_copy(
+                    cnt_hbm.at[pl.ds(row0, sbu)], cnt_buf.at[slot],
+                    sems.at[slot, 0],
+                ),
+                pltpu.make_async_copy(
+                    ids_hbm.at[:, pl.ds(row0, sbu)], ids_buf.at[slot],
+                    sems.at[slot, 1],
+                ),
+            )
+
+        def issue(w8, z):
+            for dma in dmas(w8):
+                dma.start()
+            return z
+
+        jax.lax.fori_loop(0, jnp.minimum(nwb, ring), issue, 0)
+        acc_ref[...] = jnp.zeros((planes * nu, 128), jnp.float32)
+
+        iota_u = jax.lax.broadcasted_iota(jnp.int32, (nu, sbu), 0)
+
+        def batch(slot):
+            ids_row = ids_buf[slot]  # (1, sbu) int32 unit ids
+            rel = ids_row - bu0
+            relm = jnp.where(
+                (ids_row >= 0) & (rel >= 0) & (rel < nu), rel, -1
+            )
+            oh_u = (iota_u == relm).astype(jnp.bfloat16)  # (nu, sbu)
+            c = cnt_buf[slot].astype(jnp.float32)  # (sbu, 128)
+            for j in range(planes):
+                if j + 1 < planes:
+                    hi = jnp.floor(c * (1.0 / 128.0))
+                    dig = (c - 128.0 * hi).astype(jnp.bfloat16)
+                    c = hi
+                else:
+                    dig = c.astype(jnp.bfloat16)
+                acc_ref[j * nu:(j + 1) * nu, :] += jax.lax.dot_general(
+                    oh_u, dig, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (nu, 128): exact integer digit deposits
+
+        def consume(w8, z):
+            for dma in dmas(w8):
+                dma.wait()
+            batch(jax.lax.rem(w8, ring))
+            nxt = w8 + ring
+
+            @pl.when(nxt < nwb)
+            def _():
+                for dma in dmas(nxt):
+                    dma.start()
+
+            return z
+
+        jax.lax.fori_loop(0, nwb, consume, 0)
+
+        # recombine digit planes: out[u, f*16+k] = sum_j 128^j acc[(j,u)]
+        t = acc_ref[0:nu, :]
+        for j in range(1, planes):
+            t = t + float(128 ** j) * acc_ref[j * nu:(j + 1) * nu, :]
+        out_ref[0, :, :] = t
 
     return kernel
 
@@ -700,7 +812,10 @@ def fold_window_overflow(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_faces", "block", "planes", "w_cap", "return_overflow"),
+    static_argnames=(
+        "n_faces", "block", "planes", "w_cap", "return_overflow",
+        "units_aligned",
+    ),
 )
 def face_counts_from_tiles(
     counts: jax.Array,
@@ -710,6 +825,7 @@ def face_counts_from_tiles(
     planes: int = 2,
     w_cap: int = 96,
     return_overflow: bool = False,
+    units_aligned: bool = False,
 ):
     """Dense (n_faces_padded, kp) face-class counts from per-tile counts.
 
@@ -735,6 +851,11 @@ def face_counts_from_tiles(
     tmax = jnp.max(jnp.where(valid, ids, -1), axis=1).astype(jnp.int32)
     w_cap = min(_round_up(max(w_cap, 1), 8), _round_up(max(t, 8), 8))
     win = _block_windows(tmin, tmax, nb, block, w_cap)
+    if units_aligned and s == _ENTRY_SLOTS and kp <= 16 and block % 8 == 0:
+        return _face_counts_units(
+            counts, ids, win, t, kp, nb, block, planes, w_cap,
+            return_overflow,
+        )
     kb = _stage2_batch_entries(block, kp, s, planes)
     # permute entries into the sorted window order (block windows become
     # contiguous ENTRY-ROW ranges: one sequential (kb, kp, 128) block DMA
@@ -796,6 +917,84 @@ def face_counts_from_tiles(
         # the TRUE window overflow of THIS fold (entries clipped by
         # w_cap = counts dropped) — callers guard on it directly instead
         # of re-building the windows in a second pass
+        return out, win.overflow
+    return out
+
+
+def _face_counts_units(
+    counts: jax.Array,
+    ids: jax.Array,
+    win: _Windows,
+    t: int,
+    kp: int,
+    nb: int,
+    block: int,
+    planes: int,
+    w_cap: int,
+    return_overflow: bool,
+):
+    """Unit-granular fold driver (see _stage2_kernel_units).
+
+    CONTRACT (asserted by the caller flag ``units_aligned``): every
+    group of 8 slots of an entry holds 8 CONSECUTIVE face ids starting
+    at a multiple of 8 (or is all empty) — true for all tile-level entry
+    ids built from ``expand_block_ids`` with ``bin_block % 8 == 0``.
+    """
+    kb = _KB_U
+    pad_n = _round_up(w_cap + kb, kb) + kb  # + kb covers the lo rounding
+    order_p = jnp.concatenate(
+        [win.order, jnp.full((pad_n,), t, jnp.int32)]
+    )
+    # unit-major count rows: (E, kp, 128) -> (E, 16 units, 8 faces, kp)
+    # -> lanes (face*16 + class), classes padded to 16 so each unit row
+    # is exactly one 128-lane vreg
+    cu = counts.reshape(t, kp, 16, 8).transpose(0, 2, 3, 1)
+    if kp < 16:
+        cu = jnp.pad(cu, ((0, 0), (0, 0), (0, 0), (0, 16 - kp)))
+    cu = cu.reshape(t, 16, 128)
+    iu = jnp.where(ids[:, ::8] >= 0, ids[:, ::8] >> 3, -1).astype(
+        jnp.int32
+    )  # (E, 16) unit ids
+    cu = jnp.take(cu, order_p, axis=0, mode="clip").reshape(-1, 128)
+    iu = jnp.take(iu, order_p, axis=0, mode="fill", fill_value=-1)
+    tp = t + pad_n
+    iu = iu.reshape(1, tp * 16)
+    # round window starts DOWN to kb entries: every DMA offset becomes a
+    # provable 128-lane multiple; the extra leading entries have
+    # tmax < block start, mask to rel < 0, and deposit nothing
+    lo_a = (win.lo // kb) * kb
+    len_a = win.win_len + (win.lo - lo_a)
+
+    nu = block // 8
+    kernel = _stage2_kernel_units(block, 16, planes)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, nu, 128), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((_RING, kb * 16, 128), cu.dtype),
+            pltpu.VMEM((_RING, 1, kb * 16), jnp.int32),
+            pltpu.VMEM((planes * nu, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((_RING, 2)),
+        ],
+    )
+    operands = jax.lax.optimization_barrier((lo_a, len_a, cu, iu))
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nb, nu, 128), jnp.float32),
+        interpret=_interpret(),
+    )(*operands)
+    out = jax.lax.optimization_barrier(out)
+    # (nb, nu, 128) -> (nb*block faces, kp): lane = face_off*16 + class
+    out = out.reshape(nb * block, 16)[:, :kp]
+    if return_overflow:
         return out, win.overflow
     return out
 
@@ -928,6 +1127,10 @@ def _per_level_entries(outs, binned, config, image_h, image_w):
         # 10 live ~850 MB oms + an equally dense permuted fold stack)
         ecaps = getattr(config, "entry_caps", None) or (None,) * 3
         zero = jnp.zeros((), jnp.int32)
+        # tile-level entry ids are expand_block_ids position-aligned
+        # bin_block runs: 8-slot groups share one 8-aligned unit when
+        # bin_block % 8 == 0, enabling the unit-granular fold kernel
+        aligned = bb % 8 == 0
         levels = []
         for c_l, ids_l, pl_l, cap_l in (
             (c0, ids0, 2, ecaps[0]),
@@ -936,17 +1139,19 @@ def _per_level_entries(outs, binned, config, image_h, image_w):
             (c2, ids2, 4, ecaps[2]),
         ):
             if cap_l is None:
-                levels.append((c_l, ids_l, pl_l, zero))
+                levels.append((c_l, ids_l, pl_l, zero, aligned))
             else:
                 c_l, ids_l, ov = _compact_entries(c_l, ids_l, cap_l)
-                levels.append((c_l, ids_l, pl_l, ov))
+                levels.append((c_l, ids_l, pl_l, ov, aligned))
         if len(outs) == 4:
             # level-S sub-tile entries (subtile.s_count_pallas /
             # s_entry_ids): already compact CSR chunks, pre-chunked in
             # the fold's (E, kp, 128)/(E, 128) entry shape; counts are
-            # bounded by the 128-pixel sub-tile, so 2 digit planes
+            # bounded by the 128-pixel sub-tile, so 2 digit planes.
+            # S chunks pack 4-face runs at arbitrary slot positions, so
+            # the unit kernel's 8-slot grouping does NOT hold.
             s_counts, s_ids = outs[2], outs[3]
-            levels.append((s_counts, s_ids, 2, zero))
+            levels.append((s_counts, s_ids, 2, zero, False))
         return levels
 
     c0 = pad_grid(o0).reshape(nty0g * ntx0g, kp, cap0f)
@@ -969,9 +1174,11 @@ def _per_level_entries(outs, binned, config, image_h, image_w):
     c3 = o3.sum(axis=(0, 1)).reshape(1, kp, config.caps[3])
     ids3 = binned.cand[3].reshape(1, -1)
     zero = jnp.zeros((), jnp.int32)
+    # slot-major legacy rows (bin_block == 1): ids are per-tile sorted
+    # candidates, NOT consecutive 8-runs — the unit fold does not apply
     return [
-        (c0, ids0_rows, 2, zero), (c1, ids1_rows, 2, zero),
-        (c2, ids2, 3, zero), (c3, ids3, 4, zero),
+        (c0, ids0_rows, 2, zero, False), (c1, ids1_rows, 2, zero, False),
+        (c2, ids2, 3, zero, False), (c3, ids3, 4, zero, False),
     ]
 
 
@@ -1040,6 +1247,7 @@ def fold_tile_counts_grouped(
         d, win_over = face_counts_from_tiles(
             counts, ids, n_faces=n_faces, planes=per_level[0][lvl][2],
             w_cap=w_cap, block=block, return_overflow=True,
+            units_aligned=all(v[lvl][4] for v in per_level),
         )
         dense = d if dense is None else dense + d
         over = over + win_over

@@ -246,3 +246,56 @@ def test_fold_rejects_unsupported_level_scale():
         fold_tile_counts(None, None, cfg, 64, 64, 10, 3)
     with pytest.raises(ValueError, match="level_scales"):
         fold_tile_counts_grouped([], cfg, 64, 64, 10, 3)
+
+
+def test_unit_fold_matches_legacy_kernel():
+    """The unit-granular stage-2 kernel (8-aligned entry runs) must be
+    bit-exact against the face-slot radix kernel on random entries,
+    including wide id spans, empty units, planes=4, and window caps."""
+    import numpy as np
+
+    from geograypher_tpu.ops.agg_tiled import face_counts_from_tiles
+
+    rng = np.random.default_rng(3)
+    n_faces = 4096 * 3 + 100
+    e, kp = 160, 10
+    units = rng.integers(0, (n_faces // 8) - 1, (e, 16))
+    # empty units + a few very wide entries (ids across many blocks)
+    units[rng.random((e, 16)) < 0.2] = -1
+    ids = np.where(
+        units[..., None] >= 0,
+        units[..., None] * 8 + np.arange(8),
+        -1,
+    ).reshape(e, 128).astype(np.int32)
+    counts = (
+        rng.integers(0, 200, (e, kp, 128)).astype(np.float32)
+        * (ids >= 0)[:, None, :]
+    )
+
+    w_cap = 8 * ((e * 5 // 4) // 8)
+    for planes in (2, 4):
+        legacy, over_l = face_counts_from_tiles(
+            jnp.asarray(counts), jnp.asarray(ids),
+            n_faces=n_faces, block=4096, planes=planes,
+            w_cap=w_cap, units_aligned=False, return_overflow=True,
+        )
+        unit, over_u = face_counts_from_tiles(
+            jnp.asarray(counts), jnp.asarray(ids),
+            n_faces=n_faces, block=4096, planes=planes,
+            w_cap=w_cap, units_aligned=True, return_overflow=True,
+        )
+        assert int(over_l) == 0 and int(over_u) == 0
+        legacy, unit = np.asarray(legacy), np.asarray(unit)
+        assert np.array_equal(legacy, unit), (
+            planes, np.abs(legacy - unit).max(),
+        )
+
+    # undersized window cap: both paths REPORT the drops (which subset
+    # of boundary entries is dropped may differ — callers raise on any
+    # nonzero overflow, so only the accounting is contractual)
+    _, over_u = face_counts_from_tiles(
+        jnp.asarray(counts), jnp.asarray(ids), n_faces=n_faces,
+        block=4096, planes=2, w_cap=48, units_aligned=True,
+        return_overflow=True,
+    )
+    assert int(over_u) > 0

@@ -61,15 +61,16 @@ def main():
         c2ws.append(c2w)
 
     # the bench's censused caps for this exact suite (bench.py seed 0,
-    # plain tile path)
+    # plain tile path, serpentine face order)
     config = RasterConfig(
-        caps=(96, 16, 48, 32), backend="pallas", bin_block=8,
+        caps=(96, 16, 16, 16), backend="pallas", bin_block=8,
         l0_window=(5, 2),
     )
     if args.subtile:
         config = dataclasses.replace(config, subtile=(8, 16))
 
     mesh = TexturedMesh((verts, faces), raster_config=config)
+    mesh.spatial_sort_faces()
     sensors = {
         si: {"f": f, "cx": 0.0, "cy": 0.0,
              "image_width": W, "image_height": H}

@@ -291,7 +291,7 @@ def main():
         return counts
 
     flat, treedef = jax.tree.flatten(views_dev)
-    for blk in (1024, 4096, 16384):
+    for blk in (4096, 8192, 16384, 32768):
         tf = timeit(fold_only, flat, blk)
         print(f"fold-only (block={blk:5d}): {tf * 1e3 / g:8.2f} ms/view")
 
