@@ -1,4 +1,10 @@
 from geograypher_tpu.parallel.pipeline import aggregate_class_images_distributed
+from geograypher_tpu.parallel.planner import (
+    AggregationPlan,
+    PlannedAggregator,
+    aggregate_counts_planned,
+    plan_aggregation,
+)
 from geograypher_tpu.parallel.sharding import (
     make_view_mesh,
     shard_views_for_mesh,
@@ -10,4 +16,8 @@ __all__ = [
     "shard_views_for_mesh",
     "sharded_render_aggregate",
     "aggregate_class_images_distributed",
+    "AggregationPlan",
+    "PlannedAggregator",
+    "aggregate_counts_planned",
+    "plan_aggregation",
 ]

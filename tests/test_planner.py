@@ -1,0 +1,237 @@
+"""Census-bucketed aggregation planner (parallel/planner.py).
+
+The library-resident flagship plan (VERDICT r4 #1) must reproduce the
+exact per-view fused counts, survive sampled census via the overflow
+resize-retry doctrine (VERDICT r4 #6), and never raise after partial
+work.  Reference result: per-view ``fused_view_class_counts`` under
+generous static caps, summed on host.
+"""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from geograypher_tpu.ops.rasterize import (
+    RasterConfig,
+    fused_view_class_counts,
+    tri_to_soa,
+)
+from geograypher_tpu.parallel.planner import (
+    PlannedAggregator,
+    aggregate_counts_planned,
+    pack_view_params,
+    plan_aggregation,
+)
+from geograypher_tpu.utils.fixtures import (
+    gather_tri_verts,
+    make_grid_mesh,
+    nadir_camera,
+    oblique_camera,
+)
+
+H, W = 96, 256
+N_CLASSES = 5
+N_VIEWS = 6
+BASE = RasterConfig(
+    caps=(32, 16, 16, 16), backend="pallas", bin_block=8, l0_window=(5, 2),
+    fold_block=4096,
+)
+
+
+@pytest.fixture(scope="module")
+def scene():
+    verts, faces = make_grid_mesh(
+        n=21, size=4.0, z_fn=lambda x, y: 0.1 * np.sin(3 * x) * np.cos(3 * y)
+    )
+    n_faces = faces.shape[0]
+    f_pad = -(-n_faces // 8) * 8
+    tv = gather_tri_verts(verts, faces).astype(np.float32)
+    if f_pad != n_faces:
+        filler = np.broadcast_to(
+            verts.mean(axis=0).astype(np.float32), (f_pad - n_faces, 3, 3)
+        )
+        tv = np.concatenate([tv, filler], axis=0)
+    tri = jnp.asarray(tri_to_soa(tv))
+
+    rng = np.random.default_rng(0)
+    c2ws, fls = [], []
+    for k in range(N_VIEWS):
+        focal = (100.0, 130.0)[k % 2]
+        if k % 2 == 0:
+            c2w = nadir_camera(4.0, focal, W)
+            c2w[0, 3] += rng.uniform(-0.3, 0.3)
+        else:
+            c2w = oblique_camera(
+                4.0, focal, W, pitch_deg=float(rng.uniform(15.0, 33.0)),
+                azimuth_deg=float(360.0 * k / N_VIEWS),
+            )
+        c2ws.append(c2w)
+        fls.append(focal)
+    w2c = np.stack([np.linalg.inv(m) for m in c2ws]).astype(np.float32)
+    params = pack_view_params(w2c, np.asarray(fls, np.float32))
+    labels = np.asarray(
+        jax.random.randint(
+            jax.random.PRNGKey(3), (N_VIEWS, H, W), 0, N_CLASSES, jnp.int32
+        )
+    )
+    return tri, f_pad, params, labels
+
+
+def _reference_counts(tri, f_pad, params, labels):
+    """Per-view fused counts under generous caps, summed on host."""
+    cfg = dataclasses.replace(
+        BASE, caps=(64, 32, 32, 32), fold_w_cap=504, fold_block=4096
+    )
+    total = np.zeros((f_pad, N_CLASSES), np.float64)
+    for k in range(params.shape[0]):
+        row = jnp.asarray(params[k])
+        counts, over, _ = fused_view_class_counts(
+            tri, row[:16].reshape(4, 4), row[16], row[17:25], row[25],
+            row[26], jnp.asarray(labels[k]), W, H, cfg, f_pad, N_CLASSES,
+            False,
+        )
+        assert int(np.asarray(over)) == 0
+        total += np.asarray(counts, np.float64)
+    return total
+
+
+def test_planned_matches_reference(scene):
+    tri, f_pad, params, labels = scene
+    counts, plan = aggregate_counts_planned(
+        tri, params, labels, BASE, H, W, f_pad, N_CLASSES,
+        max_buckets=2, group=3,
+    )
+    ref = _reference_counts(tri, f_pad, params, labels)
+    assert plan.plan_seconds > 0
+    assert counts.shape == (f_pad, N_CLASSES)
+    assert ref.sum() > 0
+    np.testing.assert_array_equal(counts, ref)
+
+
+def test_bucketing_splits_nadir_oblique(scene):
+    tri, f_pad, params, labels = scene
+    plan = plan_aggregation(tri, params, BASE, H, W, f_pad, max_buckets=4)
+    # every view lands in exactly one bucket
+    seen = sorted(i for b in plan.buckets for i in b.view_indices)
+    assert seen == list(range(N_VIEWS))
+    # the cover config's caps dominate every bucket's
+    cover = plan.cover_config
+    for b in plan.buckets:
+        assert all(c >= bc for c, bc in zip(cover.caps, b.config.caps))
+    assert cover.entry_caps is None and cover.occ_pairs is None
+    # sized fields are present on every bucket
+    for b in plan.buckets:
+        assert b.config.entry_caps is not None
+        assert b.config.occ_pairs is not None
+        assert b.max_win >= 0
+
+
+def test_sampled_census_retry_completes(scene):
+    """A sampled census that only sees a benign (nadir) view must still
+    produce exact counts: hostile views overflow, their groups contribute
+    zero, and finalize re-censuses + re-runs them (never raises, never
+    drops counts)."""
+    tri, f_pad, params, labels = scene
+    # order the views nadir-first so sample index 0 censuses a nadir view
+    plan = plan_aggregation(
+        tri, params, BASE, H, W, f_pad, max_buckets=1,
+        census_sample=1, sample_extra_margin=1.0,
+    )
+    agg = PlannedAggregator(plan, N_CLASSES, group=2, warm_check=False)
+    agg.prepare(tri, params, labels)
+    agg.run()
+    counts = agg.finalize()
+    ref = _reference_counts(tri, f_pad, params, labels)
+    np.testing.assert_array_equal(counts, ref)
+
+
+def test_label_index_shares_rows(scene):
+    """1000-view-style label sharing: views map onto a smaller label
+    stack; counts must equal running the full expanded stack."""
+    tri, f_pad, params, labels = scene
+    label_index = np.arange(N_VIEWS) % 2  # all views share 2 label rows
+    counts, _ = aggregate_counts_planned(
+        tri, params, labels[:2], BASE, H, W, f_pad, N_CLASSES,
+        max_buckets=2, group=3, label_index=label_index,
+    )
+    expanded = labels[label_index]
+    ref = _reference_counts(tri, f_pad, params, expanded)
+    np.testing.assert_array_equal(counts, ref)
+
+
+def test_mesh_planned_aggregation(scene):
+    """TexturedMesh.aggregate_class_images_planned: the flagship plan
+    through the public mesh API (VERDICT r4 #1), with plan caching."""
+    from geograypher_tpu.cameras.core import CameraSet
+    from geograypher_tpu.meshes.mesh import TexturedMesh
+
+    verts, faces = make_grid_mesh(
+        n=21, size=4.0, z_fn=lambda x, y: 0.1 * np.sin(3 * x) * np.cos(3 * y)
+    )
+    tmesh = TexturedMesh((verts, faces), raster_config=BASE)
+    rng = np.random.default_rng(0)
+    c2ws, fls = [], []
+    for k in range(4):
+        focal = (100.0, 130.0)[k % 2]
+        if k % 2 == 0:
+            c2w = nadir_camera(4.0, focal, W)
+        else:
+            c2w = oblique_camera(
+                4.0, focal, W, pitch_deg=25.0, azimuth_deg=90.0 * k
+            )
+        c2ws.append(c2w)
+        fls.append(focal)
+    sensors = {
+        si: {
+            "f": f, "cx": 0.0, "cy": 0.0,
+            "image_width": W, "image_height": H,
+        }
+        for si, f in enumerate((100.0, 130.0))
+    }
+    cams = CameraSet(c2ws, sensors, sensor_IDs=[k % 2 for k in range(4)])
+    label_imgs = [
+        rng.integers(0, N_CLASSES, (H, W)).astype(np.int32) for _ in range(4)
+    ]
+    counts, plan = tmesh.aggregate_class_images_planned(
+        cams, N_CLASSES, class_image_provider=lambda i: label_imgs[i],
+        max_buckets=2, group=2,
+    )
+    assert counts.shape == (tmesh.n_faces, N_CLASSES)
+
+    tri = tmesh._tri_soa_device(cams)
+    batch = cams.get_camera_batch()
+    from geograypher_tpu.parallel.planner import pack_camera_batch
+
+    params = pack_camera_batch(batch, np.ones(4, np.float32))
+    f_bucket = tmesh._face_bucket(tmesh.n_faces)
+    ref = _reference_counts(tri, f_bucket, params, np.stack(label_imgs))
+    np.testing.assert_array_equal(counts, ref[: tmesh.n_faces])
+    assert ref[tmesh.n_faces:].sum() == 0  # padding faces see nothing
+
+    # second call reuses the cached plan (no fresh census)
+    counts2, plan2 = tmesh.aggregate_class_images_planned(
+        cams, N_CLASSES, class_image_provider=lambda i: label_imgs[i],
+        max_buckets=2, group=2,
+    )
+    assert plan2 is plan
+    np.testing.assert_array_equal(counts2, counts)
+
+
+def test_plan_reuse(scene):
+    """A plan from one survey can be reused for identical cameras."""
+    tri, f_pad, params, labels = scene
+    counts1, plan = aggregate_counts_planned(
+        tri, params, labels, BASE, H, W, f_pad, N_CLASSES, max_buckets=2,
+        group=3,
+    )
+    labels2 = np.ascontiguousarray(labels[::-1])
+    counts2, _ = aggregate_counts_planned(
+        tri, params, labels2, BASE, H, W, f_pad, N_CLASSES, plan=plan,
+        group=3,
+    )
+    ref2 = _reference_counts(tri, f_pad, params, labels2)
+    np.testing.assert_array_equal(counts2, ref2)
+    assert counts1.sum() == ref2.sum()  # same pixels, permuted labels
