@@ -29,8 +29,11 @@ toolchain rolls):
 
 * the fold's static per-block tile-window capacity is AUTO-SIZED from a
   probe of the first step's views, and every view's true window demand
-  is re-measured inside the step — any later view exceeding the static
-  capacity raises instead of silently dropping counts;
+  is re-measured inside the step — a step exceeding a static capacity
+  contributes NOTHING to the accumulator (gated on overflow == 0) and is
+  re-censused, re-sized, and re-run at the end (resize-and-retry,
+  VERDICT r4 #6) instead of silently dropping counts or raising after
+  partial work;
 * at warmup the grouped program's first-step count total is checked
   against the same view computed by the standalone single-view fused
   program (the one structure never observed corrupt) — a disagreement
@@ -305,11 +308,18 @@ def _build_device_step(
                 fracs = fracs + counts / jnp.maximum(face_total, 1.0)[:, None]
                 views = views + seen
                 csum = csum + jnp.sum(face_total)
+            # overflow gating (resize-and-retry doctrine, planner.py): a
+            # step whose static capacities would drop counts contributes
+            # NOTHING — the caller re-sizes and re-runs it, so the
+            # accumulator never mixes in undercounted views.  The gate is
+            # global (pmax) so the step is atomic across devices.
+            over_all = jax.lax.pmax(over, VIEW_AXIS)
+            gate = (over_all == 0).astype(jnp.float32)
             return (
-                acc_fracs + jax.lax.psum(fracs, VIEW_AXIS),
-                acc_views + jax.lax.psum(views, VIEW_AXIS),
+                acc_fracs + jax.lax.psum(fracs, VIEW_AXIS) * gate,
+                acc_views + jax.lax.psum(views, VIEW_AXIS) * gate,
                 jax.lax.psum(csum, VIEW_AXIS),
-                jax.lax.pmax(over, VIEW_AXIS),
+                over_all,
             )
 
         return jax.shard_map(
@@ -376,13 +386,15 @@ def aggregate_class_images_distributed(
             meshes.py:1805-1821, via NN remap there); False disables.
         views_per_step: views processed per device per jitted step.
         integrity_check: verify the grouped program against the
-            standalone single-view fused program at warmup, and fail on
-            fold-window overflow (see module docstring).  Disable only
-            for micro-benchmarks of known-good configurations.
+            standalone single-view fused program at warmup (see module
+            docstring).  Disable only for micro-benchmarks of known-good
+            configurations.
         auto_size_fold: size the fold-window capacity from a probe of the
             first step's views (default).  When False, ``config.fold_w_cap``
-            is used as-is — the in-step overflow guard still fails loudly
-            if it is undersized.
+            is used as-is.  Either way, a later step exceeding the static
+            capacities contributes nothing (gated on overflow == 0), is
+            re-censused, re-sized, and re-run — never silently dropped
+            and never raised after partial work (VERDICT r4 #6).
         label_transport: "auto" (default), "dense", or "rle".  Real
             segmentation masks are spatially coherent, so their
             run-length form is typically 10-100x smaller than dense
@@ -570,7 +582,6 @@ def aggregate_class_images_distributed(
         jnp.zeros((n_faces, n_classes), jnp.float32), replicated
     )
     total_views = jax.device_put(jnp.zeros((n_faces,), jnp.float32), replicated)
-    worst_overflow = 0
     first_csum = None
     first_imgs = None
 
@@ -688,22 +699,81 @@ def aggregate_class_images_distributed(
             # keep only device handles here: fetching any scalar now
             # would sync the step and serialize transfer with compute
             # (the round-2 pipeline lost ~2x to exactly this)
-            overflows.append(over)
+            overflows.append((start, over))
             if start == 0:
                 first_csum = csum
                 first_imgs = host_imgs
 
+    # -- resize-and-retry on capacity overflow ---------------------------------
+    # A step whose views exceeded the first-step probe's margins contributed
+    # NOTHING (gated in the device step); re-census exactly those views,
+    # re-size one covering config, and re-run the steps — a survey never
+    # raises after partial work and never silently drops counts
+    # (VERDICT r4 #6; same doctrine as planner.PlannedAggregator.finalize).
     if fused:
-        for over in overflows:
-            worst_overflow = max(worst_overflow, int(np.asarray(over)))
-    if worst_overflow:
-        raise RuntimeError(
-            f"fold capacity overflow: a view needed {worst_overflow} "
-            f"entries beyond the auto-sized window capacity ({w_cap}) or "
-            f"entry caps ({config.entry_caps}); counts would be dropped. "
-            "Re-run (the probe now covers this scene) or pass a "
-            "RasterConfig with a larger fold_w_cap / entry_caps."
-        )
+        bad_starts = [s for s, over in overflows if int(np.asarray(over))]
+        attempt = 0
+        while bad_starts:
+            if attempt >= 2:
+                raise RuntimeError(
+                    "fold/entry/binning capacity overflow persisted after "
+                    f"{attempt} resize retries (steps {bad_starts}); the "
+                    "gated steps contributed nothing — result would be "
+                    "missing those views"
+                )
+            attempt += 1
+            from geograypher_tpu.parallel import planner as _planner
+
+            bad_idx = [
+                i
+                for s in bad_starts
+                for i in range(s, s + step_views)
+                if params[i, _PROW - 1] > 0
+            ]
+            logger.warning(
+                "capacity overflow: %d views in %d steps exceeded the "
+                "probed static capacities; re-censusing and re-running "
+                "them (attempt %d)", len(bad_idx), len(bad_starts), attempt,
+            )
+            sub_plan = _planner.plan_aggregation(
+                tri_soa, params[bad_idx],
+                _planner.census_config_of(config), h, w, n_faces,
+                use_dist=use_dist, max_buckets=1,
+                cap_margin=2.0 * attempt, entry_margin=2.0 * attempt,
+            )
+            nb = sub_plan.buckets[0]
+            retry_cfg = dataclasses.replace(
+                nb.config, fold_block=fold_block,
+                fold_w_cap=8 * ((nb.max_win * 2 * attempt + 64 + 7) // 8),
+            )
+            retry_step = _build_device_step(
+                device_mesh, retry_cfg, use_dist, fused, group, w, h,
+                n_faces, n_classes, rle_cap=0,
+            )
+            new_overflows = []
+            for s in bad_starts:
+                idx = list(range(s, s + step_views))
+                imgs = np.stack(
+                    [
+                        np.clip(
+                            class_image_provider(order[i]), -1, None
+                        ).astype(img_dtype)
+                        for i in idx
+                    ]
+                )
+                params_dev = jax.device_put(
+                    params[idx].reshape(n_dev, group, _PROW), sharding
+                )
+                imgs_dev = jax.device_put(
+                    imgs.reshape((n_dev, group) + imgs.shape[1:]), sharding
+                )
+                total_fracs, total_views, _csum, over = retry_step(
+                    tri_soa, params_dev, imgs_dev, total_fracs, total_views
+                )
+                new_overflows.append((s, over))
+            bad_starts = [
+                s for s, over in new_overflows if int(np.asarray(over))
+            ]
 
     if integrity_check and fused and first_csum is not None:
         _check_first_step(

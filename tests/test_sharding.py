@@ -137,6 +137,7 @@ def _pipeline_scene(n_views=5, backend="pallas", seed=5):
     return mesh, cams, seg_cams, labels
 
 
+@pytest.mark.slow
 def test_distributed_pipeline_fused_backend_matches():
     """The FUSED (pallas) grouped pipeline — the production TPU path —
     must match the single-device aggregation exactly, with the integrity
@@ -159,24 +160,125 @@ def test_distributed_pipeline_fused_backend_matches():
     assert (pred[observed] == labels[observed]).all()
 
 
-def test_pipeline_raises_on_undersized_fold_capacity():
-    """Deliberately undersized fold windows must RAISE, not silently drop
-    counts (docs/DESIGN.md integrity doctrine)."""
+def test_pipeline_resizes_on_undersized_fold_capacity(caplog):
+    """Deliberately undersized fold windows must trigger the
+    resize-and-retry path (VERDICT r4 #6) and still produce EXACT counts
+    — never raise after partial work, never silently drop counts."""
+    import logging
+
     from geograypher_tpu.parallel.pipeline import (
         aggregate_class_images_distributed,
     )
 
-    mesh, cams, seg_cams, _ = _pipeline_scene(backend="pallas")
+    mesh, cams, seg_cams, labels = _pipeline_scene(backend="pallas")
     import dataclasses
 
-    mesh.raster_config = dataclasses.replace(
-        mesh.raster_config, fold_w_cap=8
-    )
-    with pytest.raises(RuntimeError, match="fold capacity overflow"):
-        aggregate_class_images_distributed(
+    undersized = dataclasses.replace(mesh.raster_config, fold_w_cap=8)
+    with caplog.at_level(
+        logging.WARNING, logger="geograypher_tpu.parallel.pipeline"
+    ):
+        frac_sums, views = aggregate_class_images_distributed(
             mesh, seg_cams, n_classes=3, auto_size_fold=False,
-            integrity_check=False,
+            integrity_check=False, config=undersized,
         )
+    assert any("re-censusing" in r.message for r in caplog.records)
+    avg, info = mesh.aggregate_projected_images(seg_cams)
+    observed = info["projection_counts"] > 0
+    assert np.allclose(views[observed], info["projection_counts"][observed])
+    with np.errstate(invalid="ignore"):
+        frac = frac_sums / views[:, None]
+    assert np.allclose(frac[observed], avg[observed], atol=1e-5, equal_nan=True)
+
+
+@pytest.mark.slow
+def test_pipeline_benign_first_hostile_later(caplog):
+    """A survey whose FIRST step (the one the capacities are probed on)
+    is benign nadir and whose LATER steps contain a hostile oblique must
+    complete with correct counts, re-sizing only the offending steps
+    (VERDICT r4 #6 done-criterion)."""
+    import dataclasses
+    import logging
+
+    from geograypher_tpu.cameras.core import CameraSet
+    from geograypher_tpu.cameras.segmentor_set import SegmentorCameraSet
+    from geograypher_tpu.meshes.mesh import TexturedMesh
+    from geograypher_tpu.parallel.pipeline import (
+        aggregate_class_images_distributed,
+    )
+    from geograypher_tpu.parallel.planner import (
+        _build_window_stats,
+        pack_camera_batch,
+    )
+    from geograypher_tpu.predictors.segmentors import ArraySegmentor
+    from geograypher_tpu.utils.fixtures import oblique_camera
+
+    rng = np.random.default_rng(7)
+    verts, faces = make_grid_mesh(
+        n=13, size=4.0, z_fn=lambda x, y: 0.1 * np.sin(3 * x)
+    )
+    cfg = RasterConfig(caps=(256, 64, 32, 16), backend="pallas")
+    mesh = TexturedMesh((verts, faces), raster_config=cfg)
+    labels = rng.integers(0, 3, mesh.n_faces).astype(float)
+    mesh.set_texture(labels, is_vertex=False)
+    # 8 benign nadir views (= exactly the first 8-device step), then 4
+    # hostile obliques in the second step
+    c2ws = []
+    for k in range(8):
+        c2w = nadir_camera(4.0, 40.0, 80)
+        c2w[0, 3] += 0.1 * k
+        c2ws.append(c2w)
+    for k in range(4):
+        c2ws.append(
+            oblique_camera(4.0, 55.0, 80, pitch_deg=42.0,
+                           azimuth_deg=90.0 * k)
+        )
+    sensor0 = {"f": 40.0, "cx": 0.0, "cy": 0.0,
+               "image_width": 80, "image_height": 80}
+    cams = CameraSet(
+        c2ws,
+        {0: sensor0, 1: dict(sensor0, f=55.0)},
+        sensor_IDs=[0] * 8 + [1] * 4,
+    )
+    # measure the true per-view fold-window demands and pick a static
+    # capacity that covers every nadir view but NOT the obliques
+    batch = cams.get_camera_batch()
+    params = pack_camera_batch(batch, np.ones(12, np.float32))
+    tri_soa = mesh._tri_soa_device(cams)
+    stats, _ = _build_window_stats(cfg, False, 80, 80, mesh.n_faces)
+    wins = [
+        int(np.asarray(stats(tri_soa, jnp.asarray(params[k]))[0]))
+        for k in range(12)
+    ]
+    w_nadir, w_obl = max(wins[:8]), max(wins[8:])
+    if w_obl <= w_nadir:
+        pytest.skip(
+            f"oblique demand {w_obl} does not exceed nadir {w_nadir} at "
+            "this scale"
+        )
+    between = dataclasses.replace(
+        cfg, fold_w_cap=8 * (-(-(w_nadir + 1) // 8))
+    )
+    renders = [r[..., 0] for r in mesh.render_flat(cams)]
+    seg_cams = SegmentorCameraSet(
+        cams, ArraySegmentor(renders, num_classes=3)
+    )
+    with caplog.at_level(
+        logging.WARNING, logger="geograypher_tpu.parallel.pipeline"
+    ):
+        frac_sums, views = aggregate_class_images_distributed(
+            mesh, seg_cams, n_classes=3, auto_size_fold=False,
+            integrity_check=False, config=between,
+        )
+    resizes = [r for r in caplog.records if "re-censusing" in r.message]
+    assert resizes, "hostile oblique step did not trigger the resize path"
+    # only the hostile step's views were re-run
+    assert "4 views in 1 steps" in resizes[0].message
+    avg, info = mesh.aggregate_projected_images(seg_cams)
+    observed = info["projection_counts"] > 0
+    assert np.allclose(views[observed], info["projection_counts"][observed])
+    with np.errstate(invalid="ignore"):
+        frac = frac_sums / views[:, None]
+    assert np.allclose(frac[observed], avg[observed], atol=1e-5, equal_nan=True)
 
 
 def test_pipeline_warmup_guard_detects_corruption(monkeypatch):
@@ -207,6 +309,7 @@ def test_pipeline_warmup_guard_detects_corruption(monkeypatch):
         pipeline_mod._build_one_view_counts.cache_clear()
 
 
+@pytest.mark.slow
 def test_distributed_pipeline_subtile_auto_size():
     """The distributed pipeline census-sizes level-S chunk capacities from
     a probe view when handed an UNsized subtile config, and matches the
