@@ -20,9 +20,14 @@ via a planar-arrangement construction:
    with the half-edge machinery of :mod:`utils.exact_geometry`.
 
 Everything is host-side numpy f64 (results exact up to f64 rounding and
-the snapping quantum — no raster grid).  Complexity is O(S^2) over input
-segments, intended for boundary-scale layers (thousands of edges), not
-per-pixel work.
+the snapping quantum — no raster grid).  Small inputs run the dense
+all-pairs path; above ``_GRID_THRESHOLD`` segments every quadratic stage
+switches to a uniform-grid tiled arrangement (candidate pairs from
+shared bbox cells, y-bucketed ray casting for coverage, 3x3-cell
+neighborhoods for the safe-offset distances) — same exact math, only the
+candidate enumeration changes, lifting the practical ceiling from ~4k to
+~10^5 edges (VERDICT r4 #9; the reference gets this scale from GEOS,
+utils/geometric.py:13).
 """
 
 from __future__ import annotations
@@ -74,12 +79,90 @@ def _gather_segments(layers):
     return np.concatenate(segs, 0), np.concatenate(tags, 0)
 
 
+# above this many segments the quadratic stages switch to the grid paths
+_GRID_THRESHOLD = 2000
+
+
+def _grid_cells_of_boxes(bb_lo, bb_hi, origin, cell, n_cells):
+    """Cell-id lists for bboxes over a uniform grid.
+
+    Returns (cell_ids (K,), owner (K,)) where ``owner[k]`` is the box
+    whose bbox covers ``cell_ids[k]``, plus the list of 'global' boxes
+    spanning more than 32 cells a side (paired against everything by the
+    callers instead of exploding their cell lists)."""
+    i0 = np.clip(((bb_lo - origin) / cell).astype(np.int64), 0, n_cells - 1)
+    i1 = np.clip(((bb_hi - origin) / cell).astype(np.int64), 0, n_cells - 1)
+    span = (i1 - i0) + 1
+    glob = (span[:, 0] > 32) | (span[:, 1] > 32)
+    local = np.nonzero(~glob)[0]
+    counts = span[local, 0] * span[local, 1]
+    owner = np.repeat(local, counts)
+    # per-box row-major cell enumeration without a Python loop: offset
+    # within each box's span via cumulative position
+    ends = np.cumsum(counts)
+    pos = np.arange(int(ends[-1]) if counts.size else 0) - np.repeat(
+        ends - counts, counts
+    )
+    w_ = span[owner, 0]
+    dx = pos % w_
+    dy = pos // w_
+    cx = i0[owner, 0] + dx
+    cy = i0[owner, 1] + dy
+    return cy * n_cells + cx, owner, np.nonzero(glob)[0]
+
+
+def _candidate_pairs(segs: np.ndarray, scale: float):
+    """(i, j) candidate index pairs whose bboxes share a grid cell.
+
+    Only bbox-overlapping segments can interact, so the exact split math
+    run on these pairs equals the dense all-pairs result.  Cell size is
+    ~2x the median segment bbox (short survey edges -> a few cells per
+    segment); segments spanning >32 cells pair against everything."""
+    s = segs.shape[0]
+    bb_lo = segs.min(axis=1)
+    bb_hi = segs.max(axis=1)
+    sizes = (bb_hi - bb_lo).max(axis=1)
+    cell = float(max(np.median(sizes) * 2.0, scale / 4096, 1e-30))
+    origin = bb_lo.min(axis=0)
+    n_cells = max(int(np.ceil(scale / cell)) + 1, 1)
+    cell_ids, owner, glob = _grid_cells_of_boxes(
+        bb_lo, bb_hi, origin, cell, n_cells
+    )
+    pairs = []
+    if owner.size:
+        order = np.argsort(cell_ids, kind="stable")
+        cid_s, own_s = cell_ids[order], owner[order]
+        starts = np.nonzero(np.diff(cid_s))[0] + 1
+        bounds = np.concatenate([[0], starts, [cid_s.size]])
+        for b0, b1 in zip(bounds[:-1], bounds[1:]):
+            members = own_s[b0:b1]
+            if members.size >= 2:
+                ii, jj = np.meshgrid(members, members, indexing="ij")
+                m = ii < jj
+                pairs.append(np.stack([ii[m], jj[m]], axis=1))
+    if glob.size:
+        others = np.arange(s)
+        gi = np.repeat(glob, s)
+        gj = np.tile(others, glob.size)
+        m = gi != gj
+        gi, gj = gi[m], gj[m]
+        pairs.append(
+            np.stack([np.minimum(gi, gj), np.maximum(gi, gj)], axis=1)
+        )
+    if not pairs:
+        return (np.zeros(0, np.int64),) * 2
+    allp = np.unique(np.concatenate(pairs, axis=0), axis=0)
+    return allp[:, 0], allp[:, 1]
+
+
 def _split_params(segs: np.ndarray, scale: float):
     """Per-segment sorted split parameters from all pairwise interactions.
 
     Covers proper crossings, endpoints lying on other segments
     (T-junctions), and collinear overlaps (the other segment's endpoints
-    project in).  O(S^2) vectorized.
+    project in).  Candidate pairs are all-pairs for small inputs and
+    grid-filtered above ``_GRID_THRESHOLD`` (identical results — only
+    bbox-overlapping pairs can interact).
     """
     s = segs.shape[0]
     params: typing.List[typing.List[float]] = [[] for _ in range(s)]
@@ -90,7 +173,12 @@ def _split_params(segs: np.ndarray, scale: float):
     d = segs[:, 1] - segs[:, 0]
 
     # pairwise cross products: r x s, (q - p) x r, (q - p) x s
-    i_idx, j_idx = np.triu_indices(s, k=1)
+    if s <= _GRID_THRESHOLD:
+        i_idx, j_idx = np.triu_indices(s, k=1)
+    else:
+        i_idx, j_idx = _candidate_pairs(segs, scale)
+    if i_idx.size == 0:
+        return params
     p, r = a[i_idx], d[i_idx]
     q, v = a[j_idx], d[j_idx]
     rxs = r[:, 0] * v[:, 1] - r[:, 1] * v[:, 0]
@@ -172,6 +260,128 @@ def _point_seg_dist(pts: np.ndarray, segs_a: np.ndarray, segs_b: np.ndarray):
     return np.linalg.norm(pts[:, None, :] - closest, axis=-1)
 
 
+def _nearest_other_dist(mid, fa, fb, ln, scale):
+    """(F,) distance from each fragment midpoint to the nearest OTHER
+    fragment — a LOWER BOUND suffices (the offset only needs to stay
+    inside the midpoint's arrangement cell).
+
+    Dense (F, F) matrix for small inputs; above ``_GRID_THRESHOLD`` each
+    midpoint searches only the fragments binned into the 3x3 cells
+    around it — any fragment whose bbox misses that block is at least
+    one full cell away, so ``cell`` bounds those."""
+    n = mid.shape[0]
+    if n <= _GRID_THRESHOLD:
+        dist = _point_seg_dist(mid, fa, fb)
+        np.fill_diagonal(dist, np.inf)
+        return dist.min(axis=1)
+    cell = float(max(np.median(ln) * 2.0, scale / 4096, 1e-30))
+    bb_lo = np.minimum(fa, fb)
+    bb_hi = np.maximum(fa, fb)
+    origin = bb_lo.min(axis=0) - cell  # one-cell apron for 3x3 windows
+    n_cells = max(int(np.ceil((scale + 2 * cell) / cell)) + 1, 3)
+    cell_ids, owner, glob = _grid_cells_of_boxes(
+        bb_lo, bb_hi, origin, cell, n_cells
+    )
+    order = np.argsort(cell_ids, kind="stable")
+    cid_s, own_s = cell_ids[order], owner[order]
+    uniq = np.unique(cid_s)
+    starts = np.searchsorted(cid_s, uniq)
+    ends = np.searchsorted(cid_s, uniq, side="right")
+    members = {int(c): own_s[s:e] for c, s, e in zip(uniq, starts, ends)}
+
+    out = np.full(n, cell, np.float64)  # beyond-3x3 lower bound
+    pc = ((mid - origin) / cell).astype(np.int64)
+    glob_set = glob
+    # group midpoints by their cell; per group, gather 3x3 candidates
+    pids = pc[:, 1] * n_cells + pc[:, 0]
+    porder = np.argsort(pids, kind="stable")
+    pid_s = pids[porder]
+    pu = np.unique(pid_s)
+    ps = np.searchsorted(pid_s, pu)
+    pe = np.searchsorted(pid_s, pu, side="right")
+    for c, s, e in zip(pu, ps, pe):
+        pts_i = porder[s:e]
+        cy, cx = int(c) // n_cells, int(c) % n_cells
+        cand = [
+            members.get((cy + dy) * n_cells + (cx + dx))
+            for dy in (-1, 0, 1)
+            for dx in (-1, 0, 1)
+            if 0 <= cy + dy < n_cells and 0 <= cx + dx < n_cells
+        ]
+        cand = [m for m in cand if m is not None]
+        if glob_set.size:
+            cand.append(glob_set)
+        if not cand:
+            continue
+        cand = np.unique(np.concatenate(cand))
+        d = _point_seg_dist(mid[pts_i], fa[cand], fb[cand])
+        d[pts_i[:, None] == cand[None, :]] = np.inf
+        out[pts_i] = np.minimum(out[pts_i], d.min(axis=1))
+    return out
+
+
+def _parity_bucketed(pts: np.ndarray, rings) -> np.ndarray:
+    """(P,) crossing parity of points vs ALL ring edges, y-bucketed.
+
+    For a valid polygon (holes strictly inside the exterior) the even-odd
+    parity over exterior+hole edges equals ``exterior & ~holes`` — the
+    same result as ``Polygon.contains_points`` without its O(P x E)
+    matrix.  Buckets hold ~64 edges; cost ~O(P * 64 + E * spans)."""
+    e0 = np.concatenate(
+        [
+            r[:-1] if (r[0] == r[-1]).all() else r
+            for r in rings
+        ]
+    )
+    e1 = np.concatenate(
+        [
+            r[1:] if (r[0] == r[-1]).all() else np.roll(r, -1, axis=0)
+            for r in rings
+        ]
+    )
+    n_edges = e0.shape[0]
+    if n_edges == 0:
+        return np.zeros(pts.shape[0], bool)
+    ey_lo = np.minimum(e0[:, 1], e1[:, 1])
+    ey_hi = np.maximum(e0[:, 1], e1[:, 1])
+    y_min = float(ey_lo.min())
+    y_max = float(ey_hi.max())
+    n_b = max(1, min(n_edges // 64 + 1, 1 << 16))
+    h = max((y_max - y_min) / n_b, 1e-300)
+    b_lo = np.clip(((ey_lo - y_min) / h).astype(np.int64), 0, n_b - 1)
+    b_hi = np.clip(((ey_hi - y_min) / h).astype(np.int64), 0, n_b - 1)
+    counts = b_hi - b_lo + 1
+    edge_of = np.repeat(np.arange(n_edges), counts)
+    ends = np.cumsum(counts)
+    pos = np.arange(int(ends[-1])) - np.repeat(ends - counts, counts)
+    bucket_of = b_lo[edge_of] + pos
+    order = np.argsort(bucket_of, kind="stable")
+    bucket_s, edge_s = bucket_of[order], edge_of[order]
+    # CSR over buckets
+    starts = np.searchsorted(bucket_s, np.arange(n_b + 1))
+
+    pb = np.clip(((pts[:, 1] - y_min) / h).astype(np.int64), 0, n_b - 1)
+    out = np.zeros(pts.shape[0], bool)
+    porder = np.argsort(pb, kind="stable")
+    pb_s = pb[porder]
+    pstarts = np.searchsorted(pb_s, np.arange(n_b + 1))
+    for b in np.unique(pb_s):
+        p_sel = porder[pstarts[b]:pstarts[b + 1]]
+        e_sel = edge_s[starts[b]:starts[b + 1]]
+        if e_sel.size == 0:
+            continue
+        px = pts[p_sel, 0:1]
+        py = pts[p_sel, 1:2]
+        x0, y0 = e0[e_sel, 0][None], e0[e_sel, 1][None]
+        x1, y1 = e1[e_sel, 0][None], e1[e_sel, 1][None]
+        cond = (y0 <= py) != (y1 <= py)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xint = x0 + (py - y0) * (x1 - x0) / (y1 - y0)
+        crossings = np.sum(cond & (px < xint), axis=1)
+        out[p_sel] = (crossings % 2) == 1
+    return out
+
+
 def _coverage(pts: np.ndarray, layer) -> np.ndarray:
     """(P,) bool: point covered by ANY polygon of the layer."""
     cov = np.zeros(pts.shape[0], bool)
@@ -181,7 +391,13 @@ def _coverage(pts: np.ndarray, layer) -> np.ndarray:
             (pts[:, 0] >= x0) & (pts[:, 0] <= x1)
             & (pts[:, 1] >= y0) & (pts[:, 1] <= y1)
         )
-        if np.any(cand):
+        if not np.any(cand):
+            continue
+        rings = _closed_rings(poly)
+        n_edges = sum(r.shape[0] for r in rings)
+        if n_edges * int(cand.sum()) > 4_000_000:
+            cov[cand] = _parity_bucketed(pts[cand], rings)
+        else:
             cov[cand] = poly.contains_points(pts[cand])
     return cov
 
@@ -259,9 +475,9 @@ def boolean_layers(
     # per-fragment safe offset: under half the distance to the nearest
     # OTHER fragment (the offset point then shares the midpoint's
     # arrangement cell), capped by the fragment's own length
-    dist = _point_seg_dist(mid, fa, fb)
-    np.fill_diagonal(dist, np.inf)
-    delta = np.minimum(0.45 * dist.min(axis=1), 0.25 * ln)
+    delta = np.minimum(
+        0.45 * _nearest_other_dist(mid, fa, fb, ln, scale), 0.25 * ln
+    )
     delta = np.maximum(delta, 1e-11 * scale)
 
     pl = mid + delta[:, None] * nrm
@@ -303,10 +519,21 @@ def non_overlapping_exact(
     split a polygon; the reference keeps these as MultiPolygons)."""
     order = np.argsort([p.area for p in polygons], kind="stable")
     taken: typing.List[Polygon] = []
+    taken_bounds: typing.List[typing.Tuple[float, float, float, float]] = []
     out: typing.List[typing.List[Polygon]] = [[] for _ in polygons]
     for i in order:
         poly = polygons[i]
-        parts = difference_exact([poly], taken) if taken else [poly]
+        # bbox prefilter: only already-claimed polygons that can overlap
+        # this one participate in the (expensive) exact difference — a
+        # mostly-disjoint layer stays near-linear
+        x0, y0, x1, y1 = poly.bounds
+        cand = [
+            t
+            for t, (tx0, ty0, tx1, ty1) in zip(taken, taken_bounds)
+            if tx0 <= x1 and tx1 >= x0 and ty0 <= y1 and ty1 >= y0
+        ]
+        parts = difference_exact([poly], cand) if cand else [poly]
         out[int(i)] = parts
         taken.extend(parts)
+        taken_bounds.extend(p.bounds for p in parts)
     return out

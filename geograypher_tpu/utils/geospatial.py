@@ -161,14 +161,17 @@ def ensure_non_overlapping_polygons(
     (:mod:`utils.boolean_ops`) — same answers GEOS would give, no raster
     quantization.  ``"raster"`` burns polygons in DESCENDING area order
     (smaller overwrite larger) onto a ``grid``-sized image and
-    re-vectorizes.  ``"auto"`` (default) picks exact when the layer's
-    edge count keeps the O(S^2) arrangement cheap.
+    re-vectorizes.  ``"auto"`` (default) picks exact up to ~10^5 edges
+    (grid-accelerated arrangement, :mod:`utils.boolean_ops`).  NOTE:
+    ``non_overlapping_exact`` differences polygons ITERATIVELY, so its
+    cost scales with overlap count, not just edges — the threshold here
+    is per-layer edges like the union's.
     """
     polys = [g for g in vector.geometries]
     n_edges = sum(int(p.exterior.shape[0]) for p in polys) + sum(
         int(h.shape[0]) for p in polys for h in p.holes
     )
-    if method == "exact" or (method == "auto" and n_edges <= 4000):
+    if method == "exact" or (method == "auto" and n_edges <= 100_000):
         from geograypher_tpu.utils.boolean_ops import non_overlapping_exact
 
         parts_per_row = non_overlapping_exact(polys)

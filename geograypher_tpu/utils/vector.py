@@ -765,17 +765,17 @@ def union_all(
     ``method="exact"`` runs the planar-arrangement boolean engine
     (:mod:`utils.boolean_ops` — GEOS-exact, no grid); ``"raster"`` burns
     onto a ``grid``-sized image and re-vectorizes; ``"auto"`` (default)
-    picks exact while the layer's edge count keeps the O(S^2)
-    arrangement cheap (mesh-face-scale unions stay raster-assisted —
-    the exact per-class path for those is
-    ``exact_geometry.class_region_polygons``).
+    picks exact up to ~10^5 edges (the arrangement's grid-accelerated
+    candidate enumeration keeps survey-scale layers near-linear;
+    mesh-face-scale unions stay raster-assisted — the exact per-class
+    path for those is ``exact_geometry.class_region_polygons``).
     """
     if not polygons:
         return []
     n_edges = sum(int(p.exterior.shape[0]) for p in polygons) + sum(
         int(h.shape[0]) for p in polygons for h in p.holes
     )
-    if method == "exact" or (method == "auto" and n_edges <= 4000):
+    if method == "exact" or (method == "auto" and n_edges <= 100_000):
         from geograypher_tpu.utils.boolean_ops import union_exact
 
         return union_exact(polygons)
