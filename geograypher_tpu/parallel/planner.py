@@ -715,14 +715,17 @@ class PlannedAggregator:
 
     # -- execution ---------------------------------------------------------
 
-    def run(self):
+    def run(self, positions: typing.Optional[typing.Sequence[int]] = None):
         """Dispatch every group of every bucket; returns the device
         accumulator (callers time this + one sync).  Per-group overflow
-        scalars are retained (device) for :meth:`finalize`."""
+        scalars are retained (device) for :meth:`finalize`.  ``positions``
+        restricts to those bucket indices (per-bucket attribution)."""
         plan = self.plan
         acc = jnp.zeros((plan.n_faces, self.n_classes), jnp.float32)
         self._group_overs = []  # (bucket_pos, idx, over)
         for pos, (step, g, bucket) in enumerate(self._programs):
+            if positions is not None and pos not in positions:
+                continue
             for idx in self._groups(bucket.view_indices, g):
                 sel = jnp.asarray(idx, jnp.int32)
                 acc, over = step(

@@ -47,6 +47,54 @@ def make_grid_mesh(
     return verts, faces.astype(np.int32)
 
 
+def make_irregular_mesh(
+    n_points: int = 2000,
+    size: float = 4.0,
+    z_fn=None,
+    seed: int = 0,
+    jitter: float = 0.45,
+    extra_frac: float = 0.2,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Irregular Delaunay TIN over jittered grid points plus uniform extras.
+
+    Models what photogrammetry software exports (arbitrary Metashape TINs,
+    reference meshes.py:157-229): no scanline structure, irregular vertex
+    valence, and locally varying density — the adversarial counterpart of
+    :func:`make_grid_mesh` for face-ordering benchmarks.  ``jitter`` is
+    the per-point displacement in units of the grid step; ``extra_frac``
+    adds that fraction of extra uniformly-random points (density
+    variation).  Triangles are oriented consistently (counter-clockwise
+    in xy, like the grid mesh's upward normals).
+
+    Returns (verts (V, 3) float64, faces (F, 3) int32), F ~= 2 * n_points.
+    """
+    from scipy.spatial import Delaunay
+
+    rng = np.random.default_rng(seed)
+    n_grid = max(int(np.sqrt(n_points / (1.0 + extra_frac))), 2)
+    step = size / (n_grid - 1)
+    coords = -size / 2 + step * np.arange(n_grid)
+    xx, yy = np.meshgrid(coords, coords, indexing="xy")
+    pts = np.stack([xx.ravel(), yy.ravel()], axis=1)
+    pts = pts + rng.uniform(-jitter * step, jitter * step, pts.shape)
+    n_extra = int(extra_frac * pts.shape[0])
+    if n_extra:
+        extra = rng.uniform(-size / 2, size / 2, (n_extra, 2))
+        pts = np.concatenate([pts, extra], axis=0)
+    tri = Delaunay(pts)
+    faces = tri.simplices.astype(np.int32)
+    # enforce CCW orientation in xy (Delaunay does not guarantee it)
+    a, b, c = pts[faces[:, 0]], pts[faces[:, 1]], pts[faces[:, 2]]
+    det = (b[:, 0] - a[:, 0]) * (c[:, 1] - a[:, 1]) - (
+        b[:, 1] - a[:, 1]
+    ) * (c[:, 0] - a[:, 0])
+    flip = det < 0
+    faces[flip] = faces[flip][:, ::-1]
+    zz = np.zeros(pts.shape[0]) if z_fn is None else z_fn(pts[:, 0], pts[:, 1])
+    verts = np.concatenate([pts, zz[:, None]], axis=1)
+    return verts, faces
+
+
 def oblique_camera(
     scene_width: float = 4.0,
     focal: float = 100.0,

@@ -4,8 +4,10 @@ import json
 import subprocess
 import sys
 from pathlib import Path
+import pytest
 
 
+@pytest.mark.slow
 def test_bench_smoke():
     repo = Path(__file__).parent.parent
     out = subprocess.run(

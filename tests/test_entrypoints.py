@@ -42,6 +42,7 @@ def test_aggregate_images_recovers_labels(survey, tmp_path):
     assert len(doc["features"]) >= 1
 
 
+@pytest.mark.slow
 def test_render_labels_from_vector(survey, tmp_path):
     """Geospatial polygons -> per-image masks with correct classes."""
     from geograypher_tpu.entrypoints.render_labels import render_labels
@@ -149,6 +150,7 @@ def test_visualize(survey, tmp_path):
     assert shot.exists() and shot.stat().st_size > 1000
 
 
+@pytest.mark.slow
 def test_render_labels_chunked(survey, tmp_path):
     """The chunked render path (cluster cameras -> sub-mesh per cluster)."""
     from geograypher_tpu.entrypoints.render_labels import render_labels

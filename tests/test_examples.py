@@ -10,6 +10,7 @@ import sys
 from pathlib import Path
 
 import numpy as np
+import pytest
 
 EXAMPLES = Path(__file__).parent.parent / "examples"
 sys.path.insert(0, str(EXAMPLES))
@@ -39,6 +40,7 @@ def test_concept_figure_example(tmp_path):
     assert (tmp_path / "out" / "figures" / "concept_views.png").exists()
 
 
+@pytest.mark.slow
 def test_aggregate_predictions_example(tmp_path):
     import aggregate_predictions
 
@@ -46,6 +48,7 @@ def test_aggregate_predictions_example(tmp_path):
     assert accuracy == 1.0
 
 
+@pytest.mark.slow
 def test_render_labels_example(tmp_path):
     import render_labels
 

@@ -129,6 +129,7 @@ def test_bucketing_splits_nadir_oblique(scene):
         assert b.max_win >= 0
 
 
+@pytest.mark.slow
 def test_sampled_census_retry_completes(scene):
     """A sampled census that only sees a benign (nadir) view must still
     produce exact counts: hostile views overflow, their groups contribute
@@ -162,6 +163,7 @@ def test_label_index_shares_rows(scene):
     np.testing.assert_array_equal(counts, ref)
 
 
+@pytest.mark.slow
 def test_mesh_planned_aggregation(scene):
     """TexturedMesh.aggregate_class_images_planned: the flagship plan
     through the public mesh API (VERDICT r4 #1), with plan caching."""
