@@ -102,8 +102,17 @@ def _prep_tri(verts, faces, bin_block, jnp, tri_to_soa, gather_tri_verts,
 
 
 def run_bench(out):
+    import logging
+
     import jax
     import jax.numpy as jnp
+
+    # planner/pipeline progress (census buckets, sizing, resizes) to stderr
+    logging.basicConfig(
+        stream=sys.stderr, level=logging.WARNING,
+        format="%(relativeCreated)8.0f %(name)s %(message)s",
+    )
+    logging.getLogger("geograypher_tpu.parallel").setLevel(logging.INFO)
 
     # persistent compile cache: repeated bench runs (and the driver's
     # final run) skip the 5-15 min remote compiles; correctness is
