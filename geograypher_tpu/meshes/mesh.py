@@ -1123,7 +1123,6 @@ class TexturedMesh:
                 self._face_bucket(self.n_faces),
                 use_dist,
             )
-            win = int(np.asarray(win))
             # entry compaction (RasterConfig.entry_caps) keeps the dense
             # census-cap count buffers from living past each view's
             # raster; undersizing is caught by the fused chain's
@@ -1134,9 +1133,15 @@ class TexturedMesh:
                 8 * max(1, -(-(int(v) * 2 + 64) // 8))
                 for v in np.asarray(occ)
             )
+            # per-level window caps: the L2+global fold's demand is
+            # structurally larger than L0's on meshes with global-level
+            # candidates (agg_tiled.level_fold_windows)
             cache[key] = dataclasses.replace(
                 config,
-                fold_w_cap=8 * ((win * 2 + 64 + 7) // 8),
+                fold_w_cap=tuple(
+                    8 * ((int(v) * 2 + 64 + 7) // 8)
+                    for v in np.asarray(win)
+                ),
                 entry_caps=entry_caps,
             )
         return cache[key]

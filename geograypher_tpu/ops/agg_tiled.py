@@ -785,6 +785,78 @@ def entry_occupancy(binned, config, image_h: int, image_w: int):
     return jnp.stack(occ)
 
 
+def _level_w_caps(w_cap, n_levels: int) -> tuple:
+    """Resolve an int-or-per-level ``w_cap`` into one cap per fold level.
+
+    The fold launches once per level (L0, L1, L2+global[, S]) and each
+    launch pads every face block's window to ``w_cap`` entries — but the
+    levels' demands are structurally different (see
+    :func:`level_fold_windows`), so a shared scalar either undersizes the
+    L2+global level (dropped counts) or oversizes the hot L0 one (wasted
+    window DMA).  A tuple shorter than the level count reuses its last
+    value (a 3-tuple sizes level S like L2)."""
+    if isinstance(w_cap, (tuple, list)):
+        caps = tuple(int(c) for c in w_cap)
+        if len(caps) < n_levels:
+            caps = caps + (caps[-1],) * (n_levels - len(caps))
+        return caps[:n_levels]
+    return (int(w_cap),) * n_levels
+
+
+@functools.partial(
+    jax.jit, static_argnames=("config", "image_h", "image_w", "n_faces")
+)
+def level_fold_windows(
+    binned, config, image_h: int, image_w: int, n_faces: int, sb=None
+):
+    """Exact per-level fold-window demand ``[L0, L1, L2+global, S]`` for
+    one view — sizes a per-level ``RasterConfig.fold_w_cap``.
+
+    The merged L2+global candidate list's windows are structurally unlike
+    L0's: every nonempty global chunk's face-id band can span the whole
+    mesh and is replicated into EVERY occupied L2 tile, so on meshes
+    where the global census level is non-empty (irregular TINs with
+    locally large faces — the reference ingests arbitrary Metashape TINs,
+    meshes.py:157-229) the L2 fold's per-block window demand routinely
+    exceeds the L0 one.  An L0-only probe undersizes it: the round-5
+    irregular-TIN benchmark overflowed its grouped fold by ~1000 entries
+    while the L0-probed cap claimed 1.25x headroom.  The S slot is 0
+    when the subtile level is off.
+    """
+    from geograypher_tpu.ops.rasterize import expand_block_ids, l0_face_ids
+
+    bb = config.bin_block
+    nty2, ntx2 = config.grids(image_h, image_w)[2]
+    cand2m = jnp.concatenate(
+        [
+            binned.cand[2],
+            jnp.broadcast_to(binned.cand[3], (nty2 * ntx2, config.caps[3])),
+        ],
+        axis=1,
+    )
+    wins = []
+    for ids in (
+        l0_face_ids(binned, config),
+        expand_block_ids(binned.cand[1], bb),
+        expand_block_ids(cand2m, bb),
+    ):
+        _over, win = fold_window_overflow(
+            ids, n_faces=n_faces, w_cap=504, block=config.fold_block
+        )
+        wins.append(win)
+    if sb is not None:
+        from geograypher_tpu.ops.subtile import s_entry_ids
+
+        _over, s_win = fold_window_overflow(
+            s_entry_ids(sb, config), n_faces=n_faces, w_cap=504,
+            block=config.fold_block,
+        )
+        wins.append(s_win)
+    else:
+        wins.append(jnp.zeros((), jnp.int32))
+    return jnp.stack(wins)
+
+
 @functools.partial(jax.jit, static_argnames=("n_faces", "block", "w_cap"))
 def fold_window_overflow(
     ids: jax.Array, n_faces: int, block: int = 1024, w_cap: int = 96
@@ -1239,6 +1311,7 @@ def fold_tile_counts_grouped(
         _per_level_entries(outs, binned, config, image_h, image_w)
         for outs, binned in views
     ]
+    w_caps = _level_w_caps(w_cap, len(per_level[0]))
     dense = None
     over = jnp.zeros((), jnp.int32)
     for lvl in range(len(per_level[0])):
@@ -1246,7 +1319,7 @@ def fold_tile_counts_grouped(
         ids = jnp.concatenate([v[lvl][1] for v in per_level], axis=0)
         d, win_over = face_counts_from_tiles(
             counts, ids, n_faces=n_faces, planes=per_level[0][lvl][2],
-            w_cap=w_cap, block=block, return_overflow=True,
+            w_cap=w_caps[lvl], block=block, return_overflow=True,
             units_aligned=all(v[lvl][4] for v in per_level),
         )
         dense = d if dense is None else dense + d

@@ -86,10 +86,13 @@ class RasterConfig:
     # pairs per unit (cheap under bin_block).
     l0_window: Union[int, Tuple[int, int]] = 2
     # face-block fold capacities for the fused aggregation path
-    # (ops/agg_tiled.py); size via agg_tiled.fold_window_overflow for a
-    # survey configuration (overflows drop counts, never corrupt)
+    # (ops/agg_tiled.py); size via agg_tiled.level_fold_windows for a
+    # survey configuration (overflows drop counts, never corrupt).
+    # fold_w_cap is an int (shared by all fold levels) or a per-level
+    # (L0, L1, L2+global[, S]) tuple — the L2+global level needs its own
+    # cap on meshes with global-level candidates (irregular TINs)
     fold_block: int = 1024
-    fold_w_cap: int = 256
+    fold_w_cap: Union[int, Tuple[int, ...]] = 256
     # per-level (L0, L1, L2+global) caps on NONEMPTY 128-slot chunk
     # entries per view for the fused fold: when set, each view's count
     # entries are compacted to the occupied chunks right after its
@@ -988,13 +991,13 @@ def probe_fold_window(
     n_faces: int,
     use_dist: bool,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Worst-case (fold-window demand, per-level nonempty chunk-entry
-    occupancy) for one view — sizes ``RasterConfig.fold_w_cap`` and
-    ``entry_caps`` (see ops/agg_tiled.fold_window_overflow /
-    entry_occupancy)."""
+    """Worst-case (per-level fold-window demand (4,), per-level nonempty
+    chunk-entry occupancy (3,)) for one view — sizes
+    ``RasterConfig.fold_w_cap`` (per level) and ``entry_caps`` (see
+    ops/agg_tiled.level_fold_windows / entry_occupancy)."""
     from geograypher_tpu.ops.agg_tiled import (
         entry_occupancy,
-        fold_window_overflow,
+        level_fold_windows,
     )
 
     setup = setup_from_soa(
@@ -1002,21 +1005,11 @@ def probe_fold_window(
         distortion=(dist8, pcx, pcy) if use_dist else None,
     )
     binned, sb = bin_all(setup, config, image_h, image_w)
-    _over, win = fold_window_overflow(
-        l0_face_ids(binned, config), n_faces=n_faces, w_cap=504,
-        block=config.fold_block,
+    # exact unclipped per-block maxes per fold level (probe cap-free)
+    wins = level_fold_windows(
+        binned, config, image_h, image_w, n_faces, sb=sb
     )
-    if sb is not None:
-        # the S fold launch shares w_cap: size from the worse of the two
-        from geograypher_tpu.ops.subtile import s_entry_ids
-
-        _so, s_win = fold_window_overflow(
-            s_entry_ids(sb, config), n_faces=n_faces, w_cap=504,
-            block=config.fold_block,
-        )
-        win = jnp.maximum(win, s_win)
-    # win is the exact unclipped per-block max (probe cap irrelevant)
-    return win, entry_occupancy(binned, config, image_h, image_w)
+    return wins, entry_occupancy(binned, config, image_h, image_w)
 
 
 @functools.partial(

@@ -177,10 +177,13 @@ def _build_probe_windows(
     def probe_windows(tri_soa, params_probe):
         from geograypher_tpu.ops.agg_tiled import (
             entry_occupancy,
-            fold_window_overflow,
+            level_fold_windows,
         )
 
-        worst = jnp.zeros((), jnp.int32)
+        # per-LEVEL window maxes: the L2+global fold's demand is
+        # structurally larger than L0's on meshes with global-level
+        # candidates (agg_tiled.level_fold_windows)
+        worst = jnp.zeros((4,), jnp.int32)
         worst_occ = jnp.zeros((3,), jnp.int32)
         for k in range(n_probe):
             w2c_k, f_k, dist_k, _ = _unpack_row(params_probe[k], use_dist)
@@ -188,19 +191,10 @@ def _build_probe_windows(
                 tri_soa, w2c_k, f_k, w, h, config.znear, distortion=dist_k
             )
             binned, sb = bin_all(setup, config, h, w)
-            _over_k, win_k = fold_window_overflow(
-                l0_face_ids(binned, config), n_faces=n_faces,
-                w_cap=504, block=fold_block,
+            worst = jnp.maximum(
+                worst,
+                level_fold_windows(binned, config, h, w, n_faces, sb=sb),
             )
-            if sb is not None:
-                from geograypher_tpu.ops.subtile import s_entry_ids
-
-                _so, s_win = fold_window_overflow(
-                    s_entry_ids(sb, config), n_faces=n_faces,
-                    w_cap=504, block=fold_block,
-                )
-                win_k = jnp.maximum(win_k, s_win)
-            worst = jnp.maximum(worst, win_k)
             worst_occ = jnp.maximum(
                 worst_occ, entry_occupancy(binned, config, h, w)
             )
@@ -524,14 +518,16 @@ def aggregate_class_images_distributed(
             config, use_dist, n_probe, w, h, n_faces, fold_block
         )
         max_win, worst_occ = probe_windows(tri_soa, params[:n_probe])
-        max_win = int(np.asarray(max_win))
         # 2x + 64 margins: only the FIRST step's views are probed, and
         # unprobed oblique views can need noticeably more than nadir
         # ones (window padding is nearly free — the kernel loops over
         # TRUE window lengths — and compacted entries stay well under
         # the dense stacks); undersizing is still caught by the in-step
-        # overflow guard below
-        w_cap = 8 * ((max_win * 2 + 64 + 7) // 8)
+        # overflow guard below.  One cap per fold level (the L2+global
+        # level outgrows L0 on irregular TINs).
+        w_cap = tuple(
+            8 * ((int(v) * 2 + 64 + 7) // 8) for v in np.asarray(max_win)
+        )
         entry_caps = tuple(
             8 * max(1, -(-(int(v) * 2 + 64) // 8))
             for v in np.asarray(worst_occ)
@@ -744,7 +740,10 @@ def aggregate_class_images_distributed(
             nb = sub_plan.buckets[0]
             retry_cfg = dataclasses.replace(
                 nb.config, fold_block=fold_block,
-                fold_w_cap=8 * ((nb.max_win * 2 * attempt + 64 + 7) // 8),
+                fold_w_cap=tuple(
+                    8 * ((int(v) * 2 * attempt + 64 + 7) // 8)
+                    for v in nb.max_win
+                ),
             )
             retry_step = _build_device_step(
                 device_mesh, retry_cfg, use_dist, fused, group, w, h,

@@ -133,7 +133,9 @@ class BucketPlan:
 
     config: RasterConfig  # fully sized (caps, entry_caps, occ_pairs, S)
     view_indices: typing.Tuple[int, ...]
-    max_win: int  # worst per-block fold-window demand over probed views
+    # worst per-block fold-window demand over probed views, PER FOLD
+    # LEVEL (L0, L1, L2+global, S) — see agg_tiled.level_fold_windows
+    max_win: typing.Tuple[int, int, int, int]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -207,10 +209,15 @@ def _build_window_stats(
     config: RasterConfig, use_dist: bool, w: int, h: int, n_faces: int
 ):
     """Per-view fold/entry/occupied-pair demand under a bucket config:
-    (max window, binning overflow, entry occupancy (3,), occupied pairs)."""
+    (per-level windows (4,), binning overflow, entry occupancy (3,),
+    occupied pairs).  Windows are probed PER FOLD LEVEL
+    (agg_tiled.level_fold_windows): the L2+global level's demand is
+    structurally larger than L0's whenever the global census level is
+    non-empty (irregular TINs), and an L0-only probe undersized the
+    grouped fold by ~1000 entries on the round-5 irregular benchmark."""
     from geograypher_tpu.ops.agg_tiled import (
         entry_occupancy,
-        fold_window_overflow,
+        level_fold_windows,
     )
     from geograypher_tpu.ops.rasterize import _occupied_pairs
 
@@ -224,26 +231,16 @@ def _build_window_stats(
             tri_soa, w2c_k, f_k, w, h, config.znear, distortion=dist_k
         )
         binned, sb = bin_all(setup, config, h, w)
-        _over, win = fold_window_overflow(
-            l0_face_ids(binned, config), n_faces=n_faces, w_cap=504,
-            block=config.fold_block,
-        )
+        wins = level_fold_windows(binned, config, h, w, n_faces, sb=sb)
         bin_over = binned.overflow
         if sb is not None:
-            from geograypher_tpu.ops.subtile import s_entry_ids
-
-            _so, s_win = fold_window_overflow(
-                s_entry_ids(sb, config), n_faces=n_faces, w_cap=504,
-                block=config.fold_block,
-            )
-            win = jnp.maximum(win, s_win)
             bin_over = bin_over + sb.overflow
         _pids, occ_mask, _oo = _occupied_pairs(
             setup, binned, sb,
             dataclasses.replace(config, occ_pairs=n_pairs_tot), h, w,
         )
         return (
-            win, bin_over, entry_occupancy(binned, config, h, w),
+            wins, bin_over, entry_occupancy(binned, config, h, w),
             jnp.sum(occ_mask.astype(jnp.int32)),
         )
 
@@ -362,12 +359,17 @@ def plan_aggregation(
     params_dev = jnp.asarray(params)
     view_caps: dict = {}
     view_s: dict = {}
-    for k in census_idx:
-        lvl, s_tot, s_worst = census(tri_soa, params_dev[k])
-        view_caps[k] = _margin_caps(np.asarray(lvl), cap_margin * extra)
-        view_s[k] = (
-            int(np.asarray(s_tot)), int(np.asarray(s_worst))
-        )
+    # dispatch every census asynchronously, then ONE host fetch for the
+    # stacked results: per-view np.asarray round trips through the dev
+    # tunnel (~100 ms each) dominated plan_seconds at 20+ views
+    results = [census(tri_soa, params_dev[k]) for k in census_idx]
+    lvls = np.asarray(jnp.stack([r[0] for r in results]))
+    s_stats = np.asarray(
+        jnp.stack([jnp.stack([r[1], r[2]]) for r in results])
+    )
+    for i, k in enumerate(census_idx):
+        view_caps[k] = _margin_caps(lvls[i], cap_margin * extra)
+        view_s[k] = (int(s_stats[i, 0]), int(s_stats[i, 1]))
     if sampled:
         # nearest censused neighbor by view index: survey views are
         # ordered along flight lines, so adjacent views share pose regime
@@ -405,12 +407,20 @@ def plan_aggregation(
             config_b, use_dist, image_w, image_h, n_faces
         )
         probe_idx = [k for k in idxs if k in census_idx] or idxs[:1]
-        max_win = 0
+        # async dispatch + one stacked fetch (see census loop above)
+        stats = [window_stats(tri_soa, params_dev[k]) for k in probe_idx]
+        scal = np.asarray(
+            jnp.stack(
+                [jnp.stack([s[1], s[3]]) for s in stats]
+            )
+        )
+        wins = np.asarray(jnp.stack([s[0] for s in stats]))
+        occs = np.asarray(jnp.stack([s[2] for s in stats]))
+        max_win = np.zeros(4, np.int64)
         max_occ = 0
         worst_entries = np.zeros(3, np.int64)
-        for k in probe_idx:
-            win, bin_over, occ, n_occ = window_stats(tri_soa, params_dev[k])
-            bin_over = int(np.asarray(bin_over))
+        for i, k in enumerate(probe_idx):
+            bin_over = int(scal[i, 0])
             if bin_over and not sampled:
                 # an exactly-censused view must fit its margined caps;
                 # overflow here means the margin rounding lost to the
@@ -420,9 +430,9 @@ def plan_aggregation(
                     f"view {k}: rasterizer cap overflow ({bin_over} "
                     f"candidates dropped) under its own bucket caps {key}"
                 )
-            max_win = max(max_win, int(np.asarray(win)))
-            max_occ = max(max_occ, int(np.asarray(n_occ)))
-            worst_entries = np.maximum(worst_entries, np.asarray(occ))
+            max_win = np.maximum(max_win, wins[i])
+            max_occ = max(max_occ, int(scal[i, 1]))
+            worst_entries = np.maximum(worst_entries, occs[i])
         entry_caps = tuple(
             int(8 * (-(-int(np.ceil(n * entry_margin * extra)) // 8)))
             for n in worst_entries
@@ -435,14 +445,16 @@ def plan_aggregation(
         )
         logger.info(
             "bucket %s: %d views, entry caps %s, occ pairs %d/%d, "
-            "max window %d", key, len(idxs), entry_caps, occ_cap,
-            n_pairs_tot, max_win,
+            "max windows %s", key, len(idxs), entry_caps, occ_cap,
+            n_pairs_tot, max_win.tolist(),
         )
         plans.append(
             BucketPlan(
                 config=config_b,
                 view_indices=tuple(idxs),
-                max_win=int(np.ceil(max_win * extra)),
+                max_win=tuple(
+                    int(np.ceil(v * extra)) for v in max_win
+                ),
             )
         )
 
@@ -506,9 +518,19 @@ def _build_group_step_counts(
     return group_step
 
 
-def _group_w_cap(g: int, max_win: int, margin: float) -> int:
-    """Static fold-window capacity for a g-view grouped fold."""
-    return 8 * ((int(np.ceil(g * max_win * margin)) + 7) // 8)
+def _group_w_cap(g: int, max_win, margin: float) -> tuple:
+    """Static per-level fold-window capacities for a g-view grouped fold.
+
+    A group's per-block window at each level is at most the sum of its
+    views' windows there, so ``g * max_win[level]`` (margined, 8-aligned)
+    covers it; each level gets its OWN cap (scalar ``max_win`` is
+    accepted for compatibility and shared across levels)."""
+    if not isinstance(max_win, (tuple, list, np.ndarray)):
+        max_win = (max_win,)
+    return tuple(
+        max(8, 8 * ((int(np.ceil(g * int(v) * margin)) + 7) // 8))
+        for v in max_win
+    )
 
 
 @functools.lru_cache(maxsize=16)

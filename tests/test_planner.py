@@ -126,7 +126,90 @@ def test_bucketing_splits_nadir_oblique(scene):
     for b in plan.buckets:
         assert b.config.entry_caps is not None
         assert b.config.occ_pairs is not None
-        assert b.max_win >= 0
+        assert len(b.max_win) == 4 and all(v >= 0 for v in b.max_win)
+
+
+def test_global_level_window_sizing():
+    """Meshes with a non-empty GLOBAL census level (irregular TINs with
+    locally large faces) must plan per-level fold windows: the merged
+    L2+global level's per-block window demand outgrows L0's (every
+    global chunk's id band spans the mesh and is replicated into every
+    L2 tile), so an L0-only probe undersizes the grouped fold — the
+    round-5 irregular benchmark overflowed ~1000 entries at its planned
+    caps and thrashed the group-size fallback.  Regression: plan +
+    grouped run completes with ZERO resizes and exact counts."""
+    from geograypher_tpu.utils.fixtures import make_irregular_mesh
+
+    h, w = 96, 512
+    cfg = dataclasses.replace(BASE, level_scales=(1, 2, 4))
+    verts, faces = make_irregular_mesh(n_points=1200, size=4.0, seed=2)
+    # three mesh-spanning triangles: bboxes exceed the 2x2 L2 window
+    big_tris = np.array(
+        [
+            [[-2, -2, 0.3], [2, -2, 0.3], [0, 2, 0.3]],
+            [[-2, 2, 0.25], [2, 2, 0.25], [0, -2, 0.25]],
+            [[-2, 0, 0.2], [2, 0.5, 0.2], [0.5, 2, 0.2]],
+        ],
+        np.float32,
+    )
+    f_n = faces.shape[0] + 3
+    f_pad = -(-f_n // 8) * 8
+    tv = np.concatenate(
+        [gather_tri_verts(verts, faces).astype(np.float32), big_tris]
+    )
+    tv = np.concatenate(
+        [
+            tv,
+            np.broadcast_to(
+                verts.mean(0).astype(np.float32), (f_pad - f_n, 3, 3)
+            ),
+        ]
+    )
+    tri = jnp.asarray(tri_to_soa(tv))
+    c2ws, fls = [], []
+    for k in range(4):
+        focal = (220.0, 260.0)[k % 2]
+        c2w = (
+            nadir_camera(4.0, focal, w)
+            if k % 2 == 0
+            else oblique_camera(
+                4.0, focal, w, pitch_deg=float(15 + 4 * k),
+                azimuth_deg=90.0 * k,
+            )
+        )
+        c2ws.append(np.linalg.inv(c2w))
+        fls.append(focal)
+    params = pack_view_params(
+        np.stack(c2ws).astype(np.float32), np.asarray(fls, np.float32)
+    )
+    labels = np.asarray(
+        jax.random.randint(
+            jax.random.PRNGKey(5), (4, h, w), 0, N_CLASSES, jnp.int32
+        )
+    )
+    plan = plan_aggregation(tri, params, cfg, h, w, f_pad, max_buckets=2)
+    # the global level must actually be exercised, and the L2+global
+    # window must be tracked independently of L0's
+    assert any(b.max_win[2] > 0 for b in plan.buckets)
+    agg = PlannedAggregator(plan, N_CLASSES, group=4)
+    agg.prepare(tri, params, labels)
+    agg.run()
+    counts = agg.finalize()
+    assert agg.resizes == 0, "per-level window sizing must avoid resizes"
+    ref_cfg = dataclasses.replace(
+        cfg, caps=(64, 32, 32, 48), fold_w_cap=504
+    )
+    ref = np.zeros_like(counts)
+    for k in range(4):
+        row = jnp.asarray(params[k])
+        c, over, _ = fused_view_class_counts(
+            tri, row[:16].reshape(4, 4), row[16], row[17:25], row[25],
+            row[26], jnp.asarray(labels[k]), w, h, ref_cfg, f_pad,
+            N_CLASSES, False,
+        )
+        assert int(np.asarray(over)) == 0
+        ref = ref + np.asarray(c)
+    np.testing.assert_array_equal(counts, ref)
 
 
 @pytest.mark.slow
