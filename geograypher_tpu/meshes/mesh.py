@@ -1355,6 +1355,32 @@ class TexturedMesh:
         """
         from geograypher_tpu.parallel import planner as _planner
 
+        (tri_soa, params, labels, h, w, use_dist, key, cache) = (
+            self._planned_inputs(
+                cameras, class_image_provider, aggregate_img_scale,
+                config, apply_distortion, max_buckets, census_sample,
+                labels,
+            )
+        )
+        config = config or self.raster_config
+        counts, plan = _planner.aggregate_counts_planned(
+            tri_soa, params, labels, config, h, w,
+            self._face_bucket(self.n_faces), n_classes,
+            use_dist=use_dist, max_buckets=max_buckets, group=group,
+            census_sample=census_sample, plan=cache.get(key),
+            label_index=label_index,
+        )
+        cache[key] = plan
+        return counts[: self.n_faces], plan
+
+    def _planned_inputs(
+        self, cameras, class_image_provider, aggregate_img_scale,
+        config, apply_distortion, max_buckets, census_sample, labels,
+    ):
+        """Shared prep for the planned aggregation paths: packed view
+        params, stacked label images, and the mesh-resident plan cache."""
+        from geograypher_tpu.parallel import planner as _planner
+
         config = config or self.raster_config
         if config.backend != "pallas":
             raise ValueError(
@@ -1398,16 +1424,67 @@ class TexturedMesh:
             config, round(aggregate_img_scale, 6), use_dist, max_buckets,
             census_sample, cameras.get_camera_hash(),
         )
-        plan = cache.get(key)
-        counts, plan = _planner.aggregate_counts_planned(
+        return tri_soa, params, labels, h, w, use_dist, key, cache
+
+    def aggregate_projected_images_planned(
+        self,
+        cameras: CameraSet,
+        n_classes: int,
+        class_image_provider: typing.Optional[
+            typing.Callable[[int], np.ndarray]
+        ] = None,
+        aggregate_img_scale: float = 1.0,
+        config: typing.Optional[RasterConfig] = None,
+        apply_distortion: typing.Optional[bool] = None,
+        max_buckets: int = 4,
+        group: int = 20,
+        census_sample: typing.Optional[int] = None,
+        label_index=None,
+        labels=None,
+    ):
+        """Census-bucketed VIEW-WEIGHTED aggregation — the reference's
+        ``aggregate_projected_images`` semantics (meshes.py:1971-2052:
+        per view, per-face class distribution; averaged over the views
+        seeing the face) at the planned flagship rate.  Each view gets
+        its own fold + normalization inside the bucket's grouped program
+        (``parallel/planner.py`` weighted mode).
+
+        Returns ``(average_projections (n_faces, n_classes) with NaN on
+        unseen faces, additional_information dict)`` — the same shape as
+        :meth:`aggregate_projected_images` for discrete class images.
+        """
+        from geograypher_tpu.parallel import planner as _planner
+
+        (tri_soa, params, labels, h, w, use_dist, key, cache) = (
+            self._planned_inputs(
+                cameras, class_image_provider, aggregate_img_scale,
+                config, apply_distortion, max_buckets, census_sample,
+                labels,
+            )
+        )
+        config = config or self.raster_config
+        value_sum, view_count, plan = _planner.aggregate_projected_planned(
             tri_soa, params, labels, config, h, w,
             self._face_bucket(self.n_faces), n_classes,
             use_dist=use_dist, max_buckets=max_buckets, group=group,
-            census_sample=census_sample, plan=plan,
+            census_sample=census_sample, plan=cache.get(key),
             label_index=label_index,
         )
         cache[key] = plan
-        return counts[: self.n_faces], plan
+        value_sum = value_sum[: self.n_faces]
+        view_count = view_count[: self.n_faces]
+        with np.errstate(invalid="ignore"):
+            avg = np.where(
+                view_count[:, None] > 0,
+                value_sum / np.maximum(view_count, 1.0)[:, None],
+                np.nan,
+            )
+        additional = {
+            "projection_counts": view_count,
+            "summed_projections": value_sum,
+            "plan": plan,
+        }
+        return avg, additional
 
     # -- ortho rasterization + vector export ---------------------------------
 

@@ -551,7 +551,9 @@ def _stage2_kernel(
 _KB_U = 8  # unit-kernel DMA batch: 8 entries x 16 units = one 128-lane row
 
 
-def _stage2_kernel_units(block: int, kp_pad: int, planes: int):
+def _stage2_kernel_units(
+    block: int, kp_pad: int, planes: int, kb: int = _KB_U
+):
     """Unit-granular radix deposit: the fast fold for 8-ALIGNED entries.
 
     Entry ids from the binning are runs of ``bin_block`` CONSECUTIVE
@@ -579,8 +581,9 @@ def _stage2_kernel_units(block: int, kp_pad: int, planes: int):
     """
     ring = _RING
     nu = block // 8  # units per face block
-    kb = _KB_U
-    sbu = kb * 16  # unit slots per DMA batch == 128 lanes
+    sbu = kb * 16  # unit slots per DMA batch (kb % 8 == 0 -> 128-lane
+    #               multiples; kb > 8 amortizes DMA issue/semaphore
+    #               latency over more entries per batch)
 
     def kernel(lo_ref, wl_ref, cnt_hbm, ids_hbm, out_ref,
                cnt_buf, ids_buf, acc_ref, sems):
@@ -886,7 +889,7 @@ def fold_window_overflow(
     jax.jit,
     static_argnames=(
         "n_faces", "block", "planes", "w_cap", "return_overflow",
-        "units_aligned",
+        "units_aligned", "units_kb",
     ),
 )
 def face_counts_from_tiles(
@@ -898,6 +901,7 @@ def face_counts_from_tiles(
     w_cap: int = 96,
     return_overflow: bool = False,
     units_aligned: bool = False,
+    units_kb: int = _KB_U,
 ):
     """Dense (n_faces_padded, kp) face-class counts from per-tile counts.
 
@@ -926,7 +930,7 @@ def face_counts_from_tiles(
     if units_aligned and s == _ENTRY_SLOTS and kp <= 16 and block % 8 == 0:
         return _face_counts_units(
             counts, ids, win, t, kp, nb, block, planes, w_cap,
-            return_overflow,
+            return_overflow, kb=units_kb,
         )
     kb = _stage2_batch_entries(block, kp, s, planes)
     # permute entries into the sorted window order (block windows become
@@ -1004,6 +1008,7 @@ def _face_counts_units(
     planes: int,
     w_cap: int,
     return_overflow: bool,
+    kb: int = _KB_U,
 ):
     """Unit-granular fold driver (see _stage2_kernel_units).
 
@@ -1012,7 +1017,9 @@ def _face_counts_units(
     at a multiple of 8 (or is all empty) — true for all tile-level entry
     ids built from ``expand_block_ids`` with ``bin_block % 8 == 0``.
     """
-    kb = _KB_U
+    if kb % 8 or kb < 8:
+        raise ValueError(f"fold_unit_kb must be a positive multiple of 8 "
+                         f"(got {kb})")
     pad_n = _round_up(w_cap + kb, kb) + kb  # + kb covers the lo rounding
     order_p = jnp.concatenate(
         [win.order, jnp.full((pad_n,), t, jnp.int32)]
@@ -1038,7 +1045,7 @@ def _face_counts_units(
     len_a = win.win_len + (win.lo - lo_a)
 
     nu = block // 8
-    kernel = _stage2_kernel_units(block, 16, planes)
+    kernel = _stage2_kernel_units(block, 16, planes, kb=kb)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(nb,),
@@ -1321,6 +1328,7 @@ def fold_tile_counts_grouped(
             counts, ids, n_faces=n_faces, planes=per_level[0][lvl][2],
             w_cap=w_caps[lvl], block=block, return_overflow=True,
             units_aligned=all(v[lvl][4] for v in per_level),
+            units_kb=getattr(config, "fold_unit_kb", _KB_U),
         )
         dense = d if dense is None else dense + d
         over = over + win_over

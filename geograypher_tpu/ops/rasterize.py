@@ -93,6 +93,10 @@ class RasterConfig:
     # cap on meshes with global-level candidates (irregular TINs)
     fold_block: int = 1024
     fold_w_cap: Union[int, Tuple[int, ...]] = 256
+    # unit-fold DMA batch width (entries per async copy, multiple of 8):
+    # larger batches amortize DMA issue + semaphore latency over more
+    # entries at the cost of ring VMEM (kb * 16 * 128 * 4 B per slot)
+    fold_unit_kb: int = 8
     # per-level (L0, L1, L2+global) caps on NONEMPTY 128-slot chunk
     # entries per view for the fused fold: when set, each view's count
     # entries are compacted to the occupied chunks right after its

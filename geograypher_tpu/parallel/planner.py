@@ -518,6 +518,57 @@ def _build_group_step_counts(
     return group_step
 
 
+@functools.lru_cache(maxsize=64)
+def _build_group_step_weighted(
+    config: RasterConfig, g: int, w: int, h: int, n_faces: int,
+    n_classes: int, w_cap: tuple, use_dist: bool,
+):
+    """One bucket's grouped VIEW-WEIGHTED program: g views' fused
+    raster+count chains, each followed by its OWN per-view fold and
+    normalization (counts/total per face), accumulated into
+    (value_sum, view_count) — the reference's ``aggregate_projected_images``
+    semantics (meshes.py:2016-2051) at the bucketed flagship rate.
+
+    Per-view folds share none of the grouped fold's launch amortization,
+    but their window work is identical (windows are per-view either way);
+    ``w_cap`` here is sized for ONE view.  The group's contribution is
+    gated on its total overflow exactly like the pooled program."""
+    from geograypher_tpu.ops.agg_tiled import fold_tile_counts
+
+    @functools.partial(jax.jit, donate_argnums=(3, 4))
+    def group_step(tri_soa, params_g, labels_g, acc, n_seen):
+        over = jnp.zeros((), jnp.int32)
+        contrib = jnp.zeros_like(acc)
+        seen_c = jnp.zeros_like(n_seen)
+        for k in range(g):
+            w2c_k, f_k, dist_k, _valid = unpack_row(params_g[k], use_dist)
+            setup = setup_from_soa(
+                tri_soa, w2c_k, f_k, w, h, config.znear, distortion=dist_k
+            )
+            binned, sb = bin_all(setup, config, h, w)
+            outs = fused_counts_pallas(
+                setup, binned, sb, labels_g[k], config, h, w, n_classes
+            )
+            over = over + binned.overflow
+            if sb is not None:
+                over = over + sb.overflow
+            counts_k, fold_over = fold_tile_counts(
+                outs, binned, config, h, w, n_faces, n_classes,
+                w_cap=w_cap, block=config.fold_block, return_overflow=True,
+            )
+            over = over + fold_over
+            counts_k = counts_k[:, :n_classes]
+            tot = jnp.sum(counts_k, axis=1, keepdims=True)
+            contrib = contrib + jnp.where(
+                tot > 0, counts_k / jnp.maximum(tot, 1.0), 0.0
+            )
+            seen_c = seen_c + (tot[:, 0] > 0).astype(jnp.float32)
+        gate = (over == 0).astype(jnp.float32)
+        return acc + gate * contrib, n_seen + gate * seen_c, over
+
+    return group_step
+
+
 def _group_w_cap(g: int, max_win, margin: float) -> tuple:
     """Static per-level fold-window capacities for a g-view grouped fold.
 
@@ -545,11 +596,12 @@ def _build_single_view_counts(
     @jax.jit
     def one_view(tri_soa, row, label):
         w2c_k, f_k, dist_k, _ = unpack_row(row, use_dist)
-        return jnp.sum(
-            fused_view_class_counts(
-                tri_soa, w2c_k, f_k, row[17:25], row[25], row[26], label,
-                w, h, config, n_faces, n_classes, use_dist,
-            )[0]
+        counts = fused_view_class_counts(
+            tri_soa, w2c_k, f_k, row[17:25], row[25], row[26], label,
+            w, h, config, n_faces, n_classes, use_dist,
+        )[0]
+        return jnp.sum(counts), jnp.sum(
+            jnp.any(counts > 0, axis=1).astype(jnp.float32)
         )
 
     return one_view
@@ -564,12 +616,14 @@ class PlannedAggregator:
     """Executes an :class:`AggregationPlan`: device-resident labels in,
     (n_faces, n_classes) pixel-count sums out.
 
-    Semantics: the POOLED pixel-count aggregation (sum over views of each
-    view's per-face per-class pixel counts).  The reference's view-
-    weighted average (meshes.py:2016-2051) is served by the streaming
-    pipeline / ``aggregate_projected_images``, which need per-view
-    normalization and therefore per-view folds; this grouped path shares
-    one fold across the group for the flagship rate.
+    Semantics: by default the POOLED pixel-count aggregation (sum over
+    views of each view's per-face per-class pixel counts), whose grouped
+    path shares one fold across the group.  With ``weighted=True`` each
+    view gets its own fold + per-face normalization (counts / total) and
+    the accumulators are (value_sum, view_count) — EXACTLY the
+    reference's view-weighted ``aggregate_projected_images`` semantics
+    (meshes.py:2016-2051) at the bucketed rate; ``finalize()`` then
+    returns the (value_sum, view_count) pair.
 
     Typical use::
 
@@ -589,6 +643,7 @@ class PlannedAggregator:
         warm_check: bool = True,
         max_retries: int = 2,
         retry_margin: float = 1.6,
+        weighted: bool = False,
     ):
         self.plan = plan
         self.n_classes = n_classes
@@ -597,6 +652,7 @@ class PlannedAggregator:
         self.warm_check = warm_check
         self.max_retries = max_retries
         self.retry_margin = retry_margin
+        self.weighted = weighted
         self._programs = None  # [(group_step, g, bucket)]
         self.resizes = 0  # buckets re-sized by the overflow retry
 
@@ -661,11 +717,7 @@ class PlannedAggregator:
                 g_tries.append(g)
         last_err = None
         for g in g_tries:
-            w_cap = _group_w_cap(g, bucket.max_win, self.window_margin)
-            step = _build_group_step_counts(
-                bucket.config, g, w, h, plan.n_faces, self.n_classes,
-                w_cap, plan.use_dist,
-            )
+            step = self._build_step(bucket.config, g, bucket.max_win, 1.0)
             try:
                 self._warm_one(step, g, bucket)
                 return (step, g, bucket)
@@ -685,6 +737,38 @@ class PlannedAggregator:
             f"corrupted output (last: {last_err})"
         )
 
+    def _build_step(self, config, g: int, max_win, extra_margin: float):
+        """The bucket's grouped program for this aggregator's semantics.
+
+        Pooled: one fold shared by the whole group (w_cap scales with g).
+        Weighted: per-view folds (w_cap sized for one view)."""
+        plan = self.plan
+        margin = self.window_margin * extra_margin
+        if self.weighted:
+            w_cap = _group_w_cap(1, max_win, margin)
+            return _build_group_step_weighted(
+                config, g, plan.image_w, plan.image_h, plan.n_faces,
+                self.n_classes, w_cap, plan.use_dist,
+            )
+        w_cap = _group_w_cap(g, max_win, margin)
+        return _build_group_step_counts(
+            config, g, plan.image_w, plan.image_h, plan.n_faces,
+            self.n_classes, w_cap, plan.use_dist,
+        )
+
+    def _init_accs(self):
+        plan = self.plan
+        acc = jnp.zeros((plan.n_faces, self.n_classes), jnp.float32)
+        if self.weighted:
+            return (acc, jnp.zeros((plan.n_faces,), jnp.float32))
+        return (acc,)
+
+    @staticmethod
+    def _apply_step(step, tri_soa, params_g, labels_g, accs):
+        """Dispatch one group; returns (new accs tuple, overflow)."""
+        out = step(tri_soa, params_g, labels_g, *accs)
+        return out[:-1], out[-1]
+
     def _groups(self, idxs, g):
         n = self.plan.n_views
         padded = list(idxs) + [n] * (-len(idxs) % g)
@@ -702,9 +786,9 @@ class PlannedAggregator:
         plan = self.plan
         idx = self._groups(bucket.view_indices, g)[0]
         sel = jnp.asarray(idx, jnp.int32)
-        acc = jnp.zeros((plan.n_faces, self.n_classes), jnp.float32)
-        acc, over = step(
-            self.tri_soa, self._params_pad[sel], self._label_sel(idx), acc
+        accs, over = self._apply_step(
+            step, self.tri_soa, self._params_pad[sel], self._label_sel(idx),
+            self._init_accs(),
         )
         n_over = int(np.asarray(over))
         if n_over:
@@ -714,20 +798,20 @@ class PlannedAggregator:
             )
         if not self.warm_check:
             return
-        got = float(np.asarray(jnp.sum(acc)))
+        got = float(np.asarray(jnp.sum(accs[0])))
         one_view = _build_single_view_counts(
             bucket.config, plan.image_w, plan.image_h, plan.n_faces,
             self.n_classes, plan.use_dist,
         )
         k0 = idx[0]
-        ref = float(
-            np.asarray(
-                one_view(
-                    self.tri_soa, self._params_pad[k0],
-                    self._labels_pad[int(self._lidx[k0])],
-                )
-            )
+        ref_sum, ref_seen = one_view(
+            self.tri_soa, self._params_pad[k0],
+            self._labels_pad[int(self._lidx[k0])],
         )
+        # pooled: group total >= the first view's count total; weighted:
+        # each seen face contributes exactly 1 to value_sum's total, so
+        # the group total >= the first view's seen-face count
+        ref = float(np.asarray(ref_seen if self.weighted else ref_sum))
         if ref > 0.0 and got < 0.5 * ref:
             raise RuntimeError(
                 f"grouped program count total {got:.6g} < half the single-"
@@ -742,26 +826,26 @@ class PlannedAggregator:
         accumulator (callers time this + one sync).  Per-group overflow
         scalars are retained (device) for :meth:`finalize`.  ``positions``
         restricts to those bucket indices (per-bucket attribution)."""
-        plan = self.plan
-        acc = jnp.zeros((plan.n_faces, self.n_classes), jnp.float32)
+        accs = self._init_accs()
         self._group_overs = []  # (bucket_pos, idx, over)
         for pos, (step, g, bucket) in enumerate(self._programs):
             if positions is not None and pos not in positions:
                 continue
             for idx in self._groups(bucket.view_indices, g):
                 sel = jnp.asarray(idx, jnp.int32)
-                acc, over = step(
-                    self.tri_soa, self._params_pad[sel],
-                    self._label_sel(idx), acc,
+                accs, over = self._apply_step(
+                    step, self.tri_soa, self._params_pad[sel],
+                    self._label_sel(idx), accs,
                 )
                 self._group_overs.append((pos, idx, over))
-        self._acc = acc
-        return acc
+        self._accs = accs
+        return accs[0]
 
-    def finalize(self) -> np.ndarray:
+    def finalize(self):
         """Fetch overflow flags; re-census + re-size + re-run any
         overflowed groups (their contributions were gated to zero), then
-        return the (n_faces, n_classes) numpy counts."""
+        return the (n_faces, n_classes) numpy counts — or, when
+        ``weighted``, the ``(value_sum, view_count)`` numpy pair."""
         plan = self.plan
         retries = 0
         while True:
@@ -800,12 +884,8 @@ class PlannedAggregator:
                 )
                 nb = sub_plan.buckets[0]
                 g2 = min(g, len(views))
-                w_cap = _group_w_cap(
-                    g2, nb.max_win, self.window_margin * self.retry_margin
-                )
-                step2 = _build_group_step_counts(
-                    nb.config, g2, plan.image_w, plan.image_h,
-                    plan.n_faces, self.n_classes, w_cap, plan.use_dist,
+                step2 = self._build_step(
+                    nb.config, g2, nb.max_win, self.retry_margin
                 )
                 # map survey view ids through the retry's local params
                 sub_params = np.concatenate(
@@ -828,16 +908,17 @@ class PlannedAggregator:
                         views[i] if i < local_pad else plan.n_views
                         for i in lidx
                     ]
-                    self._acc, over = step2(
-                        self.tri_soa,
+                    self._accs, over = self._apply_step(
+                        step2, self.tri_soa,
                         sub_params[jnp.asarray(lidx, jnp.int32)],
-                        self._label_sel(gidx),
-                        self._acc,
+                        self._label_sel(gidx), self._accs,
                     )
                     new_overs.append((pos, gidx, over))
             # only the re-run groups can still overflow
             self._group_overs = new_overs
-        return np.asarray(self._acc)
+        if self.weighted:
+            return np.asarray(self._accs[0]), np.asarray(self._accs[1])
+        return np.asarray(self._accs[0])
 
 
 def aggregate_counts_planned(
@@ -873,3 +954,41 @@ def aggregate_counts_planned(
     agg.prepare(tri_soa, params, labels, label_index=label_index)
     agg.run()
     return agg.finalize(), plan
+
+
+def aggregate_projected_planned(
+    tri_soa,
+    params: np.ndarray,
+    labels,
+    config: RasterConfig,
+    image_h: int,
+    image_w: int,
+    n_faces: int,
+    n_classes: int,
+    *,
+    use_dist: bool = False,
+    max_buckets: int = 4,
+    group: int = 20,
+    census_sample: typing.Optional[int] = None,
+    plan: typing.Optional[AggregationPlan] = None,
+    label_index=None,
+) -> typing.Tuple[np.ndarray, np.ndarray, AggregationPlan]:
+    """One-call VIEW-WEIGHTED planned aggregation.
+
+    The reference's ``aggregate_projected_images`` semantics
+    (meshes.py:2016-2051: per view, per-face class distribution
+    counts/total; averaged over the views that saw the face) at the
+    census-bucketed rate.  Returns ``(value_sum (F, C), view_count (F,),
+    plan)`` — the average is ``value_sum / view_count`` (NaN where
+    unseen), exactly ``ops.aggregate.finalize_aggregation``."""
+    if plan is None:
+        plan = plan_aggregation(
+            tri_soa, params, config, image_h, image_w, n_faces,
+            use_dist=use_dist, max_buckets=max_buckets,
+            census_sample=census_sample,
+        )
+    agg = PlannedAggregator(plan, n_classes, group=group, weighted=True)
+    agg.prepare(tri_soa, params, labels, label_index=label_index)
+    agg.run()
+    value_sum, view_count = agg.finalize()
+    return value_sum, view_count, plan

@@ -129,6 +129,51 @@ def test_bucketing_splits_nadir_oblique(scene):
         assert len(b.max_win) == 4 and all(v >= 0 for v in b.max_win)
 
 
+def _reference_weighted(tri, f_pad, params, labels):
+    """Per-view fused counts normalized per face (f32, like the device),
+    averaged over seeing views: (value_sum, view_count)."""
+    cfg = dataclasses.replace(
+        BASE, caps=(64, 32, 32, 32), fold_w_cap=504, fold_block=4096
+    )
+    value_sum = np.zeros((f_pad, N_CLASSES), np.float32)
+    view_count = np.zeros((f_pad,), np.float32)
+    for k in range(params.shape[0]):
+        row = jnp.asarray(params[k])
+        counts, over, _ = fused_view_class_counts(
+            tri, row[:16].reshape(4, 4), row[16], row[17:25], row[25],
+            row[26], jnp.asarray(labels[k]), W, H, cfg, f_pad, N_CLASSES,
+            False,
+        )
+        assert int(np.asarray(over)) == 0
+        counts = np.asarray(counts, np.float32)
+        tot = counts.sum(axis=1, dtype=np.float32)
+        seen = tot > 0
+        value_sum += np.where(
+            seen[:, None],
+            counts / np.maximum(tot, 1.0).astype(np.float32)[:, None],
+            0.0,
+        ).astype(np.float32)
+        view_count += seen.astype(np.float32)
+    return value_sum, view_count
+
+
+def test_weighted_planned_matches_reference(scene):
+    """The weighted planned path must reproduce the reference's
+    view-weighted aggregate_projected_images semantics (per view,
+    per-face distribution counts/total; averaged over seeing views)."""
+    from geograypher_tpu.parallel.planner import aggregate_projected_planned
+
+    tri, f_pad, params, labels = scene
+    value_sum, view_count, plan = aggregate_projected_planned(
+        tri, params, labels, BASE, H, W, f_pad, N_CLASSES,
+        max_buckets=2, group=3,
+    )
+    ref_vs, ref_vc = _reference_weighted(tri, f_pad, params, labels)
+    np.testing.assert_array_equal(view_count, ref_vc)
+    assert ref_vc.max() >= 2  # some faces genuinely multi-view
+    np.testing.assert_allclose(value_sum, ref_vs, rtol=1e-6, atol=1e-7)
+
+
 def test_global_level_window_sizing():
     """Meshes with a non-empty GLOBAL census level (irregular TINs with
     locally large faces) must plan per-level fold windows: the merged
@@ -303,6 +348,31 @@ def test_mesh_planned_aggregation(scene):
     )
     assert plan2 is plan
     np.testing.assert_array_equal(counts2, counts)
+
+    # the weighted variant through the mesh API: reference
+    # aggregate_projected_images semantics, same plan cache
+    avg, info = tmesh.aggregate_projected_images_planned(
+        cams, N_CLASSES, class_image_provider=lambda i: label_imgs[i],
+        max_buckets=2, group=2,
+    )
+    assert info["plan"] is plan
+    ref_vs, ref_vc = _reference_weighted(
+        tri, f_bucket, params, np.stack(label_imgs)
+    )
+    np.testing.assert_array_equal(
+        info["projection_counts"], ref_vc[: tmesh.n_faces]
+    )
+    np.testing.assert_allclose(
+        info["summed_projections"], ref_vs[: tmesh.n_faces],
+        rtol=1e-6, atol=1e-7,
+    )
+    seen = ref_vc[: tmesh.n_faces] > 0
+    assert np.isnan(avg[~seen]).all()
+    assert np.isfinite(avg[seen]).all()
+    # averages are distributions: rows sum to 1 on seen faces
+    np.testing.assert_allclose(
+        avg[seen].sum(axis=1), 1.0, rtol=1e-5
+    )
 
 
 def test_plan_reuse(scene):

@@ -279,14 +279,15 @@ def main():
         outs = stage_kernels(tri, w2c[k], fl[k], labels[k])
         views_dev.append((outs, setup_binned[0]))
 
-    @functools.partial(jax.jit, static_argnames=("blk",))
-    def fold_only(flat, blk):
+    @functools.partial(jax.jit, static_argnames=("blk", "kb", "wc"))
+    def fold_only(flat, blk, kb=8, wc=None):
         views_r = jax.tree.unflatten(treedef, flat)
         counts, _over = fold_tile_counts_grouped(
-            views_r, dataclasses.replace(config, fold_block=blk),
+            views_r,
+            dataclasses.replace(config, fold_block=blk, fold_unit_kb=kb),
             H, W, n_faces, n_classes,
-            w_cap=8 * ((g * max_win * 5 // 4 + 7) // 8), block=blk,
-            return_overflow=True,
+            w_cap=wc if wc else 8 * ((g * max_win * 5 // 4 + 7) // 8),
+            block=blk, return_overflow=True,
         )
         return counts
 
@@ -294,6 +295,34 @@ def main():
     for blk in (4096, 8192, 16384, 32768):
         tf = timeit(fold_only, flat, blk)
         print(f"fold-only (block={blk:5d}): {tf * 1e3 / g:8.2f} ms/view")
+
+    # ---- fold attribution -------------------------------------------------
+    # entries-only: _per_level_entries incl. entry compaction, no fold
+    # kernel; fixed-cost fold: w_cap=8 strips the window-proportional
+    # kernel work (one DMA batch per block), leaving relayout/takes/
+    # window build + per-block fixed kernel cost; kb sweep: DMA batch
+    # width of the unit kernel (issue/semaphore amortization).
+    from geograypher_tpu.ops.agg_tiled import _per_level_entries
+
+    @jax.jit
+    def entries_only(flat):
+        views_r = jax.tree.unflatten(treedef, flat)
+        lv = [
+            _per_level_entries(outs, binned, config, H, W)
+            for outs, binned in views_r
+        ]
+        return sum(jnp.sum(l[0][:2, :, :2]) for v in lv for l in v)
+
+    te = timeit(entries_only, flat)
+    print(f"entries-only:            {te * 1e3 / g:8.2f} ms/view")
+    tfx = timeit(fold_only, flat, args.fold_block, 8, 8)
+    print(f"fold fixed (w_cap=8):    {tfx * 1e3 / g:8.2f} ms/view")
+    for kb in (8, 16, 32, 64):
+        tk2 = timeit(fold_only, flat, args.fold_block, kb)
+        print(f"fold-only kb={kb:2d}:        {tk2 * 1e3 / g:8.2f} ms/view")
+    for kb in (16, 32, 64):
+        tk2 = timeit(fold_only, flat, 16384, kb)
+        print(f"fold-only kb={kb:2d} blk16k:  {tk2 * 1e3 / g:8.2f} ms/view")
 
 
 if __name__ == "__main__":
