@@ -1262,18 +1262,43 @@ class TexturedMesh:
                     "with a larger fold_w_cap / entry_caps."
                 )
 
+    # auto-route aggregate_projected_images to the planned path only when
+    # the survey is big enough to amortize the planner's fixed costs
+    # (census ~18 ms/view + per-bucket program compiles): total label
+    # pixels across views.  20 4K views = 166M; tiny test scenes never hit.
+    _PLANNED_MIN_PIXELS = 32 * 1024 * 1024
+    # device budget for the planner's int32 label stack (HBM is ~16 GB on
+    # one v5e chip and the mesh accumulators need headroom)
+    _PLANNED_LABEL_BUDGET = 4 * 1024**3
+
     def aggregate_projected_images(
         self,
         cameras: CameraSet,
         batch_size: int = 1,
         aggregate_img_scale: float = 1.0,
         return_all: bool = False,
+        use_planned="auto",
         **kwargs,
     ):
         """Average projections across views (reference meshes.py:1971-2052).
 
+        ``use_planned``: route through the census-bucketed planner
+        (:meth:`aggregate_projected_images_planned` — the flagship rate
+        with identical view-weighted semantics) when the views are exact
+        one-hot class stacks on the pallas backend.  ``"auto"`` (default)
+        routes surveys past ``_PLANNED_MIN_PIXELS`` total label pixels;
+        ``True`` forces it (raises with the reason when impossible);
+        ``False`` keeps the per-view streaming loop.
+
         Returns (average_projections (F, C), additional_information dict).
         """
+        if use_planned is not False and not return_all:
+            routed = self._route_projected_planned(
+                cameras, aggregate_img_scale, kwargs,
+                strict=(use_planned is True),
+            )
+            if routed is not None:
+                return routed
         n_channels = None
         state = None
         all_projections = []
@@ -1306,6 +1331,77 @@ class TexturedMesh:
         if return_all:
             additional["all_projections"] = all_projections
         return avg, additional
+
+    def _route_projected_planned(
+        self, cameras, aggregate_img_scale: float, kwargs: dict,
+        strict: bool,
+    ):
+        """Try to serve :meth:`aggregate_projected_images` through the
+        planned weighted path; return its (avg, additional) or None with
+        the fallback reason logged (raised when ``strict``)."""
+        reason = None
+        extra = set(kwargs) - {"config", "apply_distortion"}
+        config = kwargs.get("config") or self.raster_config
+        batch = None
+        if extra:
+            reason = f"unsupported project_images kwargs {sorted(extra)}"
+        elif config.backend != "pallas":
+            reason = "planned path requires the pallas backend"
+        else:
+            batch = cameras.get_camera_batch(
+                image_scale=aggregate_img_scale
+            )
+            px = len(cameras) * batch.image_height * batch.image_width
+            if not strict and px < self._PLANNED_MIN_PIXELS:
+                reason = (
+                    f"survey too small to amortize planning "
+                    f"({px} label pixels < {self._PLANNED_MIN_PIXELS})"
+                )
+            elif px * 4 > self._PLANNED_LABEL_BUDGET:
+                reason = (
+                    f"label stack ({px * 4 / 1e9:.1f} GB int32) exceeds "
+                    "the device budget; streaming instead"
+                )
+        labels, n_classes = [], None
+        if reason is None:
+            for i in range(len(cameras)):
+                img = np.asarray(
+                    cameras.get_image_by_index(i, aggregate_img_scale)
+                )
+                cls = self._as_class_image(img)
+                if cls is None:
+                    reason = f"view {i} is not an exact one-hot class stack"
+                    break
+                if n_classes is None:
+                    n_classes = img.shape[-1]
+                elif img.shape[-1] != n_classes:
+                    reason = f"view {i} channel count changed"
+                    break
+                if cls.shape != (batch.image_height, batch.image_width):
+                    reason = f"view {i} image size differs from the batch"
+                    break
+                labels.append(cls)
+        if reason is not None:
+            if strict:
+                raise ValueError(
+                    f"use_planned=True but the planned path cannot serve "
+                    f"this call: {reason}"
+                )
+            logger.debug(
+                "aggregate_projected_images: streaming (%s)", reason
+            )
+            return None
+        logger.info(
+            "aggregate_projected_images: routing %d views through the "
+            "planned weighted path", len(cameras),
+        )
+        return self.aggregate_projected_images_planned(
+            cameras, n_classes,
+            aggregate_img_scale=aggregate_img_scale,
+            config=kwargs.get("config"),
+            apply_distortion=kwargs.get("apply_distortion"),
+            labels=np.stack(labels, axis=0),
+        )
 
     def aggregate_class_images_planned(
         self,

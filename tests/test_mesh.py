@@ -1,6 +1,7 @@
 """TexturedMesh engine tests: CRS frames, ROI, textures, rendering,
 aggregation, vector export, polygon labeling."""
 
+import dataclasses
 import json
 from pathlib import Path
 
@@ -139,6 +140,52 @@ def test_render_and_aggregate_round_trip_local_frame():
     observed = info["projection_counts"] > 0
     pred = np.argmax(avg, axis=1).astype(float)
     assert (pred[observed] == face_labels[observed]).mean() > 0.99
+
+
+def test_aggregate_projected_images_planned_routing():
+    """use_planned=True must serve the reference-shaped API through the
+    planned weighted path and agree with the streaming loop; 'auto' on a
+    tiny survey must stay streaming (below the amortization threshold)."""
+    mesh, _ = make_geo_mesh(n=15, size=40.0)
+    mesh.raster_config = dataclasses.replace(CFG, backend="pallas")
+    cams = local_camera_set(mesh, n_cams=3)
+    rng = np.random.default_rng(1)
+    face_labels = rng.integers(0, 4, mesh.n_faces).astype(float)
+    mesh.set_texture(face_labels, is_vertex=False)
+    renders = list(mesh.render_flat(cams))
+
+    from geograypher_tpu.cameras.segmentor_set import SegmentorCameraSet
+    from geograypher_tpu.predictors.segmentors import ArraySegmentor
+
+    seg = ArraySegmentor([r[..., 0] for r in renders], num_classes=4)
+    seg_cams = SegmentorCameraSet(cams, seg)
+    avg_s, info_s = mesh.aggregate_projected_images(
+        seg_cams, use_planned=False
+    )
+    avg_p, info_p = mesh.aggregate_projected_images(
+        seg_cams, use_planned=True
+    )
+    assert "plan" in info_p  # proves the planned path actually served it
+    np.testing.assert_array_equal(
+        info_p["projection_counts"], info_s["projection_counts"]
+    )
+    np.testing.assert_allclose(
+        info_p["summed_projections"], info_s["summed_projections"],
+        rtol=1e-5, atol=1e-6,
+    )
+    seen = info_s["projection_counts"] > 0
+    np.testing.assert_allclose(
+        avg_p[seen], avg_s[seen], rtol=1e-5, atol=1e-6
+    )
+    assert np.isnan(avg_p[~seen]).all()
+    # auto on a tiny survey: streaming (no plan in additional info)
+    _avg_a, info_a = mesh.aggregate_projected_images(seg_cams)
+    assert "plan" not in info_a
+    # strict routing reports the reason when it cannot serve the call
+    with pytest.raises(ValueError, match="cannot serve"):
+        mesh.aggregate_projected_images(
+            seg_cams, use_planned=True, check_null_image=True
+        )
 
 
 def test_export_face_labels_vector(tmp_path):
