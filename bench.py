@@ -222,9 +222,11 @@ def run_bench(out):
                 np.asarray(distortion, np.float32), (n_views, 8)
             )
         params_ = pack_view_params(w2c_, fl_, distortion=dist)
+        # int8 label stack (the planner stores int8 anyway): a 20-view 4K
+        # int32 stack is ~660 MB of device memory and the suites leak-OOMed
         labels_ = jax.random.randint(
             jax.random.PRNGKey(7), (n_views, H_, W_), 0, n_classes,
-            jnp.int32,
+            jnp.int8,
         )
         return c2ws_, fls_, params_, labels_
 
@@ -311,13 +313,15 @@ def run_bench(out):
         fin_s = time.perf_counter() - t0
         if counts[:10].sum() < 0 or sums[-1] <= 0:
             raise RuntimeError("aggregation produced no counts")
+        resizes = agg.resizes
+        agg.close()  # free the device label stack before the next suite
         med = statistics.median(times)
         extras = {
             "times_s": [round(t, 4) for t in times],
             "median_s": med,
             "plan_seconds": plan.plan_seconds,
             "finalize_s": fin_s,
-            "resizes": agg.resizes,
+            "resizes": resizes,
             "buckets": [
                 {"caps": list(b.config.caps), "views": len(b.view_indices)}
                 for b in plan.buckets
@@ -353,6 +357,18 @@ def run_bench(out):
 
     skip_extras = os.environ.get("BENCH_SKIP_EXTRAS", "0") == "1"
 
+    import gc
+
+    def _free(*arrs):
+        """Delete device arrays between suites: four of round-5's eight
+        metrics died RESOURCE_EXHAUSTED on accumulated label stacks."""
+        for a in arrs:
+            try:
+                a.delete()
+            except Exception:
+                pass
+        gc.collect()
+
     # ---- irregular Delaunay TIN (the plan was never tuned on this) --------
     if on_tpu and not skip_extras:
         try:
@@ -373,8 +389,10 @@ def run_bench(out):
             out["irregular_buckets"] = iex["buckets"]
             print(f"irregular TIN ({if_pad} faces): {ivps:.3f} views/s, "
                   f"buckets {iex['buckets']}", file=sys.stderr)
+            _free(itri)
         except Exception as e:
             print(f"irregular metric failed: {e!r}", file=sys.stderr)
+            gc.collect()
 
     # ---- Brown–Conrady calibrated sensor (the dryrun's k1/k2/p1 at 4K) ----
     if on_tpu and not skip_extras:
@@ -390,8 +408,10 @@ def run_bench(out):
             )
             out["distorted_views_per_s"] = round(dvps, 3)
             print(f"distorted sensor: {dvps:.3f} views/s", file=sys.stderr)
+            _free(dlabels)
         except Exception as e:
             print(f"distorted metric failed: {e!r}", file=sys.stderr)
+            gc.collect()
 
     # ---- 1000-view sustained run (sampled census + overflow retry) --------
     if on_tpu and not skip_extras:
@@ -412,6 +432,7 @@ def run_bench(out):
             float(np.asarray(jnp.sum(acc)))
             agg_b.finalize()
             dt_b = time.perf_counter() - t0
+            agg_b.close()
             n_big = n_views * reps
             # sustained includes the sampled census/sizing (part of
             # plan_b via prep, measured separately) but not compiles
@@ -428,6 +449,12 @@ def run_bench(out):
             )
         except Exception as e:
             print(f"sustained metric failed: {e!r}", file=sys.stderr)
+            try:
+                agg_b.close()
+            except Exception:
+                pass
+            gc.collect()
+        _free(labels)  # remaining suites build their own label stacks
 
     # ---- the reference examples' own working scale (0.25) -----------------
     if on_tpu and os.environ.get("BENCH_REFSCALE", "1") == "1":
@@ -444,8 +471,10 @@ def run_bench(out):
                 "same 4K suite aggregated at the reference examples' "
                 "aggregate_img_scale=0.25 working scale"
             )
+            _free(slabels)
         except Exception as e:
             print(f"refscale metric failed: {e!r}", file=sys.stderr)
+            gc.collect()
 
     # ---- end-to-end streaming pipeline (incl. host transfer) --------------
     # aggregate_class_images_distributed with host-thread label prefetch.

@@ -348,6 +348,44 @@ def _build_one_view_counts(
     return one_view_counts
 
 
+def _bucket_step_config(bucket, fold_block: int):
+    """A :class:`planner.BucketPlan`'s config readied for the pipeline's
+    per-view-fold device step: per-level fold windows sized for ONE view
+    at the bucket's probed maxima, with the airtight ``entry_caps`` bound
+    where affordable (planner._group_w_cap)."""
+    from geograypher_tpu.parallel import planner as _planner
+
+    w_cap = _planner._group_w_cap(
+        1, bucket.max_win, 1.25, entry_caps=bucket.config.entry_caps
+    )
+    return dataclasses.replace(
+        bucket.config, fold_block=fold_block, fold_w_cap=w_cap
+    )
+
+
+def _cover_step_config(plan, fold_block: int):
+    """One config covering every bucket, for the < step_views tail views
+    pooled across buckets: elementwise-max binning caps (plan.cover_config,
+    entry compaction off), max subtile chunk capacities, and fold windows
+    at 2x the worst bucket's probed maxima (tail views were censused under
+    their own bucket; the margin absorbs the cap change, and the step's
+    overflow gate + resize-retry covers the rest)."""
+    from geograypher_tpu.parallel import planner as _planner
+
+    cfg = plan.cover_config
+    if cfg.subtile is not None:
+        s_cap = max(b.config.s_cap_chunks or 0 for b in plan.buckets)
+        s_pc = max(b.config.s_pair_chunks or 0 for b in plan.buckets)
+        cfg = dataclasses.replace(
+            cfg, s_cap_chunks=s_cap or None, s_pair_chunks=s_pc or None
+        )
+    max_win = tuple(
+        max(b.max_win[i] for b in plan.buckets) for i in range(4)
+    )
+    w_cap = _planner._group_w_cap(1, max_win, 2.0)
+    return dataclasses.replace(cfg, fold_block=fold_block, fold_w_cap=w_cap)
+
+
 def aggregate_class_images_distributed(
     mesh,
     cameras,
@@ -444,25 +482,86 @@ def aggregate_class_images_distributed(
 
     n = len(cameras)
     step_views = n_dev * group
-    n_pad = -(-n // step_views) * step_views
-    order = list(range(n)) + [0] * (n_pad - n)
-    valid = np.array([1.0] * n + [0.0] * (n_pad - n), np.float32)
-    params = _pack_params(batch, np.ones(n, np.float32))[order]
-    params[:, _PROW - 1] = valid
+    params_all = _pack_params(batch, np.ones(n, np.float32))
 
     # -- cached auto-sizing ----------------------------------------------------
-    # The census + fold-window probes cost several views of device work;
+    # The census + sizing probes cost several views of device work;
     # re-running them on every call would put them on the steady-state
     # critical path (the timed bench calls this twice with identical
-    # inputs).  The sized config is cached on the MESH keyed by
-    # everything the probes see; geometry edits clear it via
+    # inputs).  The plan (or legacy sized config) is cached on the MESH
+    # keyed by everything the probes see; geometry edits clear it via
     # _invalidate_geometry_caches.
     _cfg_cache = getattr(mesh, "_pipeline_cfg_cache", None)
     if _cfg_cache is None:
         _cfg_cache = {}
         mesh._pipeline_cfg_cache = _cfg_cache
+
+    # -- census-bucketed step plan ---------------------------------------------
+    # ONE worst-case config across a mixed nadir/oblique survey ran every
+    # view at oblique-sized shapes and measured ~60-70 % of the bucketed
+    # rate (docs/DESIGN.md round-4 table); reuse the library planner to
+    # census the views, bucket them, and run bucket-homogeneous steps at
+    # each bucket's own exactly-sized shapes.  Bucket tails shorter than
+    # a step run under one covering config so padding stays < 1 step per
+    # bucket.  Reference anchor: the per-camera python loop this
+    # pipelines, meshes.py:1911-2051.
+    plan = None
+    if fused and n > 0 and auto_size_fold:
+        from geograypher_tpu.parallel import planner as _planner
+
+        _plan_key = (
+            "plan", config, use_dist, w, h, cameras.get_camera_hash(),
+        )
+        plan = _cfg_cache.get(_plan_key)
+        if plan is None:
+            plan = _planner.plan_aggregation(
+                tri_soa, params_all, config, h, w, n_faces,
+                use_dist=use_dist,
+                census_sample=None if n <= 64 else max(12, n // 16),
+            )
+            _cfg_cache[_plan_key] = plan
+
+    if plan is not None:
+        step_specs: list = []  # (config index, view ids of this step)
+        tail: list = []
+        for bi, b in enumerate(plan.buckets):
+            idxs = list(b.view_indices)
+            nfull = len(idxs) // step_views * step_views
+            for s0 in range(0, nfull, step_views):
+                step_specs.append((bi, idxs[s0:s0 + step_views]))
+            tail.extend(idxs[nfull:])
+        for s0 in range(0, len(tail), step_views):
+            step_specs.append((len(plan.buckets), tail[s0:s0 + step_views]))
+        order, valid_l, step_cfg_idx = [], [], []
+        for ci, ids in step_specs:
+            pad = step_views - len(ids)
+            order.extend(ids + [ids[0]] * pad)
+            valid_l.extend([1.0] * len(ids) + [0.0] * pad)
+            step_cfg_idx.append(ci)
+        n_pad = len(order)
+        valid = np.asarray(valid_l, np.float32)
+        step_configs = [
+            _bucket_step_config(b, fold_block) for b in plan.buckets
+        ]
+        if len(step_specs) > len(
+            [ci for ci, _ in step_specs if ci < len(plan.buckets)]
+        ):
+            step_configs.append(_cover_step_config(plan, fold_block))
+        else:
+            step_configs.append(None)  # no tail steps
+        config = step_configs[step_cfg_idx[0]]
+        auto_size_fold = False  # the plan sized everything
+    else:
+        n_pad = -(-n // step_views) * step_views
+        order = list(range(n)) + [0] * (n_pad - n)
+        valid = np.array([1.0] * n + [0.0] * (n_pad - n), np.float32)
+        step_cfg_idx = [0] * (n_pad // step_views)
+        step_configs = None  # filled after legacy sizing below
+    params = params_all[order]
+    params[:, _PROW - 1] = valid
+
     _cfg_key = None
-    if fused and n > 0 and (auto_size_fold or (
+    if plan is None and fused and n > 0 and (auto_size_fold or (
         config.subtile is not None and config.s_cap_chunks is None
     )):
         _cfg_key = (
@@ -568,11 +667,22 @@ def aggregate_class_images_distributed(
             f"rle cap {rle_cap}" if rle_cap else "dense",
         )
 
-    device_step = _build_device_step(
-        device_mesh, config, use_dist, fused, group, w, h, n_faces,
-        n_classes, rle_cap=rle_cap,
-    )
-    dense_step = None  # built lazily for per-step RLE-overflow fallback
+    if step_configs is None:
+        step_configs = [config]  # legacy single-config path
+    # per-config step programs: [ci] -> jitted step; RLE-decoding primary
+    # and dense fallback built lazily (tail/cover entries may never run)
+    _rle_steps: list = [None] * len(step_configs)
+    _dense_steps: list = [None] * len(step_configs)
+
+    def _get_step(ci: int, use_rle: bool):
+        cache = _rle_steps if use_rle else _dense_steps
+        if cache[ci] is None:
+            cache[ci] = _build_device_step(
+                device_mesh, step_configs[ci], use_dist, fused, group,
+                w, h, n_faces, n_classes,
+                rle_cap=rle_cap if use_rle else 0,
+            )
+        return cache[ci]
 
     total_fracs = jax.device_put(
         jnp.zeros((n_faces, n_classes), jnp.float32), replicated
@@ -665,24 +775,17 @@ def aggregate_class_images_distributed(
 
         ensure_put(0)
         ensure_put(step_views)
-        for start in range(0, n_pad, step_views):
+        for si, start in enumerate(range(0, n_pad, step_views)):
             t0 = time.perf_counter()
             params_dev, imgs_dev, host_imgs, step_rle = put_futures.pop(
                 start
             ).result()
             t1 = time.perf_counter()
             ensure_put(start + 2 * step_views)
-            if rle_cap and not step_rle:
-                # per-step dense fallback (an image overflowed the RLE
-                # capacity); compiled once, cached across calls
-                if dense_step is None:
-                    dense_step = _build_device_step(
-                        device_mesh, config, use_dist, fused, group, w, h,
-                        n_faces, n_classes, rle_cap=0,
-                    )
-                step_fn = dense_step
-            else:
-                step_fn = device_step
+            # put_step already logged any per-step dense RLE fallback
+            step_fn = _get_step(
+                step_cfg_idx[si], bool(rle_cap) and step_rle
+            )
             total_fracs, total_views, csum, over = step_fn(
                 tri_soa, params_dev, imgs_dev, total_fracs, total_views
             )

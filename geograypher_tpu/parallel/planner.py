@@ -569,19 +569,65 @@ def _build_group_step_weighted(
     return group_step
 
 
-def _group_w_cap(g: int, max_win, margin: float) -> tuple:
+class _WarmOverflow(RuntimeError):
+    """Warm-check overflow carrying the exact dropped-entry total, so the
+    bucket builder can widen the fold windows by a GUARANTEED-sufficient
+    amount (overflow sums per-block excesses, so ``cap + n_over`` covers
+    the worst block) instead of abandoning the group size."""
+
+    def __init__(self, msg: str, n_over: int):
+        super().__init__(msg)
+        self.n_over = n_over
+
+
+def _group_w_cap(
+    g: int, max_win, margin: float, entry_caps=None, extra: int = 0
+) -> tuple:
     """Static per-level fold-window capacities for a g-view grouped fold.
 
-    A group's per-block window at each level is at most the sum of its
-    views' windows there, so ``g * max_win[level]`` (margined, 8-aligned)
-    covers it; each level gets its OWN cap (scalar ``max_win`` is
-    accepted for compatibility and shared across levels)."""
+    The ESTIMATE per level is ``g * max_win[level] * margin`` (8-aligned)
+    — but merged-group windows are NOT subadditive in the per-view
+    maxima: ``_block_windows`` windows are contiguous ranges of the
+    tmax-sorted merged entry order, and one view's wide-band entry (the
+    merged L2+global level always has some: global-list chunks span the
+    whole mesh) extends every block's range past OTHER views'
+    non-intersecting entries.  On the round-5 irregular-TIN benchmark the
+    merged L2+global window exceeded the ``g x max`` estimate by exactly
+    the views' total entry counts (~1080 entries), failing every warm
+    check.
+
+    The AIRTIGHT bound: with entry compaction on, a level's merged fold
+    holds exactly ``g * entry_caps[level]`` rows, and no block window can
+    exceed the total row count — so where that product is affordable
+    (every level but L0; window capacity only costs gather padding, the
+    kernel DMAs ``win_len`` actual entries) it replaces the estimate and
+    makes window overflow at that level impossible.
+
+    L0's airtight product is NOT affordable (its pad-row gather would
+    double a multi-hundred-MB grouped stack), so L0 keeps the margined
+    estimate — and the irregular-TIN benchmark's grouped L0 demand
+    exceeded even that by ~9 % (the same wide-band mechanism).  ``extra``
+    adds that many rows to every estimated (non-airtight) level, clamped
+    at the airtight total: the warm check's overflow count is a
+    guaranteed-sufficient ``extra`` because the per-block excesses it
+    sums bound the worst block's shortfall."""
     if not isinstance(max_win, (tuple, list, np.ndarray)):
         max_win = (max_win,)
-    return tuple(
-        max(8, 8 * ((int(np.ceil(g * int(v) * margin)) + 7) // 8))
-        for v in max_win
-    )
+    ecs = tuple(entry_caps) if entry_caps else ()
+    caps = []
+    for lvl, v in enumerate(max_win):
+        est = max(
+            8,
+            8 * ((int(np.ceil(g * int(v) * margin)) + int(extra) + 7) // 8),
+        )
+        if lvl < len(ecs) and ecs[lvl] is not None:
+            tight = max(8, 8 * ((g * int(ecs[lvl]) + 7) // 8))
+            if tight <= max(2 * est, 16384):
+                est = tight  # airtight: overflow structurally impossible
+            else:
+                est = min(est, tight)  # never exceed the total row count
+        caps.append(est)
+    return tuple(caps)
 
 
 @functools.lru_cache(maxsize=16)
@@ -676,10 +722,19 @@ class PlannedAggregator:
         h, w = plan.image_h, plan.image_w
         self.tri_soa = tri_soa
         n = plan.n_views
-        labels = jnp.asarray(labels, jnp.int32)
+        # device label stack in int8 when class ids fit (the raster kernel
+        # widens per view at its input): a padded 4K 20-view int32 stack is
+        # ~700 MB and round-5's bench OOMed its later suites on
+        # accumulated stacks.  Out-of-range ids (>= 128) would wrap, but
+        # they are ignore values either way (only 0..n_classes-1 count).
+        ldt = jnp.int8 if self.n_classes <= 127 else jnp.int32
+        if isinstance(labels, np.ndarray):
+            labels = jnp.asarray(labels.astype(ldt))  # cast host-side
+        else:
+            labels = jnp.asarray(labels).astype(ldt)
         n_label_rows = labels.shape[0]
         self._labels_pad = jnp.concatenate(
-            [labels, jnp.full((1, h, w), -1, jnp.int32)], axis=0
+            [labels, jnp.full((1, h, w), -1, ldt)], axis=0
         )
         if label_index is None:
             if n_label_rows != n:
@@ -717,40 +772,70 @@ class PlannedAggregator:
                 g_tries.append(g)
         last_err = None
         for g in g_tries:
-            step = self._build_step(bucket.config, g, bucket.max_win, 1.0)
-            try:
-                self._warm_one(step, g, bucket)
-                return (step, g, bucket)
-            except (RuntimeError, jax.errors.JaxRuntimeError) as e:
-                logger.warning(
-                    "bucket %s group=%d failed warm check (%s); retrying "
-                    "smaller", bucket.config.caps, g, e,
+            # widen-and-retry before shrinking the group: a warm window
+            # overflow reports the exact dropped-entry total, and adding
+            # it to the estimated windows is guaranteed sufficient (the
+            # grouped L0 demand on irregular TINs runs ~9 % past the
+            # margined per-view estimate — same wide-band mechanism as
+            # the airtight levels, but L0's airtight bound costs too
+            # much pad gather to use outright)
+            extra_w = 0
+            for _w_try in range(3):
+                step = self._build_step(
+                    bucket.config, g, bucket.max_win, 1.0, extra_w=extra_w
                 )
-                last_err = f"{e}"
-                e = None
-                step = None
-                import gc
+                try:
+                    self._warm_one(step, g, bucket)
+                    return (step, g, bucket)
+                except _WarmOverflow as e:
+                    logger.warning(
+                        "bucket %s group=%d: %s; widening fold windows by "
+                        "%d", bucket.config.caps, g, e, e.n_over,
+                    )
+                    last_err = f"{e}"
+                    extra_w += e.n_over
+                    step = None
+                except (RuntimeError, jax.errors.JaxRuntimeError) as e:
+                    logger.warning(
+                        "bucket %s group=%d failed warm check (%s); "
+                        "retrying smaller", bucket.config.caps, g, e,
+                    )
+                    last_err = f"{e}"
+                    e = None
+                    step = None
+                    import gc
 
-                gc.collect()
+                    gc.collect()
+                    break
         raise RuntimeError(
             f"bucket {bucket.config.caps}: all group sizes produced "
             f"corrupted output (last: {last_err})"
         )
 
-    def _build_step(self, config, g: int, max_win, extra_margin: float):
+    def _build_step(
+        self, config, g: int, max_win, extra_margin: float,
+        extra_w: int = 0,
+    ):
         """The bucket's grouped program for this aggregator's semantics.
 
         Pooled: one fold shared by the whole group (w_cap scales with g).
-        Weighted: per-view folds (w_cap sized for one view)."""
+        Weighted: per-view folds (w_cap sized for one view).  ``extra_w``
+        widens the estimated (non-airtight) fold windows by that many
+        rows — the warm check's measured overflow feeds back through it."""
         plan = self.plan
         margin = self.window_margin * extra_margin
+        ecs = config.entry_caps
         if self.weighted:
-            w_cap = _group_w_cap(1, max_win, margin)
+            w_cap = _group_w_cap(
+                1, max_win, margin, entry_caps=ecs, extra=extra_w
+            )
             return _build_group_step_weighted(
                 config, g, plan.image_w, plan.image_h, plan.n_faces,
                 self.n_classes, w_cap, plan.use_dist,
             )
-        w_cap = _group_w_cap(g, max_win, margin)
+        w_cap = _group_w_cap(
+            g, max_win, margin, entry_caps=ecs, extra=extra_w
+        )
         return _build_group_step_counts(
             config, g, plan.image_w, plan.image_h, plan.n_faces,
             self.n_classes, w_cap, plan.use_dist,
@@ -792,9 +877,10 @@ class PlannedAggregator:
         )
         n_over = int(np.asarray(over))
         if n_over:
-            raise RuntimeError(
+            raise _WarmOverflow(
                 f"warm group overflowed {n_over} entries (caps "
-                f"{bucket.config.caps}, entry {bucket.config.entry_caps})"
+                f"{bucket.config.caps}, entry {bucket.config.entry_caps})",
+                n_over,
             )
         if not self.warm_check:
             return
@@ -919,6 +1005,31 @@ class PlannedAggregator:
         if self.weighted:
             return np.asarray(self._accs[0]), np.asarray(self._accs[1])
         return np.asarray(self._accs[0])
+
+    def close(self) -> None:
+        """Release this aggregator's device buffers (padded label stack,
+        params, accumulators).  A runner that builds several aggregators
+        back-to-back (the benchmark's suites, a multi-survey batch) MUST
+        close each one — the label stacks otherwise accumulate in device
+        memory until allocation fails (the round-5 bench lost four of its
+        eight metrics to exactly that cascade)."""
+        for name in ("_labels_pad", "_params_pad"):
+            arr = getattr(self, name, None)
+            if arr is not None:
+                try:
+                    arr.delete()
+                except Exception:  # already donated/deleted
+                    pass
+                setattr(self, name, None)
+        for arr in getattr(self, "_accs", None) or ():
+            try:
+                arr.delete()
+            except Exception:
+                pass
+        self._accs = None
+        self._group_overs = []
+        self._programs = None
+        self.tri_soa = None  # shared with the caller: drop the ref only
 
 
 def aggregate_counts_planned(

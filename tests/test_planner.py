@@ -257,6 +257,76 @@ def test_global_level_window_sizing():
     np.testing.assert_array_equal(counts, ref)
 
 
+def test_group_w_cap_airtight_bound():
+    """Merged-group fold windows are NOT subadditive in per-view maxima
+    (a wide-band global entry extends every block's contiguous
+    tmax-sorted range past other views' entries): the round-5 irregular
+    benchmark overflowed its grouped L2+global fold by 1080 entries at
+    the ``g x max x margin`` estimate — exactly the gap to the views'
+    total entry rows.  With entry compaction on, the merged level holds
+    exactly ``g * entry_caps[l]`` rows and no window can exceed the
+    total, so the sizing must use that airtight product wherever it is
+    affordable (every level but L0)."""
+    from geograypher_tpu.parallel.planner import _group_w_cap
+
+    # the irregular-TIN benchmark's own numbers: bucket (64,16,16,64),
+    # max windows (696, 12, 79, 0), entry caps (23376, 72, 176), g=14
+    caps = _group_w_cap(
+        14, (696, 12, 79, 0), 1.25, entry_caps=(23376, 72, 176)
+    )
+    # L0: the airtight product (327k) is unaffordable -> margined estimate
+    assert caps[0] == 8 * ((int(np.ceil(14 * 696 * 1.25)) + 7) // 8)
+    # L1/L2: airtight -> overflow structurally impossible
+    assert caps[1] == 14 * 72
+    assert caps[2] == 14 * 176  # old estimate was 1384; demand was ~2464
+    assert caps[3] == 8
+    # without entry caps the estimate stands (legacy callers)
+    legacy = _group_w_cap(14, (696, 12, 79, 0), 1.25)
+    assert legacy[2] == 8 * ((int(np.ceil(14 * 79 * 1.25)) + 7) // 8)
+
+
+def test_warm_overflow_widens_windows(scene, caplog):
+    """A warm-check window overflow must widen the fold windows by the
+    measured dropped-entry total and KEEP the group size (the round-5
+    irregular TIN overflowed every group size's margined L0 estimate —
+    falling to smaller groups both lost the launch amortization and
+    still overflowed).  Shrinking the plan's probed max_win simulates
+    the under-estimate; the result must stay exact."""
+    import logging as _logging
+
+    tri, f_pad, params, labels = scene
+    plan = plan_aggregation(tri, params, BASE, H, W, f_pad, max_buckets=1)
+    b = plan.buckets[0]
+    # sabotage the probe: claim tiny per-view windows AND disable entry
+    # compaction (at this scene's scale the airtight g*entry_caps bound
+    # is affordable at every level and would make overflow structurally
+    # impossible — at bench scale L0's is not, which is exactly the
+    # irregular-TIN failure this retries out of)
+    bad = dataclasses.replace(
+        plan,
+        buckets=(
+            dataclasses.replace(
+                b,
+                max_win=(8, 0, 0, 0),
+                config=dataclasses.replace(b.config, entry_caps=None),
+            ),
+        ),
+    )
+    agg = PlannedAggregator(bad, N_CLASSES, group=3)
+    with caplog.at_level(
+        _logging.WARNING, logger="geograypher_tpu.parallel.planner"
+    ):
+        agg.prepare(tri, params, labels)
+    assert any("widening fold windows" in r.message for r in caplog.records)
+    # the group size survived the widen-retry
+    assert all(g == 3 for _s, g, _b in agg._programs)
+    agg.run()
+    counts = agg.finalize()
+    np.testing.assert_array_equal(
+        counts, _reference_counts(tri, f_pad, params, labels)
+    )
+
+
 @pytest.mark.slow
 def test_sampled_census_retry_completes(scene):
     """A sampled census that only sees a benign (nadir) view must still

@@ -422,15 +422,19 @@ def test_pipeline_rle_overflow_falls_back_to_dense_step(caplog):
         return np.nan_to_num(renders[i], nan=-1).astype(np.int32)
 
     # views_per_step=1 -> 8-view steps: the noisy view 8 lands in the
-    # SECOND step, beyond the first-step capacity probe
+    # SECOND step, beyond the first-step capacity probe.  The legacy
+    # (auto_size_fold=False) path keeps identity view order — the planned
+    # path may reorder view 8 into the probed first step, which defeats
+    # this test's premise (the fallback itself is transport-layer code
+    # shared by both paths).
     fr_d, v_d = aggregate_class_images_distributed(
         mesh, cams, n_classes=3, class_image_provider=provider,
-        label_transport="dense", views_per_step=1,
+        label_transport="dense", views_per_step=1, auto_size_fold=False,
     )
     with caplog.at_level(_logging.WARNING, logger="geograypher_tpu.parallel.pipeline"):
         fr_r, v_r = aggregate_class_images_distributed(
             mesh, cams, n_classes=3, class_image_provider=provider,
-            label_transport="rle", views_per_step=1,
+            label_transport="rle", views_per_step=1, auto_size_fold=False,
         )
     assert any("RLE capacity" in r.message for r in caplog.records)
     assert (v_d == v_r).all()
