@@ -424,7 +424,14 @@ def run_bench(out):
                 tri, big_params, base_cfg, H, W, f_pad,
                 census_sample=40, max_buckets=max_buckets,
             )
-            agg_b = PlannedAggregator(plan_b, n_classes, group=group_init)
+            # group capped at 14: the sustained plan's buckets hold
+            # hundreds of views, and a 20-view unrolled 4K program
+            # blows the remote compiler (HTTP 500) before the ladder
+            # can back off — 14 is the largest group the flagship's
+            # own buckets have proven through that compiler
+            agg_b = PlannedAggregator(
+                plan_b, n_classes, group=min(group_init, 14)
+            )
             agg_b.prepare(tri, big_params, labels, label_index=label_index)
             prep_s = time.perf_counter() - t0
             t0 = time.perf_counter()
