@@ -85,11 +85,12 @@ def _probe_backend(timeouts=(600, 300)):
 
 
 def _prep_tri(verts, faces, bin_block, jnp, tri_to_soa, gather_tri_verts,
-              serpentine_face_order):
-    """Serpentine-order faces (as TexturedMesh.spatial_sort_faces does in
-    production), pad to a bin_block multiple with degenerate filler, and
-    return the device (9, F_pad) SOA + padded face count."""
-    faces = faces[serpentine_face_order(verts[faces].mean(axis=1)[:, :2])]
+              partitioned_face_order):
+    """Order faces as TexturedMesh.spatial_sort_faces does in production
+    (serpentine + oversized faces packed into trailing blocks), pad to a
+    bin_block multiple with degenerate filler, and return the device
+    (9, F_pad) SOA + padded face count."""
+    faces = faces[partitioned_face_order(verts[faces][..., :2])]
     n_faces = faces.shape[0]
     f_pad = -(-n_faces // bin_block) * bin_block
     tv = gather_tri_verts(verts, faces).astype(np.float32)
@@ -133,6 +134,7 @@ def run_bench(out):
     from geograypher_tpu.ops.rasterize import RasterConfig, tri_to_soa
     from geograypher_tpu.parallel.planner import (
         PlannedAggregator,
+        clear_program_caches,
         pack_view_params,
         plan_aggregation,
     )
@@ -143,7 +145,7 @@ def run_bench(out):
         nadir_camera,
         oblique_camera,
     )
-    from geograypher_tpu.utils.geometric import serpentine_face_order
+    from geograypher_tpu.utils.geometric import partitioned_face_order
 
     on_tpu = jax.default_backend() not in ("cpu",)
     out["metric"] = (
@@ -191,7 +193,7 @@ def run_bench(out):
     )
     tri, f_pad = _prep_tri(
         verts, faces, bin_block, jnp, tri_to_soa, gather_tri_verts,
-        serpentine_face_order,
+        partitioned_face_order,
     )
 
     # Varied view suite: translated nadir passes + an oblique orbit at
@@ -360,13 +362,17 @@ def run_bench(out):
     import gc
 
     def _free(*arrs):
-        """Delete device arrays between suites: four of round-5's eight
-        metrics died RESOURCE_EXHAUSTED on accumulated label stacks."""
+        """Delete device arrays AND release cached executables between
+        suites: four of round-5's eight metrics died RESOURCE_EXHAUSTED on
+        accumulated label stacks + loaded grouped-program executables.
+        Cleared programs reload from the persistent compile cache (seconds),
+        so the next suite's warm/timed split is unaffected."""
         for a in arrs:
             try:
                 a.delete()
             except Exception:
                 pass
+        clear_program_caches()
         gc.collect()
 
     # ---- irregular Delaunay TIN (the plan was never tuned on this) --------
@@ -379,7 +385,7 @@ def run_bench(out):
             )
             itri, if_pad = _prep_tri(
                 iverts, ifaces, bin_block, jnp, tri_to_soa,
-                gather_tri_verts, serpentine_face_order,
+                gather_tri_verts, partitioned_face_order,
             )
             ivps, iex = flagship(
                 itri, if_pad, params, labels, H, W, mb=2,
@@ -392,7 +398,7 @@ def run_bench(out):
             _free(itri)
         except Exception as e:
             print(f"irregular metric failed: {e!r}", file=sys.stderr)
-            gc.collect()
+            _free()
 
     # ---- Brown–Conrady calibrated sensor (the dryrun's k1/k2/p1 at 4K) ----
     if on_tpu and not skip_extras:
@@ -411,7 +417,7 @@ def run_bench(out):
             _free(dlabels)
         except Exception as e:
             print(f"distorted metric failed: {e!r}", file=sys.stderr)
-            gc.collect()
+            _free()
 
     # ---- 1000-view sustained run (sampled census + overflow retry) --------
     if on_tpu and not skip_extras:
@@ -460,7 +466,7 @@ def run_bench(out):
                 agg_b.close()
             except Exception:
                 pass
-            gc.collect()
+            _free()
         _free(labels)  # remaining suites build their own label stacks
 
     # ---- the reference examples' own working scale (0.25) -----------------
@@ -481,7 +487,7 @@ def run_bench(out):
             _free(slabels)
         except Exception as e:
             print(f"refscale metric failed: {e!r}", file=sys.stderr)
-            gc.collect()
+            _free()
 
     # ---- end-to-end streaming pipeline (incl. host transfer) --------------
     # aggregate_class_images_distributed with host-thread label prefetch.
@@ -500,8 +506,8 @@ def run_bench(out):
         # sizings dropped (the pipeline sizes its own)
         config = grid_plan.cover_config
         tmesh = TexturedMesh(
-            (verts, faces[serpentine_face_order(
-                verts[faces].mean(axis=1)[:, :2])]),
+            (verts, faces[partitioned_face_order(
+                verts[faces][..., :2])]),
             raster_config=config,
         )
         sensors = {

@@ -202,7 +202,8 @@ class TexturedMesh:
 
     def spatial_sort_faces(self) -> np.ndarray:
         """Reorder faces in serpentine scanline order (y rows, x reversed on
-        odd rows) over ground-plane centroids.
+        odd rows) over ground-plane centroids, with oversized faces packed
+        into their own trailing id blocks.
 
         Spatially coherent face ids make each raster tile's candidate list
         a narrow id band, which the scatter-free aggregation
@@ -212,9 +213,13 @@ class TexturedMesh:
         UNIFORMLY, unlike Hilbert/Morton orders whose bands explode for
         tiles straddling top-level curve boundaries (measured: mean band
         28k/max 799k Hilbert vs mean 2.8k row-major on the 1M-face bench
-        mesh).  Per-face textures are permuted consistently; face INDICES
-        visible to callers change (the mesh hash changes with them,
-        invalidating pix2face caches).
+        mesh).  Oversized faces (Delaunay hull slivers, holes — present in
+        any real photogrammetry TIN, reference meshes.py:157-229) are
+        packed separately so one giant face never drags 7 neighbors to the
+        global binning level (utils.geometric.partitioned_face_order).
+        Per-face textures are permuted consistently; face INDICES visible
+        to callers change (the mesh hash changes with them, invalidating
+        pix2face caches).
 
         Returns the permutation applied (new_order[i] = old face index).
         """
@@ -223,8 +228,7 @@ class TexturedMesh:
             verts2d = self.get_vertices_in_CRS(crs)[:, :2]
         except ValueError:
             verts2d = self.verts[:, :2]
-        cent = verts2d[self.faces].mean(axis=1)
-        order = geometric.serpentine_face_order(cent)
+        order = geometric.partitioned_face_order(verts2d[self.faces])
         self.faces = self.faces[order]
         if self.face_texture is not None:
             self.face_texture = self.face_texture[order]

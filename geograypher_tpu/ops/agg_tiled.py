@@ -1304,10 +1304,18 @@ def fold_tile_counts_grouped(
     group.  ``views`` is a list of (outs, binned) pairs as accepted by
     :func:`fold_tile_counts`; size ``w_cap`` ~ per-view window x group.
 
-    With ``return_overflow`` the total number of nonempty chunk entries
-    dropped by ``config.entry_caps`` compaction rides along as an int32
-    scalar — callers that enable compaction MUST check it (a nonzero
-    value means counts were lost; raise, don't return wrong labels).
+    With ``return_overflow=True`` the total number of nonempty chunk
+    entries dropped (fold-window truncation + ``config.entry_caps``
+    compaction) rides along as an int32 scalar — callers that enable
+    compaction MUST check it (a nonzero value means counts were lost;
+    raise, don't return wrong labels).  With ``return_overflow="split"``
+    the two overflow kinds return separately as ``(dense, win_over,
+    entry_over)``: window overflow is fixed by widening ``w_cap``
+    (guaranteed sufficient — see planner._group_w_cap), entry overflow
+    only by re-censusing/raising ``entry_caps`` — runners that retry
+    must not conflate them (the round-5 sustained bench burned ~17
+    grouped-program compiles widening windows against a constant
+    entry-cap overflow, and the accumulated executables OOMed the chip).
     """
     if config.level_scales[1] not in (1, 2, 4):
         raise ValueError(
@@ -1320,7 +1328,8 @@ def fold_tile_counts_grouped(
     ]
     w_caps = _level_w_caps(w_cap, len(per_level[0]))
     dense = None
-    over = jnp.zeros((), jnp.int32)
+    win_tot = jnp.zeros((), jnp.int32)
+    entry_tot = jnp.zeros((), jnp.int32)
     for lvl in range(len(per_level[0])):
         counts = jnp.concatenate([v[lvl][0] for v in per_level], axis=0)
         ids = jnp.concatenate([v[lvl][1] for v in per_level], axis=0)
@@ -1331,12 +1340,14 @@ def fold_tile_counts_grouped(
             units_kb=getattr(config, "fold_unit_kb", _KB_U),
         )
         dense = d if dense is None else dense + d
-        over = over + win_over
+        win_tot = win_tot + win_over
         for v in per_level:
-            over = over + v[lvl][3]
+            entry_tot = entry_tot + v[lvl][3]
     dense = dense[:n_faces, :n_classes]
+    if return_overflow == "split":
+        return dense, win_tot, entry_tot
     if return_overflow:
-        return dense, over
+        return dense, win_tot + entry_tot
     return dense
 
 

@@ -149,6 +149,11 @@ class AggregationPlan:
     use_dist: bool
     n_views: int
     plan_seconds: float  # census + sizing device time (the "cold" cost)
+    # True when built from a sampled census: un-censused views may exceed
+    # their bucket's caps/entry caps, which the runner's overflow gating +
+    # finalize() retry covers — the warm check must TOLERATE cap overflow
+    # on such plans instead of shrinking the group (it cannot help)
+    sampled: bool = False
 
     @property
     def cover_config(self) -> RasterConfig:
@@ -466,7 +471,27 @@ def plan_aggregation(
         use_dist=use_dist,
         n_views=n_views,
         plan_seconds=time.perf_counter() - t_plan0,
+        sampled=sampled,
     )
+
+
+def clear_program_caches() -> None:
+    """Release every cached planner program (census/probe/grouped/single)
+    AND their compiled executables (``jax.clear_caches``).
+
+    A multi-survey runner (the benchmark's eight suites, a batch job over
+    several missions) should call this between surveys: loaded TPU
+    executables hold device memory, and the grouped 4K programs are large
+    enough that a few surveys' worth accumulating exhausted the chip in
+    round 5 (three bench metrics died RESOURCE_EXHAUSTED).  Re-running a
+    cleared program costs a reload from the persistent compile cache, not
+    a recompile."""
+    _build_census.cache_clear()
+    _build_window_stats.cache_clear()
+    _build_group_step_counts.cache_clear()
+    _build_group_step_weighted.cache_clear()
+    _build_single_view_counts.cache_clear()
+    jax.clear_caches()
 
 
 # ---------------------------------------------------------------------------
@@ -485,15 +510,18 @@ def _build_group_step_counts(
     The group's contribution is GATED on its total overflow (binning caps
     + S chunk caps + entry compaction + fold windows): an overflowing
     group adds zero and reports the count, so the accumulator stays clean
-    for a resize-and-retry (module docstring).  The view loop is python-
-    unrolled and no XLA scatter consumes a Mosaic output (docs/DESIGN.md
-    corruption doctrine)."""
+    for a resize-and-retry (module docstring).  Overflow returns SPLIT as
+    ``(over_caps, over_fold)``: cap/entry overflow (re-census to fix) vs
+    fold-window overflow (widen ``w_cap`` to fix) — the warm check's
+    remedies differ and conflating them burned ~17 grouped compiles in
+    round 5.  The view loop is python-unrolled and no XLA scatter
+    consumes a Mosaic output (docs/DESIGN.md corruption doctrine)."""
     from geograypher_tpu.ops.agg_tiled import fold_tile_counts_grouped
 
     @functools.partial(jax.jit, donate_argnums=(3,))
     def group_step(tri_soa, params_g, labels_g, acc):
         views = []
-        over = jnp.zeros((), jnp.int32)
+        over_caps = jnp.zeros((), jnp.int32)
         for k in range(g):
             w2c_k, f_k, dist_k, _valid = unpack_row(params_g[k], use_dist)
             setup = setup_from_soa(
@@ -503,17 +531,17 @@ def _build_group_step_counts(
             outs = fused_counts_pallas(
                 setup, binned, sb, labels_g[k], config, h, w, n_classes
             )
-            over = over + binned.overflow
+            over_caps = over_caps + binned.overflow
             if sb is not None:
-                over = over + sb.overflow
+                over_caps = over_caps + sb.overflow
             views.append((outs, binned))
-        counts, fold_over = fold_tile_counts_grouped(
+        counts, over_fold, entry_over = fold_tile_counts_grouped(
             views, config, h, w, n_faces, n_classes,
-            w_cap=w_cap, block=config.fold_block, return_overflow=True,
+            w_cap=w_cap, block=config.fold_block, return_overflow="split",
         )
-        over = over + fold_over
-        counts = jnp.where(over == 0, counts, 0.0)
-        return acc + counts, over
+        over_caps = over_caps + entry_over
+        counts = jnp.where(over_caps + over_fold == 0, counts, 0.0)
+        return acc + counts, over_caps, over_fold
 
     return group_step
 
@@ -537,7 +565,8 @@ def _build_group_step_weighted(
 
     @functools.partial(jax.jit, donate_argnums=(3, 4))
     def group_step(tri_soa, params_g, labels_g, acc, n_seen):
-        over = jnp.zeros((), jnp.int32)
+        over_caps = jnp.zeros((), jnp.int32)
+        over_fold = jnp.zeros((), jnp.int32)
         contrib = jnp.zeros_like(acc)
         seen_c = jnp.zeros_like(n_seen)
         for k in range(g):
@@ -549,24 +578,35 @@ def _build_group_step_weighted(
             outs = fused_counts_pallas(
                 setup, binned, sb, labels_g[k], config, h, w, n_classes
             )
-            over = over + binned.overflow
+            over_caps = over_caps + binned.overflow
             if sb is not None:
-                over = over + sb.overflow
-            counts_k, fold_over = fold_tile_counts(
+                over_caps = over_caps + sb.overflow
+            counts_k, win_over, entry_over = fold_tile_counts(
                 outs, binned, config, h, w, n_faces, n_classes,
-                w_cap=w_cap, block=config.fold_block, return_overflow=True,
+                w_cap=w_cap, block=config.fold_block,
+                return_overflow="split",
             )
-            over = over + fold_over
+            over_caps = over_caps + entry_over
+            over_fold = over_fold + win_over
             counts_k = counts_k[:, :n_classes]
             tot = jnp.sum(counts_k, axis=1, keepdims=True)
             contrib = contrib + jnp.where(
                 tot > 0, counts_k / jnp.maximum(tot, 1.0), 0.0
             )
             seen_c = seen_c + (tot[:, 0] > 0).astype(jnp.float32)
-        gate = (over == 0).astype(jnp.float32)
-        return acc + gate * contrib, n_seen + gate * seen_c, over
+        gate = (over_caps + over_fold == 0).astype(jnp.float32)
+        return (
+            acc + gate * contrib, n_seen + gate * seen_c,
+            over_caps, over_fold,
+        )
 
     return group_step
+
+
+class _SizingBug(RuntimeError):
+    """Cap/entry overflow under an exactly-censused plan: neither widening
+    nor a smaller group can fix it, so the group-size ladder must NOT
+    retry — propagate to the caller."""
 
 
 class _WarmOverflow(RuntimeError):
@@ -795,17 +835,29 @@ class PlannedAggregator:
                     last_err = f"{e}"
                     extra_w += e.n_over
                     step = None
+                except _SizingBug:
+                    raise  # no group size can fix a cap-sizing bug
                 except (RuntimeError, jax.errors.JaxRuntimeError) as e:
                     logger.warning(
                         "bucket %s group=%d failed warm check (%s); "
                         "retrying smaller", bucket.config.caps, g, e,
                     )
                     last_err = f"{e}"
+                    oom = "RESOURCE_EXHAUSTED" in str(e)
                     e = None
                     step = None
                     import gc
 
                     gc.collect()
+                    if oom:
+                        # failed grouped executables (this attempt's and
+                        # earlier widen attempts') hold device memory;
+                        # release them before trying a smaller group, or
+                        # every following size inherits the exhaustion
+                        # (round-5: one bucket's failures poisoned three
+                        # whole bench metrics).  Live buckets reload from
+                        # the persistent compile cache.
+                        jax.clear_caches()
                     break
         raise RuntimeError(
             f"bucket {bucket.config.caps}: all group sizes produced "
@@ -850,9 +902,11 @@ class PlannedAggregator:
 
     @staticmethod
     def _apply_step(step, tri_soa, params_g, labels_g, accs):
-        """Dispatch one group; returns (new accs tuple, overflow)."""
+        """Dispatch one group; returns (new accs tuple, (over_caps,
+        over_fold)) — cap/entry overflow (re-census to fix) vs fold-window
+        overflow (widen to fix)."""
         out = step(tri_soa, params_g, labels_g, *accs)
-        return out[:-1], out[-1]
+        return out[:-2], (out[-2], out[-1])
 
     def _groups(self, idxs, g):
         n = self.plan.n_views
@@ -867,21 +921,47 @@ class PlannedAggregator:
 
     def _warm_one(self, step, g, bucket) -> None:
         """Run the bucket's first group once and verify its output against
-        the standalone single-view program (corruption doctrine)."""
+        the standalone single-view program (corruption doctrine).
+
+        Overflow handling is KIND-aware: fold-WINDOW overflow raises
+        :class:`_WarmOverflow` (the builder widens the windows by the
+        measured drop — guaranteed sufficient); cap/entry overflow cannot
+        be fixed by widening or by a smaller group, so on a SAMPLED plan
+        it is tolerated here (the group's contribution was gated to zero
+        and ``finalize()`` re-censuses exactly those views), while on an
+        exactly-censused plan it is a sizing bug and raises."""
         plan = self.plan
         idx = self._groups(bucket.view_indices, g)[0]
         sel = jnp.asarray(idx, jnp.int32)
-        accs, over = self._apply_step(
+        accs, (over_caps, over_fold) = self._apply_step(
             step, self.tri_soa, self._params_pad[sel], self._label_sel(idx),
             self._init_accs(),
         )
-        n_over = int(np.asarray(over))
-        if n_over:
+        n_fold = int(np.asarray(over_fold))
+        n_caps = int(np.asarray(over_caps))
+        if n_fold:
             raise _WarmOverflow(
-                f"warm group overflowed {n_over} entries (caps "
-                f"{bucket.config.caps}, entry {bucket.config.entry_caps})",
-                n_over,
+                f"warm group fold windows overflowed {n_fold} entries "
+                f"(caps {bucket.config.caps}, entry "
+                f"{bucket.config.entry_caps})",
+                n_fold,
             )
+        if n_caps:
+            if not plan.sampled:
+                raise _SizingBug(
+                    f"warm group overflowed {n_caps} cap/entry slots under "
+                    f"an exactly-censused plan (caps {bucket.config.caps}, "
+                    f"entry {bucket.config.entry_caps}) — sizing bug"
+                )
+            # sampled plan: an un-censused view exceeded the bucket's
+            # caps; the warm group contributed zero and finalize()'s
+            # re-census retry will re-run it — the program itself is fine
+            logger.info(
+                "bucket %s group=%d: warm group cap overflow (%d slots) "
+                "on a sampled plan; deferring to the finalize retry",
+                bucket.config.caps, g, n_caps,
+            )
+            return
         if not self.warm_check:
             return
         got = float(np.asarray(jnp.sum(accs[0])))
@@ -919,11 +999,11 @@ class PlannedAggregator:
                 continue
             for idx in self._groups(bucket.view_indices, g):
                 sel = jnp.asarray(idx, jnp.int32)
-                accs, over = self._apply_step(
+                accs, overs = self._apply_step(
                     step, self.tri_soa, self._params_pad[sel],
                     self._label_sel(idx), accs,
                 )
-                self._group_overs.append((pos, idx, over))
+                self._group_overs.append((pos, idx, overs))
         self._accs = accs
         return accs[0]
 
@@ -936,8 +1016,8 @@ class PlannedAggregator:
         retries = 0
         while True:
             bad: dict = {}
-            for pos, idx, over in self._group_overs:
-                if int(np.asarray(over)):
+            for pos, idx, overs in self._group_overs:
+                if any(int(np.asarray(o)) for o in overs):
                     bad.setdefault(pos, []).extend(
                         i for i in idx if i < plan.n_views
                     )
@@ -994,12 +1074,12 @@ class PlannedAggregator:
                         views[i] if i < local_pad else plan.n_views
                         for i in lidx
                     ]
-                    self._accs, over = self._apply_step(
+                    self._accs, overs = self._apply_step(
                         step2, self.tri_soa,
                         sub_params[jnp.asarray(lidx, jnp.int32)],
                         self._label_sel(gidx), self._accs,
                     )
-                    new_overs.append((pos, gidx, over))
+                    new_overs.append((pos, gidx, overs))
             # only the re-run groups can still overflow
             self._group_overs = new_overs
         if self.weighted:

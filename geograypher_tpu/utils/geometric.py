@@ -85,3 +85,53 @@ def serpentine_face_order(
     )
     x_key = np.where(y_bin % 2 == 1, -cent[:, 0], cent[:, 0])
     return np.lexsort((x_key, y_bin))
+
+
+def partitioned_face_order(
+    face_verts_2d: np.ndarray,
+    rows_per_bin: float = 2.0,
+    big_factor: float = 8.0,
+) -> np.ndarray:
+    """Serpentine face permutation with OVERSIZED faces packed into their
+    own trailing id blocks.
+
+    On irregular TINs (what photogrammetry software exports — arbitrary
+    Metashape meshes, reference meshes.py:157-229) a small fraction of
+    faces is vastly larger than the median: Delaunay hull slivers, mesh
+    holes, water surfaces (measured on the 1M-face benchmark TIN: face
+    bbox p99 = 2.4 mean cells but p100 = 622).  Under a plain serpentine
+    order each such face drags its whole ``bin_block`` unit to the GLOBAL
+    binning level — where every unit is resolved against the entire image
+    — at 1 giant + 7 innocent faces per unit (censused 18-33 global units
+    per 4K view, ~3x total slowdown vs the grid mesh).  Packing all faces
+    whose xy-bbox diagonal exceeds ``big_factor`` x median into their own
+    serpentine-ordered id range puts 8 giants in each global unit instead
+    of one, and returns the innocents to L0.
+
+    Regular meshes have no oversized faces and come out in plain
+    serpentine order (bit-identical permutation).
+
+    Args:
+        face_verts_2d: (F, 3, 2) per-face xy vertex coordinates (any
+            ground-plane projection; only relative extents matter).
+        rows_per_bin: forwarded to :func:`serpentine_face_order`.
+        big_factor: faces with bbox diagonal > ``big_factor * median``
+            are packed separately.  8.0 is safely beyond every fit
+            window at the benchmark's pixel scales while keeping the
+            packed class tiny (< 0.1 % of faces on the benchmark TIN).
+
+    Returns ``order`` with ``new_faces = faces[order]``.
+    """
+    fv = np.asarray(face_verts_2d, np.float64)
+    span = fv.max(axis=1) - fv.min(axis=1)
+    diag = np.hypot(span[:, 0], span[:, 1])
+    med = np.median(diag)
+    big = diag > big_factor * max(med, 1e-300)
+    cent = fv.mean(axis=1)
+    if not big.any():
+        return serpentine_face_order(cent, rows_per_bin)
+    small_idx = np.flatnonzero(~big)
+    big_idx = np.flatnonzero(big)
+    order_small = serpentine_face_order(cent[small_idx], rows_per_bin)
+    order_big = serpentine_face_order(cent[big_idx], rows_per_bin)
+    return np.concatenate([small_idx[order_small], big_idx[order_big]])

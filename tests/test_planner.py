@@ -332,19 +332,27 @@ def test_sampled_census_retry_completes(scene):
     """A sampled census that only sees a benign (nadir) view must still
     produce exact counts: hostile views overflow, their groups contribute
     zero, and finalize re-censuses + re-runs them (never raises, never
-    drops counts)."""
+    drops counts).  The warm check stays ON: a warm-group CAP overflow on
+    a sampled plan must be tolerated (neither widening fold windows nor a
+    smaller group can fix an un-censused view exceeding the bucket caps —
+    conflating the overflow kinds burned ~17 grouped compiles and OOMed
+    three bench metrics in round 5)."""
     tri, f_pad, params, labels = scene
     # order the views nadir-first so sample index 0 censuses a nadir view
     plan = plan_aggregation(
         tri, params, BASE, H, W, f_pad, max_buckets=1,
         census_sample=1, sample_extra_margin=1.0,
     )
-    agg = PlannedAggregator(plan, N_CLASSES, group=2, warm_check=False)
+    assert plan.sampled
+    agg = PlannedAggregator(plan, N_CLASSES, group=2)
     agg.prepare(tri, params, labels)
+    # the warm cap overflow must NOT have shrunk the group size
+    assert all(g == 2 for _s, g, _b in agg._programs)
     agg.run()
     counts = agg.finalize()
     ref = _reference_counts(tri, f_pad, params, labels)
     np.testing.assert_array_equal(counts, ref)
+    assert agg.resizes > 0
 
 
 def test_label_index_shares_rows(scene):

@@ -201,3 +201,54 @@ def test_serpentine_face_order_no_widefield_blocks():
     # extent in x at row wraps
     assert spans[:, 0].max() < 8 * cell + 1e-9
     assert spans[:, 1].max() < 3 * cell + 1e-9
+
+
+def test_partitioned_face_order_packs_giants():
+    """Oversized faces (Delaunay hull slivers etc.) are packed into their
+    own trailing id blocks; uniform meshes reduce to plain serpentine."""
+    from geograypher_tpu.utils.fixtures import make_grid_mesh
+    from geograypher_tpu.utils.geometric import (
+        partitioned_face_order,
+        serpentine_face_order,
+    )
+
+    verts, faces = make_grid_mesh(n=41, size=4.0)
+    fv = verts[faces][..., :2]
+    # uniform mesh: bit-identical to serpentine
+    cent = fv.mean(axis=1)
+    assert np.array_equal(
+        partitioned_face_order(fv), serpentine_face_order(cent)
+    )
+
+    # graft 24 giant faces (vertex triples guaranteed to span >= half the
+    # domain: slivers anchored at a random point, stretched 2.0 in x)
+    rng = np.random.default_rng(0)
+    nv = len(verts)
+    anchor = rng.uniform(-2.0, 0.0, (24, 3))
+    gv = np.stack(
+        [anchor, anchor + [2.0, 0.0, 0.0], anchor + [2.0, 0.05, 0.0]],
+        axis=1,
+    ).reshape(24 * 3, 3)
+    verts2 = np.concatenate([verts, gv], axis=0)
+    gfaces = nv + np.arange(24 * 3).reshape(24, 3)
+    # interleave the giants among normal faces (worst case for packing)
+    all_faces = np.concatenate([faces, gfaces], axis=0)
+    perm = rng.permutation(len(all_faces))
+    all_faces = all_faces[perm]
+    order = partitioned_face_order(verts2[all_faces][..., :2])
+    assert sorted(order) == list(range(len(all_faces)))
+    ordered = all_faces[order]
+    # the giants are exactly the trailing 24 ids (3 full bin_block=8 units)
+    is_giant = (ordered >= nv).all(axis=1)
+    assert is_giant.sum() == 24
+    assert is_giant[-24:].all()
+    # and the leading faces remain spatially compact per 8-block
+    c = verts2[ordered[:-24]][..., :2].mean(axis=1)
+    bb = 8
+    nb = len(c) // bb
+    spans = (
+        c[: nb * bb].reshape(nb, bb, 2).max(axis=1)
+        - c[: nb * bb].reshape(nb, bb, 2).min(axis=1)
+    )
+    cell = 4.0 / 40
+    assert spans[:, 0].max() < 8 * cell + 1e-9
