@@ -90,7 +90,10 @@ def _prep_tri(verts, faces, bin_block, jnp, tri_to_soa, gather_tri_verts,
     (serpentine + oversized faces packed into trailing blocks), pad to a
     bin_block multiple with degenerate filler, and return the device
     (9, F_pad) SOA + padded face count."""
-    faces = faces[partitioned_face_order(verts[faces][..., :2])]
+    order, n_reg = partitioned_face_order(
+        verts[faces][..., :2], return_split=True
+    )
+    faces = faces[order]
     n_faces = faces.shape[0]
     f_pad = -(-n_faces // bin_block) * bin_block
     tv = gather_tri_verts(verts, faces).astype(np.float32)
@@ -99,7 +102,9 @@ def _prep_tri(verts, faces, bin_block, jnp, tri_to_soa, gather_tri_verts,
             verts.mean(axis=0).astype(np.float32), (f_pad - n_faces, 3, 3)
         )
         tv = np.concatenate([tv, filler], axis=0)
-    return jnp.asarray(tri_to_soa(tv)), f_pad
+    # first oversized-tail face id (RasterConfig.global_from) or None
+    gf = n_reg if n_reg < n_faces else None
+    return jnp.asarray(tri_to_soa(tv)), f_pad, gf
 
 
 def run_bench(out):
@@ -191,10 +196,10 @@ def run_bench(out):
         n=n_grid, size=4.0,
         z_fn=lambda x, y: 0.1 * np.sin(3 * x) * np.cos(3 * y),
     )
-    tri, f_pad = _prep_tri(
+    tri, f_pad, _gf = _prep_tri(
         verts, faces, bin_block, jnp, tri_to_soa, gather_tri_verts,
         partitioned_face_order,
-    )
+    )  # the grid mesh has no oversized faces (_gf is None)
 
     # Varied view suite: translated nadir passes + an oblique orbit at
     # 15-35 deg off-nadir, alternating between two focal lengths.
@@ -267,7 +272,8 @@ def run_bench(out):
 
     def flagship(tri_, f_pad_, params_, labels_, H_, W_, *,
                  use_dist=False, mb=None, label_index=None,
-                 census_sample=None, passes=None, attribute=False):
+                 census_sample=None, passes=None, attribute=False,
+                 cfg=None):
         """Plan + execute through the library planner; median-of-N timing.
 
         Returns (median views/s, dict of extras).  plan_aggregation is
@@ -277,12 +283,13 @@ def run_bench(out):
         metric includes it, compiles excluded (stated in the JSON note).
         """
         n = params_.shape[0]
+        cfg = base_cfg if cfg is None else cfg
         mb = max_buckets if mb is None else mb
         passes = n_passes if passes is None else passes
         kw = dict(use_dist=use_dist, max_buckets=mb,
                   census_sample=census_sample)
-        plan_aggregation(tri_, params_, base_cfg, H_, W_, f_pad_, **kw)
-        plan = plan_aggregation(tri_, params_, base_cfg, H_, W_, f_pad_,
+        plan_aggregation(tri_, params_, cfg, H_, W_, f_pad_, **kw)
+        plan = plan_aggregation(tri_, params_, cfg, H_, W_, f_pad_,
                                 **kw)
         agg = PlannedAggregator(plan, n_classes, group=group_init)
         agg.prepare(tri_, params_, labels_, label_index=label_index)
@@ -383,12 +390,13 @@ def run_bench(out):
                 z_fn=lambda x, y: 0.1 * np.sin(3 * x) * np.cos(3 * y),
                 seed=2,
             )
-            itri, if_pad = _prep_tri(
+            itri, if_pad, igf = _prep_tri(
                 iverts, ifaces, bin_block, jnp, tri_to_soa,
                 gather_tri_verts, partitioned_face_order,
             )
             ivps, iex = flagship(
                 itri, if_pad, params, labels, H, W, mb=2,
+                cfg=dataclasses.replace(base_cfg, global_from=igf),
             )
             out["irregular_views_per_s"] = round(ivps, 3)
             out["irregular_faces"] = int(if_pad)

@@ -13,6 +13,7 @@ ops/raycast respectively.
 
 from __future__ import annotations
 
+import dataclasses
 import hashlib
 import logging
 import typing
@@ -228,10 +229,18 @@ class TexturedMesh:
             verts2d = self.get_vertices_in_CRS(crs)[:, :2]
         except ValueError:
             verts2d = self.verts[:, :2]
-        order = geometric.partitioned_face_order(verts2d[self.faces])
+        order, n_regular = geometric.partitioned_face_order(
+            verts2d[self.faces], return_split=True
+        )
         self.faces = self.faces[order]
         if self.face_texture is not None:
             self.face_texture = self.face_texture[order]
+        # pin the oversized tail (if any) to the global binning level —
+        # see RasterConfig.global_from
+        self.raster_config = dataclasses.replace(
+            self.raster_config,
+            global_from=n_regular if n_regular < len(order) else None,
+        )
         self._invalidate_geometry_caches()
         return order
 

@@ -137,6 +137,18 @@ class RasterConfig:
     # ``BinnedTriangles.occ_mask.sum()``; undersizing surfaces in
     # ``BinnedTriangles.overflow`` (dropped pairs, never silent).
     occ_pairs: Optional[int] = None
+    # First face id of the mesh's OVERSIZED-face tail (see
+    # utils.geometric.partitioned_face_order): units containing any face
+    # >= this id are binned to the GLOBAL level unconditionally (and
+    # never diverted to level S).  Oversized faces carry trailing ids far
+    # from their spatial neighbors, so letting a far-field giant bin to
+    # L0 puts a [local ids .. trailing ids] band into that tile's chunk
+    # entries and the face-block fold windows explode (measured: L0
+    # window demand 699 -> 14,774 entries on the irregular-TIN benchmark
+    # once giants packed at the tail could reach L0).  Forcing them
+    # global keeps every tile level's id bands local and the global
+    # list's own band compact ([global_from, F)).  None disables.
+    global_from: Optional[int] = None
 
     def grids(self, image_h: int, image_w: int):
         """Tile-grid shapes (nty, ntx) for levels 0..2."""
@@ -612,6 +624,14 @@ def bin_triangles(
         per_level.append((ty0, ty1, tx0, tx1, fits))
 
     fits0, fits1, fits2 = (pl[4] for pl in per_level)
+    if config.global_from is not None:
+        # units holding any oversized-tail face go global unconditionally
+        # (their trailing ids would explode tile-level fold windows)
+        unit_last = (
+            jnp.arange(f_count, dtype=jnp.int32) * bb + (bb - 1)
+        )
+        small = unit_last < config.global_from
+        fits0, fits1, fits2 = fits0 & small, fits1 & small, fits2 & small
     level = jnp.where(fits0, 0, jnp.where(fits1, 1, jnp.where(fits2, 2, 3)))
 
     def pick(field_idx):

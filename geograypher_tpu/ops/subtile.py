@@ -88,6 +88,13 @@ def _unit_fit(setup, config):
     cy0, cy1 = py0u // sh, py1u // sh
     cx0, cx1 = px0u // sw, px1u // sw
     fits = (cy1 - cy0 < wy) & (cx1 - cx0 < wx)
+    if config.global_from is not None:
+        # oversized-tail faces are never diverted to level S: their
+        # trailing ids would contaminate the S entries' id bands exactly
+        # like the tile levels' (RasterConfig.global_from)
+        n_units = fits.shape[0]
+        unit_last = jnp.arange(n_units, dtype=jnp.int32) * sbb + (sbb - 1)
+        fits = fits & (unit_last < config.global_from)
     # empty sub-units never block their parent's diversion
     ok_unit = fits | ~uvalid
     k8 = bb // sbb

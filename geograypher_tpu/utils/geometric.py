@@ -91,7 +91,8 @@ def partitioned_face_order(
     face_verts_2d: np.ndarray,
     rows_per_bin: float = 2.0,
     big_factor: float = 8.0,
-) -> np.ndarray:
+    return_split: bool = False,
+):
     """Serpentine face permutation with OVERSIZED faces packed into their
     own trailing id blocks.
 
@@ -119,8 +120,17 @@ def partitioned_face_order(
             are packed separately.  8.0 is safely beyond every fit
             window at the benchmark's pixel scales while keeping the
             packed class tiny (< 0.1 % of faces on the benchmark TIN).
+        return_split: also return the NEW index of the first oversized
+            face (== number of regular faces).  Pass it to
+            ``RasterConfig.global_from`` so the binning pins the
+            oversized tail to the global level — a far-field giant that
+            binned to L0 would put its trailing id into local tiles'
+            chunk entries and explode the face-block fold windows
+            (measured 699 -> 14,774 on the benchmark TIN).
 
-    Returns ``order`` with ``new_faces = faces[order]``.
+    Returns ``order`` with ``new_faces = faces[order]`` — or
+    ``(order, n_regular)`` with ``return_split`` (``n_regular ==
+    len(order)`` when nothing is oversized).
     """
     fv = np.asarray(face_verts_2d, np.float64)
     span = fv.max(axis=1) - fv.min(axis=1)
@@ -129,9 +139,11 @@ def partitioned_face_order(
     big = diag > big_factor * max(med, 1e-300)
     cent = fv.mean(axis=1)
     if not big.any():
-        return serpentine_face_order(cent, rows_per_bin)
+        order = serpentine_face_order(cent, rows_per_bin)
+        return (order, len(order)) if return_split else order
     small_idx = np.flatnonzero(~big)
     big_idx = np.flatnonzero(big)
     order_small = serpentine_face_order(cent[small_idx], rows_per_bin)
     order_big = serpentine_face_order(cent[big_idx], rows_per_bin)
-    return np.concatenate([small_idx[order_small], big_idx[order_big]])
+    order = np.concatenate([small_idx[order_small], big_idx[order_big]])
+    return (order, len(small_idx)) if return_split else order

@@ -131,6 +131,66 @@ def test_giant_triangle_global_list():
     assert (p2f == 0).any() and (p2f == -1).any()
 
 
+def test_global_from_is_output_invariant():
+    """``RasterConfig.global_from`` (pin the oversized-face tail to the
+    global binning level) is a PERFORMANCE control: pix2face and the
+    binning overflow must be bit-identical with and without it, and the
+    census must show the tail moved to the global level."""
+    from geograypher_tpu.ops.rasterize import (
+        bin_triangles,
+        setup_triangles,
+    )
+
+    verts, faces = make_grid_mesh(n=17, size=4.0)
+    # append 16 giant faces (an oversized tail, ids at the end)
+    rng = np.random.default_rng(3)
+    anchor = rng.uniform(-2.0, 0.0, (16, 3))
+    anchor[:, 2] = 0.0
+    gv = np.stack(
+        [anchor, anchor + [2.5, 0.0, 0.0], anchor + [2.5, 0.1, 0.0]],
+        axis=1,
+    ).reshape(48, 3)
+    verts2 = np.concatenate([verts, gv], axis=0)
+    faces2 = np.concatenate(
+        [faces, len(verts) + np.arange(48).reshape(16, 3)], axis=0
+    )
+    # pad to a bin_block multiple
+    bb = 8
+    n = len(faces2)
+    pad = -n % bb
+    if pad:
+        faces2 = np.concatenate([faces2, np.repeat(faces2[-1:], pad, 0)])
+    gf = len(faces)  # first giant id
+    c2w = nadir_camera(4.0, 30.0, 96)
+    tris = cam_tris(verts2, faces2, c2w)
+    base = RasterConfig(caps=(64, 32, 16, 16), bin_block=bb)
+    import dataclasses
+
+    pinned = dataclasses.replace(base, global_from=gf)
+    outs = {}
+    for name, cfg in (("plain", base), ("pinned", pinned)):
+        setup = setup_triangles(
+            jnp.asarray(tris, jnp.float32), jnp.asarray(30.0, jnp.float32),
+            96, 96,
+        )
+        census = np.asarray(
+            bin_triangles(setup, cfg, 96, 96, return_census=True)
+        )
+        p2f = np.asarray(
+            rasterize_triangles(
+                jnp.asarray(tris, jnp.float32),
+                jnp.asarray(30.0, jnp.float32),
+                image_w=96, image_h=96, config=cfg,
+            )
+        )
+        outs[name] = (p2f, census)
+    np.testing.assert_array_equal(outs["plain"][0], outs["pinned"][0])
+    # pinned: the giant tail all sits in the global list; nothing of it
+    # remains at L0..L2 (the grid faces stay at L0, so L0 is unchanged)
+    assert outs["pinned"][1][3] >= outs["plain"][1][3]
+    assert outs["pinned"][1][3] >= 2  # >= 16 faces / bin_block
+
+
 def test_mixed_levels_and_background():
     """Small + medium + giant triangles together; background stays -1."""
     rng = np.random.default_rng(7)
